@@ -1,0 +1,85 @@
+package graft.plans
+
+import graft.functions.{Html, Text}
+import graft.model._
+import graft.operators._
+import graft.sources.ChemDict
+import org.apache.spark.sql.{Dataset, SparkSession}
+import scala.collection.mutable.ArrayBuffer
+
+/** The KG-construction dataflow (SURVEY.md §7 stage architecture):
+  *
+  *   pages → sentences → annotated (NER) → related → triples
+  *
+  * Design-for-scale notes:
+  *  - every stage up to `triples` is a per-row map/flatMap — NO shuffle;
+  *    at 10^12 pages the only shuffles in the whole pipeline are the
+  *    mention-count aggregation (A1), the (optional) salted linking join
+  *    (J1) and the canonicalization loop (J5);
+  *  - the gazetteer ships as a broadcast value; its trie is built lazily
+  *    once per executor (not per row, not per task);
+  *  - `html: binary` is only read by the extraction stage — downstream
+  *    stages select typed Sentence columns so Parquet column pruning
+  *    keeps the big binary column out of every later scan.
+  */
+object Pipeline {
+
+  /** S4 + explode: per-row HTML→text extraction, sentence segmentation,
+    * tokenization. Non-English pages are extracted but not segmented
+    * (the reference pipeline is English-only; lang passthrough per
+    * FIXTURES.md §1).
+    */
+  def sentences(pages: Dataset[Page]): Dataset[Sentence] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.filter(_.lang == "en").flatMap { p =>
+      val doc = Html.extract(p.html)
+      val out = ArrayBuffer.empty[Sentence]
+      var sid = 0
+      doc.sections.foreach { sec =>
+        sec.paragraphs.foreach { para =>
+          Text.splitSentences(para).foreach { sent =>
+            out += Sentence(p.url, docId = 0L, sentId = sid, section = sec.heading,
+              title = doc.title, doi = doc.doi, text = sent,
+              tokens = Text.tokenize(sent), ents = Array.empty, rels = Array.empty)
+            sid += 1
+          }
+        }
+      }
+      out
+    }
+  }
+
+  /** M1+M2+M3 under W2, then J3+M4 relation scoring. One fused map —
+    * entity detection and pair scoring are both in-row, so fusing them
+    * avoids a second pass over the sentence table.
+    */
+  def annotate(sents: Dataset[Sentence], gazetteerNames: Array[String]): Dataset[Sentence] = {
+    val spark = sents.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(new ChemGazetteer(gazetteerNames))
+    sents.mapPartitions { it =>
+      val gaz = bc.value
+      it.map { s =>
+        val ents = Ner.annotate(s.text, s.tokens, gaz)
+        val rels = Relations.relate(ents)
+        s.copy(ents = ents, rels = rels)
+      }
+    }
+  }
+
+  /** P3 keep-filter + J4/P5 tuple assembly at threshold 0.45. */
+  def triples(annotated: Dataset[Sentence]): Dataset[Triple] = {
+    val spark = annotated.sparkSession
+    import spark.implicits._
+    annotated
+      .filter(s => Relations.keepDoc(s.ents))
+      .flatMap(s => Triples.assemble(s))
+  }
+
+  /** Full chain from pages with the default dictionary. */
+  def run(pages: Dataset[Page]): Dataset[Triple] = {
+    val names = ChemDict.entries.flatMap(_.synonyms)
+    triples(annotate(sentences(pages), names))
+  }
+}
