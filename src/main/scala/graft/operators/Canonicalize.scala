@@ -31,8 +31,17 @@ import org.apache.spark.sql.functions._
 object Canonicalize {
 
   val JaccardThreshold = 0.6
+  // second verification signal: token-set Jaccard — blocks char-level
+  // near-dups that are chemically distinct words ("ethanol"/"methanol"
+  // share 5 of 6 char-3-grams but zero tokens)
+  val TokenJaccardThreshold = 0.5
   val MinhashK = 8
-  val Bands = 4 // 4 bands × 2 rows
+  // 8 bands × 1 row: candidate-pair miss probability for a true pair at
+  // jaccard j is (1-j)^8 (≤ 6.6e-4 at the 0.6 threshold). One-row bands
+  // produce more candidates than multi-row bands, but every candidate is
+  // verified by exact Jaccard and oversized buckets are capped, so the
+  // extra volume is bounded.
+  val Bands = 8
 
   /** Candidate same-entity pairs (cidA < cidB) from LSH blocking +
     * Jaccard verification. Input: (cid, name) pairs.
@@ -64,11 +73,13 @@ object Canonicalize {
       col("cid").as("cid_a"), col("name").as("name_a"))
     val b = pruned.select(col("band"), col("band_hash"),
       col("cid").as("cid_b"), col("name").as("name_b"))
-    val jaccardUdf = udf((x: String, y: String) =>
-      Normalize.jaccard(Normalize.shingles(x), Normalize.shingles(y)))
+    val similarUdf = udf { (x: String, y: String) =>
+      Normalize.jaccard(Normalize.shingles(x), Normalize.shingles(y)) >= JaccardThreshold &&
+        Normalize.jaccard(x.split(' ').toSet, y.split(' ').toSet) >= TokenJaccardThreshold
+    }
     a.join(b, Seq("band", "band_hash"))
       .filter(col("cid_a") < col("cid_b"))
-      .filter(jaccardUdf(col("name_a"), col("name_b")) >= JaccardThreshold)
+      .filter(similarUdf(col("name_a"), col("name_b")))
       .select("cid_a", "cid_b").distinct()
   }
 

@@ -59,10 +59,33 @@ object Linking {
         "canonical_smiles", "iupac_name")
   }
 
-  /** J1+J2 broadcast path: triples ⟕ dict on normalized head text, with
-    * the A1 count>=3 gate applied to CHEM heads (non-CHEM heads pass
-    * through unlinked, as in the reference where only CHEM ents carry
-    * props).
+  /** The per-SURFACE link table: (mention, cid, properties...) for every
+    * exact mention surface that (a) occurs >= minOccurrences times (the
+    * reference's Counter over ent.text is by exact surface,
+    * linker.py:149-153) and (b) resolves in the dictionary via
+    * chem_norm. This mirrors the reference's `properties` dict keyed by
+    * surface (linker.py:155) and its back-attachment by exact text
+    * (linker.py:160-161).
+    */
+  private def surfaceLinks(
+      annotated: Dataset[Sentence],
+      dict: Array[ChemDictEntry],
+      minOccurrences: Int
+  ): DataFrame = {
+    val spark = annotated.sparkSession
+    val eligible = mentionCounts(annotated)
+      .filter(col("occurrences") >= minOccurrences)
+      .withColumn("name_norm", chemNormUdf(col("mention")))
+      .select("mention", "name_norm")
+    eligible
+      .join(broadcast(dictNames(spark, dict)), Seq("name_norm"))
+      .join(broadcast(dictProps(spark, dict)), Seq("cid"))
+      .drop("name_norm")
+  }
+
+  /** J1+J2 broadcast path: triples ⟕ surface-link table on the exact
+    * head surface (CHEM heads only; non-CHEM heads pass through
+    * unlinked, as in the reference where only CHEM ents carry props).
     */
   def linkTriples(
       triples: Dataset[Triple],
@@ -70,19 +93,11 @@ object Linking {
       dict: Array[ChemDictEntry],
       minOccurrences: Int = MinOccurrences
   ): DataFrame = {
-    val spark = triples.sparkSession
-    val counts = mentionCounts(annotated)
-      .filter(col("occurrences") >= minOccurrences)
-      .withColumn("name_norm", chemNormUdf(col("mention")))
-      .select("name_norm").distinct()
-    val linkable = dictNames(spark, dict)
-      .join(counts, Seq("name_norm"), "left_semi") // A1 gate applied on the SMALL side
-    val linked = linkable.join(broadcast(dictProps(spark, dict)), Seq("cid"))
+    val links = surfaceLinks(annotated, dict, minOccurrences)
     triples.toDF()
-      .withColumn("head_norm",
-        when(col("headLabel") === "CHEM", chemNormUdf(col("headText"))))
-      .join(broadcast(linked), col("head_norm") === linked("name_norm"), "left_outer")
-      .drop("name_norm", "head_norm")
+      .withColumn("head_surface", when(col("headLabel") === "CHEM", col("headText")))
+      .join(broadcast(links), col("head_surface") === links("mention"), "left_outer")
+      .drop("mention", "head_surface")
   }
 
   /** The non-broadcast path for dictionaries too large to broadcast:
@@ -96,27 +111,18 @@ object Linking {
       nSalts: Int = 8,
       minOccurrences: Int = MinOccurrences
   ): DataFrame = {
-    val spark = triples.sparkSession
-    val counts = mentionCounts(annotated)
-      .filter(col("occurrences") >= minOccurrences)
-      .withColumn("name_norm", chemNormUdf(col("mention")))
-      .select("name_norm").distinct()
-    val linkable = dictNames(spark, dict)
-      .join(counts, Seq("name_norm"), "left_semi")
-      .join(dictProps(spark, dict), Seq("cid"))
+    val links = surfaceLinks(annotated, dict, minOccurrences)
     // dict side exploded ×nSalts
-    val saltedDict = linkable
-      .withColumn("salt", explode(lit((0 until nSalts).toArray)))
+    val saltedDict = links.withColumn("salt", explode(lit((0 until nSalts).toArray)))
     // probe side: deterministic salt from url hash spreads head entities
     val probe = triples.toDF()
-      .withColumn("head_norm",
-        when(col("headLabel") === "CHEM", chemNormUdf(col("headText"))))
+      .withColumn("head_surface", when(col("headLabel") === "CHEM", col("headText")))
       .withColumn("salt", pmod(hash(col("url")), lit(nSalts)))
     probe
       .hint("shuffle_hash")
       .join(saltedDict,
-        probe("head_norm") === saltedDict("name_norm") && probe("salt") === saltedDict("salt"),
+        probe("head_surface") === saltedDict("mention") && probe("salt") === saltedDict("salt"),
         "left_outer")
-      .drop("name_norm", "head_norm", "salt")
+      .drop("mention", "head_surface", "salt")
   }
 }

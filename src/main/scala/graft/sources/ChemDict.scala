@@ -61,7 +61,7 @@ object ChemDict {
     * pairwise dissimilar so min-hash blocking does not bridge families.
     */
   private val familyBases = Array(
-    "arcanium perchlorate", "boracite nitramine", "celestine azide",
+    "arcanite selenate", "boracite nitramine", "celestine azide",
     "dravite oxalate", "euclase nitrate", "fayalite peroxide",
     "gahnite chlorate", "hessonite amide", "iolite borate",
     "jadeite sulfonate", "kyanite fulminate", "lazurite picrate",
@@ -83,8 +83,15 @@ object ChemDict {
       )
   }
 
+  // filler compounds: pairwise-dissimilar names (single-char suffix
+  // variants like "synthate-1"/"synthate-2" would be true near-dups at
+  // Jaccard 0.6 and legitimately chain-merge in CC)
+  private val fillerPrefixes = Array("brav", "czel", "dusk", "fyng", "gwol",
+    "hirm", "jexo", "kupr", "lomb", "mycs", "nerv", "pold")
+  private val fillerSuffixes = Array("adine", "olite", "exane", "urate", "imine")
   private val fillerEntries: Array[ChemDictEntry] = (0 until 60).map { k =>
-    mkEntry(300L + k, s"synthate-$k", Seq(s"SYN-$k", s"synthate $k"))
+    val name = fillerPrefixes(k % 12) + fillerSuffixes(k / 12)
+    mkEntry(300L + k, name, Seq(s"SYN-$k", name.capitalize))
   }.toArray
 
   val entries: Array[ChemDictEntry] = baseEntries ++ familyEntries ++ fillerEntries

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Linking
+import graft.plans.Pipeline
+import graft.sources.{ChemDict, PageGen}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** J1/J2/A1 semantics + broadcast-vs-salted plan equivalence. */
+class LinkingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private val N = 120L
+
+  private lazy val annotated = {
+    val names = ChemDict.entries.flatMap(_.synonyms)
+    Pipeline.annotate(Pipeline.sentences(PageGen.pages(spark, N)), names).cache()
+  }
+  private lazy val triples = Pipeline.triples(annotated).cache()
+
+  test("A1 gate: only mentions with count >= 3 link (linker.py:138-155)") {
+    import spark.implicits._
+    val counts = Linking.mentionCounts(annotated)
+    val linked = Linking.linkTriples(triples, annotated, ChemDict.entries)
+    // every linked CHEM head must have surface count >= 3
+    val linkedHeads = linked
+      .filter(col("headLabel") === "CHEM" && col("cid").isNotNull)
+      .select("headText").distinct().as[String].collect().toSet
+    val eligible = counts.filter(col("occurrences") >= 3)
+      .select("mention").as[String].collect().toSet
+    assert(linkedHeads.subsetOf(eligible),
+      s"linked-but-rare: ${(linkedHeads -- eligible).take(5)}")
+    // rare mentions stay unlinked
+    val rare = counts.filter(col("occurrences") < 3)
+      .select("mention").as[String].collect().toSet
+    val unlinkedRare = linked
+      .filter(col("headLabel") === "CHEM" && col("cid").isNull)
+      .select("headText").distinct().as[String].collect().toSet
+    assert(rare.intersect(linkedHeads).isEmpty)
+    assert(unlinkedRare.subsetOf(rare))
+  }
+
+  test("J1: heads resolve to the right CID via chem_norm") {
+    import spark.implicits._
+    val linked = Linking.linkTriples(triples, annotated, ChemDict.entries)
+    val waterRows = linked.filter(col("headText") === "water" && col("cid").isNotNull)
+    if (waterRows.count() > 0)
+      assert(waterRows.select("cid").distinct().as[Long].collect().toSeq == Seq(1L))
+    // synonym surfaces map to the same cid as the canonical name
+    val tnt = linked.filter(lower(col("headText")).isin("tnt", "trinitrotoluene",
+      "2,4,6-trinitrotoluene") && col("cid").isNotNull)
+    val cids = tnt.select("cid").distinct().as[Long].collect().toSeq
+    assert(cids.isEmpty || cids == Seq(10L))
+  }
+
+  test("salted join produces identical rows to broadcast join") {
+    val a = Linking.linkTriples(triples, annotated, ChemDict.entries)
+    val b = Linking.linkTriplesSalted(triples, annotated, ChemDict.entries, nSalts = 4)
+    assert(a.columns.sorted.sameElements(b.columns.sorted))
+    val cols = a.columns.sorted.toSeq
+    val ka = a.select(cols.map(col): _*).collect().map(_.toString).sorted
+    val kb = b.select(cols.map(col): _*).collect().map(_.toString).sorted
+    assert(ka.sameElements(kb))
+  }
+
+  test("broadcast path plans a BroadcastHashJoin with no shuffle on the probe side") {
+    val linked = Linking.linkTriples(triples, annotated, ChemDict.entries)
+    val plan = linked.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+}
