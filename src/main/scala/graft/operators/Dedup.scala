@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** Large-scale training-data deduplication over a document table
+  * (doc_id, text). Five methods, cheapest-to-richest; all shuffle only
+  * on compact keys (hashes/signatures), never on raw text.
+  *
+  *  - exact: md5(text) group — one hash-partition shuffle of 16-byte keys
+  *  - minhash LSH: word-shingle minhash → banded buckets → verified
+  *    candidate pairs → CC clusters (the FineWeb/C4-style near-dedup)
+  *  - simhash: 64-bit simhash, Hamming-adjacent pairs via 4×16-bit
+  *    band index (detects pairs within Hamming distance <= 3 when at
+  *    least one band is exact — standard Manku et al. trick)
+  *  - n-gram Jaccard: the verification metric, exposed standalone
+  *  - embedding cosine: near-dup by vector similarity (see Similarity)
+  */
+object Dedup {
+
+  // ---------- exact ----------
+
+  /** Exact dedup summary: one row per distinct text with its cluster
+    * size and the kept (min) doc_id. SQL-oracle-able.
+    */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
+
+  /** Survivor rows only (keep first doc_id per distinct text). */
+  def exactSurvivors(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val keep = exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ---------- shingles + minhash ----------
+
+  def wordShingles(text: String, n: Int = 3): Set[String] = {
+    val words = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    if (words.length <= n) Set(words.mkString(" "))
+    else (0 to words.length - n).map(i => words.slice(i, i + n).mkString(" ")).toSet
+  }
+
+  def minhashSig(sh: Set[String], k: Int): Array[Int] = {
+    val out = new Array[Int](k)
+    var j = 0
+    while (j < k) {
+      var best = Int.MaxValue
+      sh.foreach { g =>
+        val h = MurmurHash3.stringHash(g, 7777 + j)
+        if (h < best) best = h
+      }
+      out(j) = if (sh.isEmpty) 0 else best
+      j += 1
+    }
+    out
+  }
+
+  def ngramJaccard(a: String, b: String, n: Int = 3): Double = {
+    val sa = wordShingles(a, n); val sb = wordShingles(b, n)
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      val inter = sa.intersect(sb).size
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+  }
+
+  /** MinHash-LSH near-dup candidate pairs, Jaccard-verified.
+    * k minhashes in `bands` bands; docs sharing any band bucket are
+    * candidates; candidates with word-3-gram Jaccard >= threshold are
+    * emitted as (id_a < id_b) pairs.
+    *
+    * Scale: the only wide exchange is on (band, band_hash) — compact
+    * ints; bucket sizes above maxBucket are dropped (logged trade, same
+    * rationale as Canonicalize).
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.7,
+      maxBucket: Int = 128
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = k / bands
+    val banded = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
+      .as[(Long, String)]
+      .flatMap { case (id, txt) =>
+        val sig = minhashSig(wordShingles(txt), k)
+        (0 until bands).map { b =>
+          (b, java.util.Arrays.hashCode(sig.slice(b * rows, (b + 1) * rows)), id, txt)
+        }
+      }.toDF("band", "bh", "id", "txt")
+
+    val ok = banded.groupBy("band", "bh").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= maxBucket)
+    val pruned = banded.join(ok, Seq("band", "bh"), "left_semi")
+    val a = pruned.select(col("band"), col("bh"), col("id").as("id_a"), col("txt").as("txt_a"))
+    val b = pruned.select(col("band"), col("bh"), col("id").as("id_b"), col("txt").as("txt_b"))
+    val jac = udf((x: String, y: String) => ngramJaccard(x, y))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(jac(col("txt_a"), col("txt_b")) >= threshold)
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Near-dup clusters from minhash pairs via connected components;
+    * returns (id, cluster_id = min id of component).
+    */
+  def minhashClusters(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashPairs(docs, idCol, textCol, threshold = threshold)
+      .select(col("id_a").as("cid_a"), col("id_b").as("cid_b"))
+    val nodes = docs.select(col(idCol).cast("long").as("cid"))
+    Canonicalize.connectedComponents(nodes, pairs)
+      .select(col("cid").as(idCol), col("cluster_id"))
+  }
+
+  // ---------- simhash ----------
+
+  /** 64-bit simhash over word hashes (Charikar). */
+  def simhash64(text: String): Long = {
+    val acc = new Array[Int](64)
+    text.toLowerCase.split("\\W+").filter(_.nonEmpty).foreach { w =>
+      val h1 = MurmurHash3.stringHash(w, 11)
+      val h2 = MurmurHash3.stringHash(w, 12)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
+        bit += 1
+      }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) { if (acc(bit) > 0) out |= (1L << bit); bit += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
+    * Banding: 4 bands of 16 bits — any pair within Hamming 3 shares at
+    * least one exact band (pigeonhole), so the exchange is on 16-bit
+    * band keys, then verified on the full 64-bit signature.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3,
+      maxBucket: Int = 1024
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
+      .as[(Long, String)]
+      .map { case (id, txt) => (id, simhash64(txt)) }
+      .toDF("id", "sig")
+    val banded = sigs.as[(Long, Long)].flatMap { case (id, sig) =>
+      (0 until 4).map(b => (b, ((sig >>> (16 * b)) & 0xffffL).toInt, id, sig))
+    }.toDF("band", "bh", "id", "sig")
+    val ok = banded.groupBy("band", "bh").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= maxBucket)
+    val pruned = banded.join(ok, Seq("band", "bh"), "left_semi")
+    val a = pruned.select(col("band"), col("bh"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = pruned.select(col("band"), col("bh"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val ham = udf((x: Long, y: Long) => hamming64(x, y))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(ham(col("sig_a"), col("sig_b")) <= maxHamming)
+      .select("id_a", "id_b").distinct()
+  }
+
+  // ---------- embedding cosine ----------
+
+  /** Cosine similarity of two float vectors as a Column expression —
+    * built from zip_with/aggregate higher-order functions (stays in
+    * codegen; no UDF).
+    */
+  def cosineCol(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, x) => acc + x * x))
+    dot / (na * nb)
+  }
+
+  /** Embedding near-dup pairs: cosine >= threshold. Blocking via
+    * random-hyperplane sign buckets (see Similarity.signature);
+    * verification with the exact cosine expression.
+    */
+  def embeddingPairs(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.95,
+      bits: Int = 8
+  ): DataFrame = {
+    val withSig = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", Similarity.signatureUdf(bits)(col("v")))
+    val a = withSig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withSig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineCol(col("v_a"), col("v_b")) >= threshold)
+      .select("id_a", "id_b").distinct()
+  }
+}

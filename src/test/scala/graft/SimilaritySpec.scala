@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+  private val K = 10
+
+  private lazy val queries = emb.orderBy("vec_id").limit(20).cache()
+
+  test("brute-force top-k: k rows per query, ranked by descending cosine") {
+    import spark.implicits._
+    val res = Similarity.bruteForceTopK(emb, queries, K).cache()
+    val perQuery = res.groupBy("query_id").count().as[(Long, Long)].collect()
+    assert(perQuery.forall(_._2 == K))
+    // ranks are 1..K with non-increasing cosine
+    val one = res.filter(col("query_id") === queries.select("vec_id").first().getLong(0))
+      .orderBy("rank").select("cosine").as[Double].collect()
+    assert(one.zip(one.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("brute-force agrees with a driver-side exact computation for one query") {
+    import spark.implicits._
+    val qid = queries.select("vec_id").first().getLong(0)
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    val qv = vecs(qid)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val expected = vecs.toSeq.filter(_._1 != qid)
+      .map { case (id, v) => (id, cos(qv, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(K).map(_._1)
+    val got = Similarity.bruteForceTopK(emb, queries, K)
+      .filter(col("query_id") === qid).orderBy("rank")
+      .select("corpus_id").as[Long].collect().toSeq
+    assert(got == expected)
+  }
+
+  /** Deterministic CLUSTERED embeddings: 10 murmur-derived centers,
+    * 30 members each with small perturbation. (The driver embeddings
+    * table is isotropic random noise — verified: intra-label and
+    * inter-label mean cosine are both ~0 — so it cannot exercise
+    * recall/coherence claims; structure tests use this set instead.)
+    */
+  private lazy val clustered = {
+    import spark.implicits._
+    def h(s: String) = scala.util.hashing.MurmurHash3.stringHash(s, 7)
+    val dim = 32
+    val rows = for {
+      c <- 0 until 10
+      m <- 0 until 30
+    } yield {
+      val center = Array.tabulate(dim)(j => (h(s"c:$c:$j").toDouble / Int.MaxValue).toFloat)
+      val vec = Array.tabulate(dim)(j =>
+        center(j) + 0.05f * (h(s"n:$c:$m:$j").toDouble / Int.MaxValue).toFloat)
+      (c * 30L + m, vec, c)
+    }
+    rows.toDF("vec_id", "embedding", "label").cache()
+  }
+  private lazy val cQueries = clustered.filter(col("vec_id") % 30 === 0).cache()
+
+  test("LSH ANN: recall@10 vs brute force >= 0.8 on clustered data") {
+    import spark.implicits._
+    val bf = Similarity.bruteForceTopK(clustered, cQueries, K)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ann = Similarity.lshTopK(clustered, cQueries, K, bits = 8)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bf.keys.toSeq.map { q =>
+      ann.getOrElse(q, Set.empty).intersect(bf(q)).size.toDouble / K
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"ANN mean recall@$K = $mean%.3f over ${recalls.size} queries")
+    assert(mean >= 0.8, f"mean recall $mean%.3f too low")
+  }
+
+  test("label coherence on clustered data: 1-NN shares the label") {
+    import spark.implicits._
+    val labels = clustered.select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val nn = Similarity.bruteForceTopK(clustered, cQueries, 1)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+    val agree = nn.count { case (q, c) => labels(q) == labels(c) }
+    val rate = agree.toDouble / nn.length
+    info(f"1-NN label agreement = $rate%.2f")
+    assert(rate >= 0.9)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.TextStats
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextStatsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  test("language ID: correct on real-language text; driver docs detect as en") {
+    // NOTE: the driver documents table's `lang` column is a synthetic
+    // label — its text is English-ish word salad for every lang value
+    // (verified by inspection), so accuracy-vs-column is not a valid
+    // oracle. Validate on constructed sentences + en-dominance instead.
+    assert(TextStats.detectLang("the cat and the dog went to the barn") == "en")
+    assert(TextStats.detectLang("der Hund und die Katze ist im Haus") == "de")
+    assert(TextStats.detectLang("le chat est dans la maison avec le chien") == "fr")
+    assert(TextStats.detectLang("el perro y el gato en la casa") == "es")
+    assert(TextStats.detectLang("xyzzy 12345") == "und")
+    assert(TextStats.detectLang("") == "und")
+    val preds = TextStats.withLangId(docs)
+    val enRate = preds
+      .agg(avg((col("lang_pred") === "en").cast("int"))).collect()(0).getDouble(0)
+    info(f"driver docs detected as en: $enRate%.3f")
+    assert(enRate >= 0.7) // stopword-poor word salad may fall to "und"
+    // but never to a wrong language
+    assert(preds.filter(!col("lang_pred").isin("en", "und")).count() == 0)
+  }
+
+  test("token counts: whitespace and BPE-ish are consistent") {
+    val d = docs.withColumn("ws", TextStats.wsTokenCount(col("text")))
+      .withColumn("bpe", TextStats.bpeishTokenCount(col("text")))
+    // BPE-ish splits at least as fine as whitespace
+    assert(d.filter(col("bpe") < col("ws")).count() == 0)
+    val row = spark.sql("SELECT 'a b  c-d' AS t")
+    assert(row.select(TextStats.wsTokenCount(col("t"))).collect()(0).getInt(0) == 3)
+    assert(row.select(TextStats.bpeishTokenCount(col("t"))).collect()(0).getInt(0) == 5)
+  }
+
+  test("quality score is in [0,1] and penalizes junk") {
+    import spark.implicits._
+    val sample = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and runs to the barn with great speed today."),
+      (2L, "!!!###$$$ ??? *** ### !!!"),
+      (3L, "a")
+    ).toDF("doc_id", "text")
+    val q = TextStats.withQualityScore(sample)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(2L))
+    assert(q(1L) > q(3L))
+  }
+
+  test("fingerprint is whitespace-normalization-stable, content-sensitive") {
+    val a = TextStats.fingerprint64("The quick   brown\tfox")
+    val b = TextStats.fingerprint64("the quick brown fox")
+    val c = TextStats.fingerprint64("the quick brown cat")
+    assert(a == b)
+    assert(a != c)
+  }
+
+  test("multimodal plumbing: decode, features, frame sampling") {
+    import spark.implicits._
+    val media = Multimodal.genMedia(spark, 200).cache()
+    val decoded = Multimodal.decode(media).cache()
+    assert(decoded.count() == 200) // all generated payloads are decodable
+    assert(decoded.filter(col("width") < 64 || col("height") < 64).count() == 0)
+    // malformed payload drops cleanly
+    val bad = Seq(Multimodal.MediaRow(999L, "image", Array[Byte](1, 2, 3), "u")).toDS()
+    assert(Multimodal.decode(bad).count() == 0)
+    // features: fixed dim, L1-normalized over body
+    val feats = Multimodal.withFeatures(media)
+    val f0 = feats.select("features").as[Array[Float]].first()
+    assert(f0.length == 16)
+    assert(math.abs(f0.map(_.toDouble).sum - 1.0) < 1e-3)
+    // frame sampling: stride respected
+    val frames = Multimodal.sampleFrames(media, everyK = 4)
+    val idx = frames.select("frame_idx").distinct().as[Int].collect()
+    assert(idx.forall(_ % 4 == 0))
+  }
+}
