@@ -1,24 +1,95 @@
 package graft
+
+import graft.operators.{Dedup, Linking, Similarity}
+import graft.plans.Pipeline
+import graft.sources.{ChemDict, PageGen}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract): runs the headline workloads at
+  * SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS and prints ONE JSON line.
+  *
+  * Headlines:
+  *  - kg_pipeline: the full page→triple dataflow (the BASELINE.json
+  *    metric is triples/sec — reported as `triples_per_sec`)
+  *  - kg_linked: pipeline + A1 gate + broadcast linking join
+  *  - dedup_minhash / ann_brute: training-data ops on driver tables
+  *  - q1_agg / q2_join / q7_events_window: relational analogs
+  */
 object Bench {
+
+  def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def run(spark: SparkSession, sfDir: String): (Map[String, Double], Long, Long) = {
+    val nPages = PageGen.numPagesFor(sfDir)
+    val names = ChemDict.entries.flatMap(_.synonyms)
+
+    val (nTriples, tPipeline) = timed {
+      Pipeline.run(PageGen.pages(spark, nPages)).count()
+    }
+    val (_, tLinked) = timed {
+      val ann = Pipeline.annotate(Pipeline.sentences(PageGen.pages(spark, nPages)), names)
+        .persist()
+      try Linking.linkTriples(Pipeline.triples(ann), ann, ChemDict.entries).count()
+      finally ann.unpersist()
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (_, tDedup) = timed { Dedup.minhashPairs(docs, threshold = 0.5).count() }
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (_, tAnn) = timed {
+      Similarity.bruteForceTopK(emb, emb.orderBy("vec_id").limit(20), 10).count()
+    }
+    val (_, tQ1) = timed {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity"), count(lit(1))).count()
+    }
+    val (_, tQ2) = timed {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val part = spark.read.parquet(s"$sfDir/part.parquet")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy("p_brand").agg(count(lit(1))).count()
+    }
+    val (_, tQ7) = timed {
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .groupBy(date_trunc("hour", col("ts")), col("event_type"))
+        .agg(count(lit(1))).count()
+    }
+    (Map(
+      "kg_pipeline" -> tPipeline, "kg_linked" -> tLinked,
+      "dedup_minhash" -> tDedup, "ann_brute" -> tAnn,
+      "q1_agg" -> tQ1, "q2_join" -> tQ2, "q7_events_window" -> tQ7
+    ), nTriples, nPages.toLong)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // JIT/codegen warmup on a small slice so timings measure steady state
+    Pipeline.run(PageGen.pages(spark, 100)).count()
+
+    val (queries, nTriples, nPages) = run(spark, sfDir)
+    val total = queries.values.sum
+    val tps = nTriples / queries("kg_pipeline")
+    val dps = nPages / queries("kg_pipeline")
+    val qs = queries.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","triples":$nTriples,"pages":$nPages,""" +
+      s""""triples_per_sec":$tps,"docs_per_sec":$dps,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -29,7 +29,11 @@ object Linking {
 
   val MinOccurrences = 3 // linker.py:138
 
-  val chemNormUdf = udf((s: String) => Normalize.chemNorm(s))
+  /** F6 normalization as a custom codegen'd Catalyst expression (not a
+    * UDF): the A1-gate projection stays inside whole-stage codegen.
+    */
+  def chemNormCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.GraftFunctions.chem_norm(c)
 
   /** A1: chem mention counts over annotated sentences (exact surface,
     * like the reference's Counter over ent.text).
@@ -75,7 +79,7 @@ object Linking {
     val spark = annotated.sparkSession
     val eligible = mentionCounts(annotated)
       .filter(col("occurrences") >= minOccurrences)
-      .withColumn("name_norm", chemNormUdf(col("mention")))
+      .withColumn("name_norm", chemNormCol(col("mention")))
       .select("mention", "name_norm")
     eligible
       .join(broadcast(dictNames(spark, dict)), Seq("name_norm"))

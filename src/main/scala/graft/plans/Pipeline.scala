@@ -5,6 +5,7 @@ import graft.model._
 import graft.operators._
 import graft.sources.ChemDict
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import scala.collection.mutable.ArrayBuffer
 
 /** The KG-construction dataflow (SURVEY.md §7 stage architecture):
@@ -32,22 +33,31 @@ object Pipeline {
   def sentences(pages: Dataset[Page]): Dataset[Sentence] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages.filter(_.lang == "en").flatMap { p =>
-      val doc = Html.extract(p.html)
-      val out = ArrayBuffer.empty[Sentence]
-      var sid = 0
-      doc.sections.foreach { sec =>
-        sec.paragraphs.foreach { para =>
-          Text.splitSentences(para).foreach { sent =>
-            out += Sentence(p.url, docId = 0L, sentId = sid, section = sec.heading,
-              title = doc.title, doi = doc.doi, text = sent,
-              tokens = Text.tokenize(sent), ents = Array.empty, rels = Array.empty)
-            sid += 1
+    // columnar filter + projection BEFORE the typed flatMap: the lang
+    // predicate pushes down to the parquet scan and ReadSchema prunes to
+    // (url, html) — the `text` column (≈half the table bytes) is never
+    // read. A typed filter here would deserialize full Page rows and
+    // defeat both (verified by PlanSpec).
+    pages.toDF()
+      .filter(col("lang") === "en")
+      .select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (url, html) =>
+        val doc = Html.extract(html)
+        val out = ArrayBuffer.empty[Sentence]
+        var sid = 0
+        doc.sections.foreach { sec =>
+          sec.paragraphs.foreach { para =>
+            Text.splitSentences(para).foreach { sent =>
+              out += Sentence(url, docId = 0L, sentId = sid, section = sec.heading,
+                title = doc.title, doi = doc.doi, text = sent,
+                tokens = Text.tokenize(sent), ents = Array.empty, rels = Array.empty)
+              sid += 1
+            }
           }
         }
+        out
       }
-      out
-    }
   }
 
   /** M1+M2+M3 under W2, then J3+M4 relation scoring. One fused map —

@@ -253,6 +253,26 @@ object PageGen {
     spark.range(0, n, 1, parts).map(i => genPage(i).page)
   }
 
+  /** Materialize the page table to partitioned Parquet (the Iceberg-
+    * style input table of the north rule) if not already present;
+    * returns a Dataset[Page] reading from disk. Benchmarks use this so
+    * engine throughput is measured against a real table scan, not
+    * fused with generator CPU.
+    */
+  def materializedPages(spark: SparkSession, n: Long, baseDir: String = "/tmp/graft_pages")
+      : Dataset[Page] = {
+    import spark.implicits._
+    val dir = s"$baseDir/n=$n"
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir + "/_SUCCESS"))) {
+      // 256 files: parquet tasks can't split below row-group (≈file)
+      // granularity here, so file count bounds scan parallelism
+      pages(spark, n, partitions = 256).write.mode("overwrite").parquet(dir)
+    }
+    spark.read.parquet(dir).as[Page]
+  }
+
   def goldSentences(spark: SparkSession, n: Long): Dataset[Sentence] = {
     import spark.implicits._
     spark.range(0, n, 1, spark.sparkContext.defaultParallelism)

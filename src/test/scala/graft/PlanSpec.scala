@@ -1,0 +1,59 @@
+package graft
+
+import graft.plans.Pipeline
+import graft.sources.PageGen
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Physical-plan quality gates: the optimizations claimed in Scaladoc
+  * must actually appear in the executed plan (SURVEY.md §4 — column
+  * pruning away the heavy binary/text columns, predicate pushdown,
+  * broadcast join selection).
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  private lazy val pagesDir: String = {
+    val dir = Files.createTempDirectory("graft-plan-pages").toString
+    PageGen.pages(spark, 50).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("sentences stage prunes to (url, html) and pushes the lang filter") {
+    import spark.implicits._
+    val pages = spark.read.parquet(pagesDir).as[graft.model.Page]
+    val plan = Pipeline.sentences(pages).queryExecution.executedPlan.toString
+    // ReadSchema must NOT include the text column (≈half the bytes)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("url") && readSchema.contains("html"),
+      s"expected url+html in: $readSchema")
+    assert(!readSchema.contains("text"), s"text not pruned: $readSchema")
+    assert(!readSchema.contains("warc_ts"), s"warc_ts not pruned: $readSchema")
+    // lang predicate reaches the scan
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]") ||
+      plan.contains("EqualTo(lang,en)"), s"lang filter not pushed:\n$plan")
+  }
+
+  test("q2_join plans a broadcast hash join") {
+    val df = SparkEntry.queries("q2_join")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("q1_agg uses partial aggregation (map-side combine)") {
+    val df = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"no hash agg:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "no partial agg stage")
+  }
+
+  test("relational queries stay inside whole-stage codegen") {
+    val df = SparkEntry.queries("q8_filter_project")(spark, "/root/testdata/sf0.001")
+    df.collect() // finalize the adaptive plan (codegen spans appear in the final plan)
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen marker in the compact plan string
+    assert(plan.contains("*(1)"), s"no codegen span:\n$plan")
+  }
+}
