@@ -5,24 +5,43 @@ import graft.sources.PageGen
 import org.apache.spark.sql.SparkSession
 import scala.sys.process._
 
-/** North-rule scaling evidence: the same job at two parallelism levels
-  * (sandbox proxy for N vs 4N executors — BASELINE.md discloses the
-  * deviation). Runs the full page→triple pipeline on the SAME
-  * materialized Parquet input at local[N] and local[4N]; efficiency =
-  * (throughput@4N / throughput@N) / 4.
+/** North-rule scaling evidence: the same job at N and 4N executors.
   *
-  * Each level runs in its OWN child JVM: measured empirically, a second
-  * SparkSession in a reused JVM degrades 5-10x (heap/codegen residue
-  * from the stopped session — see BENCH.md), which is also the honest
-  * analog of separate cluster deployments. Each child warms up
-  * (JIT/codegen) then reports best-of-3.
+  * Default mode runs `local-cluster[nExec, coresPerExec, mem]` — Spark's
+  * standalone-in-a-box: a real master, a real worker, and **separate
+  * executor JVM processes**, exactly like spark-submit onto a cluster,
+  * just on one host. 1 executor vs 4 executors (8 cores each) is then a
+  * literal N-vs-4N-executor comparison: per-executor heaps, per-executor
+  * GC (young-gen parallelism scales with the executor, not the fleet),
+  * netty shuffle between processes. A single-JVM `local[8]` vs
+  * `local[32]` proxy (mode=local, kept for comparison) is pessimistic at
+  * the high level: one global heap means every young GC stops all 32
+  * mutator threads, which no 4-executor deployment does.
+  *
+  * Each level runs in its OWN child driver JVM (a stopped SparkSession
+  * leaves heap/codegen residue that degrades a second session 5-10x —
+  * measured, see BENCH.md) and reports best-of-k; levels are interleaved
+  * L,H,H,L and take the per-level min so a noisy host epoch (this
+  * sandbox is a shared VM — CPU steal is routinely visible in
+  * /proc/stat) cannot bias one level.
   */
 object ScalingBench {
 
-  private def measureChild(cores: Int, nPages: Long): Unit = {
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", (cores * 2).toString)
+  private def jarPath: String = {
+    val p = sys.env.getOrElse("SPARK_GRAFT_JAR",
+      "target/scala-2.13/cprexspark_2.13-0.1.0.jar")
+    require(new java.io.File(p).exists(),
+      s"app jar not found at $p — run `sbt package` first (local-cluster " +
+        "executors load engine classes from spark.jars)")
+    new java.io.File(p).getAbsolutePath
+  }
+
+  private def measureChild(mode: String, nExec: Int, coresPerExec: Int,
+      nPages: Long): Unit = {
+    val totalCores = nExec * coresPerExec
+    val execMemMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "10240").toInt
+    val b = SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", (totalCores * 2).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -31,7 +50,18 @@ object ScalingBench {
       // would collapse this table to ~2 splits and serialize the run)
       .config("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
       .config("spark.sql.files.openCostInBytes", "0")
-      .getOrCreate()
+      // local-FS blocks advertise "localhost" while local-cluster
+      // executors register under the machine hostname — the mismatch
+      // makes every task burn the 3s locality wait (measured 11x
+      // slowdown). All storage is node-local here; don't wait.
+      .config("spark.locality.wait", "0s")
+    val spark = (mode match {
+      case "local-cluster" =>
+        b.master(s"local-cluster[$nExec,$coresPerExec,$execMemMb]")
+          .config("spark.executor.memory", s"${execMemMb}m")
+          .config("spark.jars", jarPath)
+      case _ => b.master(s"local[$totalCores]")
+    }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
       val pages = PageGen.materializedPages(spark, nPages)
@@ -43,24 +73,29 @@ object ScalingBench {
         n = Pipeline.run(pages).count()
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
       }
-      println(s"""CHILD {"cores":$cores,"sec":$best,"triples":$n}""")
+      println(s"""CHILD {"mode":"$mode","executors":$nExec,"cores":$totalCores,"sec":$best,"triples":$n}""")
     } finally spark.stop()
   }
 
-  private def runChild(cores: Int, nPages: Long): (Double, Long) = {
+  private def runChild(mode: String, nExec: Int, coresPerExec: Int,
+      nPages: Long): (Double, Long) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     val jvmOpts = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray.map(_.toString)
       .filter(o => o.startsWith("--add-opens") || o.startsWith("-Xmx") || o.startsWith("-D"))
-    // ActiveProcessorCount models a node of that size: GC/JIT thread
-    // pools scale with the level like they would on a real N-core node
-    val cmd = Seq(javaBin) ++ jvmOpts ++
-      Seq(s"-XX:ActiveProcessorCount=$cores",
-        "-cp", cp, "graft.ScalingBench", "--child", cores.toString, nPages.toString)
+    // in local mode the driver JVM hosts the executor threads: cap its
+    // visible processors to model a node of that size (GC/JIT pools
+    // scale with the level). In local-cluster the driver does no row
+    // work — leave it unpinned.
+    val pin = if (mode == "local") Seq(s"-XX:ActiveProcessorCount=${nExec * coresPerExec}")
+      else Seq.empty
+    val cmd = Seq(javaBin) ++ jvmOpts ++ pin ++
+      Seq("-cp", cp, "graft.ScalingBench", "--child", mode, nExec.toString,
+        coresPerExec.toString, nPages.toString)
     val out = new StringBuilder
     val code = Process(cmd).!(ProcessLogger(l => out.append(l).append('\n'), _ => ()))
-    require(code == 0, s"child (cores=$cores) failed:\n$out")
+    require(code == 0, s"child (mode=$mode exec=$nExec) failed:\n$out")
     val line = out.toString.linesIterator.find(_.startsWith("CHILD ")).get
     val sec = """"sec":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1).toDouble
     val n = """"triples":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
@@ -68,13 +103,16 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.length >= 3 && args(0) == "--child") {
-      measureChild(args(1).toInt, args(2).toLong)
+    if (args.length >= 5 && args(0) == "--child") {
+      measureChild(args(1), args(2).toInt, args(3).toInt, args(4).toLong)
       return
     }
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_PAGES", "400000").toLong
-    val nLow = sys.env.getOrElse("SPARK_GRAFT_N", "8").toInt
+    val mode = sys.env.getOrElse("SPARK_GRAFT_MODE", "local-cluster")
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_PAGES", "1200000").toLong
+    val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "8").toInt
+    val nLow = sys.env.getOrElse("SPARK_GRAFT_N", "1").toInt // executors at low level
     val nHigh = nLow * 4
+    if (mode == "local-cluster") jarPath // fail fast before materializing
 
     // materialize the shared input once (parent JVM, untimed)
     val prep = SparkSession.builder().master("local[16]")
@@ -83,21 +121,20 @@ object ScalingBench {
     PageGen.materializedPages(prep, nPages).count()
     prep.stop()
 
-    // the sandbox host is noisy (shared VM): interleave two child JVMs
-    // per level (L,H,H,L) and take the per-level min, so a slow epoch
-    // cannot bias one level
-    val (tLow1, triples) = runChild(nLow, nPages)
-    val (tHigh1, _) = runChild(nHigh, nPages)
-    val (tHigh2, _) = runChild(nHigh, nPages)
-    val (tLow2, _) = runChild(nLow, nPages)
+    // interleave levels (L,H,H,L) and take the per-level min so a slow
+    // host epoch cannot bias one level
+    val (tLow1, triples) = runChild(mode, nLow, coresPerExec, nPages)
+    val (tHigh1, _) = runChild(mode, nHigh, coresPerExec, nPages)
+    val (tHigh2, _) = runChild(mode, nHigh, coresPerExec, nPages)
+    val (tLow2, _) = runChild(mode, nLow, coresPerExec, nPages)
     val tLow = math.min(tLow1, tLow2)
     val tHigh = math.min(tHigh1, tHigh2)
     val thrLow = triples / tLow
     val thrHigh = triples / tHigh
     val eff = (thrHigh / thrLow) / 4.0
     println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio",""" +
-      s""""pages":$nPages,"triples":$triples,""" +
-      s""""cores_low":$nLow,"sec_low":$tLow,"triples_per_sec_low":$thrLow,""" +
-      s""""cores_high":$nHigh,"sec_high":$tHigh,"triples_per_sec_high":$thrHigh}""")
+      s""""mode":"$mode","pages":$nPages,"triples":$triples,""" +
+      s""""executors_low":$nLow,"cores_low":${nLow * coresPerExec},"sec_low":$tLow,"triples_per_sec_low":$thrLow,""" +
+      s""""executors_high":$nHigh,"cores_high":${nHigh * coresPerExec},"sec_high":$tHigh,"triples_per_sec_high":$thrHigh}""")
   }
 }

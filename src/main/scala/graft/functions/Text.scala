@@ -163,4 +163,9 @@ object Text {
     val lower = token.toLowerCase
     LemmaTable.getOrElse(lower, lower)
   }
+
+  /** Lemma lookup when the caller already lowercased (hot-path variant:
+    * the NER stage memoizes one toLowerCase per token per sentence).
+    */
+  def lemmaOfLower(lower: String): String = LemmaTable.getOrElse(lower, lower)
 }

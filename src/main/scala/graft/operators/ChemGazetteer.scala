@@ -36,11 +36,15 @@ class ChemGazetteer(names: Array[String]) extends Serializable {
     * higher-priority stages — none for CHEM, which runs first) are
     * skipped.
     */
-  def findEntities(toks: Array[Tok]): Array[Ent] = {
+  def findEntities(toks: Array[Tok]): Array[Ent] =
+    findEntities(toks, Ner.lowercaseAll(toks))
+
+  /** Hot-path variant with a caller-supplied lowercase memo array. */
+  def findEntities(toks: Array[Tok], lowers: Array[String]): Array[Ent] = {
     val out = ArrayBuffer.empty[Ent]
     var i = 0
     while (i < toks.length) {
-      val len = trie.longestMatch(toks, i)
+      val len = trie.longestMatch(toks, lowers, i)
       if (len > 0) {
         val startChar = toks(i).start
         val endChar = toks(i + len - 1).end
@@ -81,13 +85,13 @@ final class TokenTrie {
   }
 
   /** Length (in tokens) of the longest phrase starting at `start`; 0 if none. */
-  def longestMatch(toks: Array[Tok], start: Int): Int = {
+  def longestMatch(toks: Array[Tok], lowers: Array[String], start: Int): Int = {
     var n = root
     var i = start
     var best = 0
     var continue = true
     while (continue && i < toks.length && n.children != null) {
-      val c = n.children.get(toks(i).text.toLowerCase)
+      val c = n.children.get(lowers(i))
       if (c == null) continue = false
       else {
         i += 1

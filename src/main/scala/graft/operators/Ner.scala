@@ -15,12 +15,27 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Ner {
 
+  /** One toLowerCase per token, shared by all detectors (the hot path
+    * runs over 10^12 rows; per-token rework is the scaling lever on
+    * allocation-bandwidth-bound hosts — see BENCH.md).
+    */
+  def lowercaseAll(toks: Array[Tok]): Array[String] = {
+    val out = new Array[String](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = toks(i).text.toLowerCase; i += 1 }
+    out
+  }
+
   /** Annotate one sentence: returns the merged, non-overlapping entity
     * array sorted by startTok, with `text` filled from the sentence.
     */
   def annotate(text: String, toks: Array[Tok], gazetteer: ChemGazetteer): Array[Ent] = {
     val claimed = new java.util.BitSet(toks.length)
     val out = ArrayBuffer.empty[Ent]
+    val lowers = lowercaseAll(toks)
+    val lemmas = new Array[String](toks.length)
+    var k0 = 0
+    while (k0 < toks.length) { lemmas(k0) = graft.functions.Text.lemmaOfLower(lowers(k0)); k0 += 1 }
 
     def claimIfFree(e: Ent): Unit = {
       var free = true
@@ -33,12 +48,12 @@ object Ner {
     }
 
     // 1. CHEM (highest priority — runs first in the reference pipeline)
-    gazetteer.findEntities(toks).foreach(claimIfFree)
+    gazetteer.findEntities(toks, lowers).foreach(claimIfFree)
     // 2. quantities (skip tokens claimed by CHEM)
     QuantityParser.findEntities(text, toks).foreach(claimIfFree)
     // 3. property ruler (spaCy entity_ruler overwrite_ents=False: matches
     //    overlapping existing ents are dropped)
-    PropertyRuler.findEntities(toks).foreach(claimIfFree)
+    PropertyRuler.findEntities(toks, lowers, lemmas).foreach(claimIfFree)
 
     out.sortBy(_.startTok).toArray
   }

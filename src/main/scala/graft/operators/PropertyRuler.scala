@@ -120,18 +120,51 @@ object PropertyRuler {
       l("impact", "friction", "esd", "electrostatic")))
   )
 
-  private def tokMatches(p: PTok, tok: Tok): Boolean = p.attr match {
-    case LEMMA => p.values.contains(Text.lemma(tok.text))
-    case LOWER => p.values.contains(tok.text.toLowerCase)
-    case TEXT  => p.values.contains(tok.text)
+  private def tokMatches(p: PTok, text: String, lower: String, lem: String): Boolean =
+    p.attr match {
+      case LEMMA => p.values.contains(lem)
+      case LOWER => p.values.contains(lower)
+      case TEXT  => p.values.contains(text)
+    }
+
+  /** First-token dispatch index (hot-path): a pattern can only begin at
+    * a token that matches one of its leading optionals or its first
+    * non-optional PTok. Three value→pattern-bitmask maps (one per attr
+    * kind); per position the candidate set is the OR of three O(1)
+    * lookups — instead of running all |Patterns| matchers at every
+    * token. Patterns.length <= 64 so a Long bitmask suffices.
+    */
+  private val (firstByText, firstByLower, firstByLemma) = {
+    require(Patterns.length <= 64, "first-token index uses a Long bitmask")
+    val byText = new java.util.HashMap[String, Long]()
+    val byLower = new java.util.HashMap[String, Long]()
+    val byLemma = new java.util.HashMap[String, Long]()
+    def add(m: java.util.HashMap[String, Long], v: String, p: Int): Unit =
+      m.merge(v, 1L << p, (a, b) => a | b)
+    Patterns.zipWithIndex.foreach { case (pat, p) =>
+      var k = 0
+      var continue = true
+      while (continue && k < pat.toks.length) {
+        val pt = pat.toks(k)
+        val m = pt.attr match {
+          case TEXT => byText; case LOWER => byLower; case _ => byLemma
+        }
+        pt.values.foreach(add(m, _, p))
+        if (!pt.opt) continue = false
+        k += 1
+      }
+    }
+    (byText, byLower, byLemma)
   }
 
   /** Longest match of `pattern` starting at token `start`; -1 if none.
     * Backtracking over OP:"?" optionals (take-first then skip), returning
     * the maximal end — equivalent to spaCy emitting every optional
-    * combination and filter_spans keeping the longest.
+    * combination and filter_spans keeping the longest. `lowers`/`lemmas`
+    * are the per-sentence memo arrays (one toLowerCase per token total).
     */
-  private def matchAt(toks: Array[Tok], start: Int, pat: Array[PTok]): Int = {
+  private def matchAt(toks: Array[Tok], lowers: Array[String], lemmas: Array[String],
+      start: Int, pat: Array[PTok]): Int = {
     def go(ti: Int, pi: Int): Int = {
       if (pi == pat.length) return ti
       if (ti >= toks.length) {
@@ -142,10 +175,10 @@ object PropertyRuler {
       }
       val p = pat(pi)
       if (p.opt) {
-        val took = if (tokMatches(p, toks(ti))) go(ti + 1, pi + 1) else -1
+        val took = if (tokMatches(p, toks(ti).text, lowers(ti), lemmas(ti))) go(ti + 1, pi + 1) else -1
         val skipped = go(ti, pi + 1)
         math.max(took, skipped)
-      } else if (tokMatches(p, toks(ti))) go(ti + 1, pi + 1)
+      } else if (tokMatches(p, toks(ti).text, lowers(ti), lemmas(ti))) go(ti + 1, pi + 1)
       else -1
     }
     val end = go(start, 0)
@@ -156,15 +189,26 @@ object PropertyRuler {
     * non-overlapping spans per filter_spans semantics
     * (longest, then earliest start, then pattern order).
     */
-  def findEntities(toks: Array[Tok]): Array[Ent] = {
+  def findEntities(toks: Array[Tok]): Array[Ent] =
+    findEntities(toks, Ner.lowercaseAll(toks), null)
+
+  /** Hot-path variant with caller-supplied memo arrays (Ner.annotate
+    * computes them once for all three detectors). `lemmas0` may be null.
+    */
+  def findEntities(toks: Array[Tok], lowers: Array[String],
+      lemmas0: Array[String]): Array[Ent] = {
+    val lemmas = if (lemmas0 != null) lemmas0 else lowers.map(Text.lemmaOfLower)
     val cands = ArrayBuffer.empty[(Int, Int, Int)] // (start, end, patternIdx)
     var i = 0
     while (i < toks.length) {
-      var p = 0
-      while (p < Patterns.length) {
-        val end = matchAt(toks, i, Patterns(p).toks)
+      var mask = firstByLemma.getOrDefault(lemmas(i), 0L) |
+        firstByLower.getOrDefault(lowers(i), 0L) |
+        firstByText.getOrDefault(toks(i).text, 0L)
+      while (mask != 0L) {
+        val p = java.lang.Long.numberOfTrailingZeros(mask)
+        mask &= mask - 1
+        val end = matchAt(toks, lowers, lemmas, i, Patterns(p).toks)
         if (end > i) cands += ((i, end, p))
-        p += 1
       }
       i += 1
     }

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.model.{Ent, Tok}
 import scala.collection.mutable.ArrayBuffer
-import java.util.regex.Pattern
 
 /** M2: quantity/measurement extraction — replaces the reference's HTTP
   * round-trip to grobid-quantities (cprex/ner/quantities.py:140-185)
@@ -107,20 +106,139 @@ object QuantityParser {
 
   val unitMap: Map[String, (String, Double, Double, String)] = Units.toMap
 
-  private val NUM = "[+-]?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?"
-  // longest-first so "kcal/mol" beats "cal/g" fragments etc.
-  private val UNIT_ALT = Units.map(_._1).sortBy(-_.length).map(Pattern.quote).mkString("|")
-  // a unit must not be immediately followed by a letter/digit ("5 hPa"
-  // must not read unit "h"); '%' may be glued to the number.
-  private val UNIT = s"($UNIT_ALT)(?![A-Za-z0-9°·µ])"
+  // Measurement grammar (hand-rolled scanner — a regex alternation over
+  // 60 unit surfaces measured ~3x the cost of the rest of NER combined):
+  //   NUM      = [+-]?\d+(\.\d+)?([eE][+-]?\d+)?
+  //   UNIT     = longest surface from Units, not followed by [A-Za-z0-9°·µ]
+  //   interval = NUM \s* ([-–—] | to\s) \s* NUM \s* UNIT
+  //   list     = NUM (\s*,\s* NUM)* \s+ and \s+ NUM \s* UNIT
+  //   value    = NUM \s* UNIT
+  // Scanning semantics mirror java.util.regex find(): leftmost match,
+  // resume after the previous match's end, advance by one on failure.
 
-  private val IntervalRe = Pattern.compile(
-    s"($NUM)\\s*(?:[-–—]|to\\s)\\s*($NUM)\\s*$UNIT")
-  private val ListRe = Pattern.compile(
-    s"($NUM)(?:\\s*,\\s*(?:$NUM))*\\s+and\\s+(?:$NUM)\\s*$UNIT")
-  private val ValueRe = Pattern.compile(s"($NUM)\\s*$UNIT")
+  // unit surfaces grouped by first char, longest-first within a group
+  private val unitsByFirstChar: java.util.HashMap[Character, Array[String]] = {
+    val m = new java.util.HashMap[Character, Array[String]]()
+    Units.map(_._1).groupBy(_.charAt(0)).foreach { case (c, ss) =>
+      m.put(c, ss.sortBy(-_.length).toArray)
+    }
+    m
+  }
+
+  private def isUnitBoundary(text: String, pos: Int): Boolean =
+    pos >= text.length || {
+      val c = text.charAt(pos)
+      !((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+        c == '°' || c == '·' || c == 'µ')
+    }
+
+  /** Longest unit surface starting at `pos` with a valid boundary after;
+    * null if none.
+    */
+  private def matchUnit(text: String, pos: Int): String = {
+    if (pos >= text.length) return null
+    val cands = unitsByFirstChar.get(text.charAt(pos))
+    if (cands == null) return null
+    var i = 0
+    while (i < cands.length) {
+      val u = cands(i)
+      if (text.regionMatches(pos, u, 0, u.length) && isUnitBoundary(text, pos + u.length))
+        return u
+      i += 1
+    }
+    null
+  }
+
+  /** End index of a NUM starting exactly at `pos`; -1 if none. */
+  private def matchNum(text: String, pos: Int): Int = {
+    var i = pos
+    val n = text.length
+    if (i < n && (text.charAt(i) == '+' || text.charAt(i) == '-')) i += 1
+    val d0 = i
+    while (i < n && text.charAt(i).isDigit) i += 1
+    if (i == d0) return -1
+    if (i < n && text.charAt(i) == '.' && i + 1 < n && text.charAt(i + 1).isDigit) {
+      i += 1
+      while (i < n && text.charAt(i).isDigit) i += 1
+    }
+    if (i < n && (text.charAt(i) == 'e' || text.charAt(i) == 'E')) {
+      var j = i + 1
+      if (j < n && (text.charAt(j) == '+' || text.charAt(j) == '-')) j += 1
+      val e0 = j
+      while (j < n && text.charAt(j).isDigit) j += 1
+      if (j > e0) i = j
+    }
+    i
+  }
+
+  private def skipSpaces(text: String, pos: Int): Int = {
+    var i = pos
+    while (i < text.length && Character.isWhitespace(text.charAt(i))) i += 1
+    i
+  }
 
   private final case class RawMeasure(start: Int, end: Int, num: Double, unit: String)
+
+  /** interval = NUM ws ([-–—]|to\s) ws NUM ws UNIT at `start`; returns
+    * (end, value=upper bound, unit) or null. quantities.py:72-73.
+    */
+  private def matchInterval(text: String, start: Int): RawMeasure = {
+    val n1 = matchNum(text, start)
+    if (n1 < 0) return null
+    var i = skipSpaces(text, n1)
+    if (i >= text.length) return null
+    val c = text.charAt(i)
+    if (c == '-' || c == '–' || c == '—') i += 1
+    else if (text.regionMatches(i, "to", 0, 2) && i + 2 < text.length &&
+      Character.isWhitespace(text.charAt(i + 2))) i += 3
+    else return null
+    i = skipSpaces(text, i)
+    val n2 = matchNum(text, i)
+    if (n2 < 0) return null
+    val u = matchUnit(text, skipSpaces(text, n2))
+    if (u == null) return null
+    RawMeasure(start, skipSpaces(text, n2) + u.length, text.substring(i, n2).toDouble, u)
+  }
+
+  /** list = NUM (ws,wsNUM)* \s+and\s+ NUM ws UNIT; >= 2 numbers total;
+    * value = first quantity (quantities.py:76-77).
+    */
+  private def matchList(text: String, start: Int): RawMeasure = {
+    val n1 = matchNum(text, start)
+    if (n1 < 0) return null
+    var i = n1
+    var continue = true
+    while (continue) {
+      val j = skipSpaces(text, i)
+      if (j < text.length && text.charAt(j) == ',') {
+        val k = skipSpaces(text, j + 1)
+        val ne = matchNum(text, k)
+        if (ne < 0) continue = false else i = ne
+      } else continue = false
+    }
+    // \s+and\s+
+    var j = skipSpaces(text, i)
+    if (j == i || !text.regionMatches(j, "and", 0, 3)) return null
+    var k = j + 3
+    val k2 = skipSpaces(text, k)
+    if (k2 == k) return null
+    val ne = matchNum(text, k2)
+    if (ne < 0) return null
+    val up = skipSpaces(text, ne)
+    val u = matchUnit(text, up)
+    if (u == null) return null
+    RawMeasure(start, up + u.length, text.substring(start, n1).toDouble, u)
+  }
+
+  /** value = NUM ws UNIT. */
+  private def matchValue(text: String, start: Int): RawMeasure = {
+    val n1 = matchNum(text, start)
+    if (n1 < 0) return null
+    val up = skipSpaces(text, n1)
+    val u = matchUnit(text, up)
+    if (u == null) return null
+    RawMeasure(start, up + u.length, text.substring(start, n1).toDouble, u)
+  }
 
   /** Scan a sentence for measurements. Priority: interval > list >
     * single value; earlier match wins within a kind; later kinds skip
@@ -128,32 +246,34 @@ object QuantityParser {
     */
   private def scan(text: String): ArrayBuffer[RawMeasure] = {
     val found = ArrayBuffer.empty[RawMeasure]
+    // digit pre-screen: a measurement always contains a digit
+    var hasDigit = false
+    var ci = 0
+    while (!hasDigit && ci < text.length) {
+      val c = text.charAt(ci)
+      if (c >= '0' && c <= '9') hasDigit = true
+      ci += 1
+    }
+    if (!hasDigit) return found
     val claimed = ArrayBuffer.empty[(Int, Int)]
     def free(s: Int, e: Int): Boolean = !claimed.exists { case (a, b) => s < b && a < e }
 
-    val im = IntervalRe.matcher(text)
-    while (im.find()) {
-      // interval -> quantityMost = upper bound (quantities.py:72-73)
-      if (free(im.start, im.end)) {
-        found += RawMeasure(im.start, im.end, im.group(2).toDouble, im.group(3))
-        claimed += ((im.start, im.end))
+    def pass(matcher: (String, Int) => RawMeasure): Unit = {
+      var i = 0
+      while (i < text.length) {
+        val m = matcher(text, i)
+        if (m != null) {
+          if (free(m.start, m.end)) {
+            found += m
+            claimed += ((m.start, m.end))
+          }
+          i = m.end
+        } else i += 1
       }
     }
-    val lm = ListRe.matcher(text)
-    while (lm.find()) {
-      if (free(lm.start, lm.end)) {
-        // listc -> first quantity (quantities.py:76-77)
-        found += RawMeasure(lm.start, lm.end, lm.group(1).toDouble, lm.group(2))
-        claimed += ((lm.start, lm.end))
-      }
-    }
-    val vm = ValueRe.matcher(text)
-    while (vm.find()) {
-      if (free(vm.start, vm.end)) {
-        found += RawMeasure(vm.start, vm.end, vm.group(1).toDouble, vm.group(2))
-        claimed += ((vm.start, vm.end))
-      }
-    }
+    pass(matchInterval) // interval -> quantityMost = upper bound
+    pass(matchList) // listc -> first quantity
+    pass(matchValue)
     found.sortBy(_.start)
   }
 
