@@ -33,9 +33,7 @@ object Bench {
     }
     val (_, tLinked) = timed {
       val ann = Pipeline.annotate(Pipeline.sentences(PageGen.pages(spark, nPages)), names)
-        .persist()
-      try Linking.linkTriples(Pipeline.triples(ann), ann, ChemDict.entries).count()
-      finally ann.unpersist()
+      Linking.linkTriplesFused(ann, ChemDict.entries).count()
     }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val (_, tDedup) = timed { Dedup.minhashPairs(docs, threshold = 0.5).count() }

@@ -68,14 +68,12 @@ object SparkEntry {
     "kg_triples" -> ((s, dir) =>
       Pipeline.run(pages(s, dir)).toDF()
         .orderBy("url", "sentId", "headText", "valueText")),
-    "kg_linked" -> ((s, dir) => {
-      // annotated feeds BOTH the triple assembly and the A1 mention
-      // count — persist so the NER stage runs once (streamlit-cache
-      // analog, SURVEY §4)
-      val ann = annotated(s, dir).persist()
-      Linking.linkTriples(Pipeline.triples(ann), ann, ChemDict.entries)
-        .orderBy("url", "sentId", "headText", "valueText")
-    }),
+    "kg_linked" -> ((s, dir) =>
+      // fused single-pass path: annotated feeds BOTH the triple assembly
+      // and the A1 mention count; only compact (mention|triple) rows are
+      // persisted, not full Sentence rows (Linking.linkTriplesFused)
+      Linking.linkTriplesFused(annotated(s, dir), ChemDict.entries)
+        .orderBy("url", "sentId", "headText", "valueText")),
     "kg_linked_salted" -> ((s, dir) => {
       val ann = annotated(s, dir).persist()
       Linking.linkTriplesSalted(Pipeline.triples(ann), ann, ChemDict.entries)

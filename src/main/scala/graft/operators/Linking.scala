@@ -96,12 +96,58 @@ object Linking {
       annotated: Dataset[Sentence],
       dict: Array[ChemDictEntry],
       minOccurrences: Int = MinOccurrences
-  ): DataFrame = {
-    val links = surfaceLinks(annotated, dict, minOccurrences)
-    triples.toDF()
+  ): DataFrame =
+    joinLinks(triples.toDF(), surfaceLinks(annotated, dict, minOccurrences))
+
+  private def joinLinks(triples: DataFrame, links: DataFrame): DataFrame =
+    triples
       .withColumn("head_surface", when(col("headLabel") === "CHEM", col("headText")))
       .join(broadcast(links), col("head_surface") === links("mention"), "left_outer")
       .drop("mention", "head_surface")
+
+  /** One row of the fused single-pass output: exactly one of
+    * (mention, triple) is set.
+    */
+  final case class MentionOrTriple(mention: String, triple: Triple)
+
+  /** Fused J1/J2/A1 single-pass path: the annotated stage feeds BOTH
+    * the A1 mention count and the triple assembly. Instead of
+    * persisting full Sentence rows (nested token/ent/rel arrays — the
+    * dominant persist cost at 10^12 rows), one flatMap emits compact
+    * (mention | triple) rows and only THAT union is persisted. Produces
+    * rows identical to `linkTriples` (asserted by LinkingSpec).
+    */
+  def linkTriplesFused(
+      annotated: Dataset[Sentence],
+      dict: Array[ChemDictEntry],
+      minOccurrences: Int = MinOccurrences
+  ): DataFrame = {
+    val spark = annotated.sparkSession
+    import spark.implicits._
+    val combined = annotated.flatMap { s =>
+      val mentions = s.ents.iterator.filter(_.label == "CHEM")
+        .map(e => MentionOrTriple(e.text, null))
+      val trips =
+        if (Relations.keepDoc(s.ents))
+          Triples.assemble(s).iterator.map(t => MentionOrTriple(null, t))
+        else Iterator.empty
+      mentions ++ trips
+    }.persist()
+    // both subtrees of the returned plan scan `combined`: the first scan
+    // (A1 groupBy) populates the cache within the caller's action, the
+    // second (triples) reads it. The cache stays until session LRU/stop —
+    // same lifecycle as the reference's memoized pipeline outputs.
+    val eligible = combined.filter(col("mention").isNotNull)
+      .groupBy("mention").agg(count(lit(1)).as("occurrences"))
+      .filter(col("occurrences") >= minOccurrences)
+      .withColumn("name_norm", chemNormCol(col("mention")))
+      .select("mention", "name_norm")
+    val links = eligible
+      .join(broadcast(dictNames(spark, dict)), Seq("name_norm"))
+      .join(broadcast(dictProps(spark, dict)), Seq("cid"))
+      .drop("name_norm")
+    val triples = combined.filter(col("triple").isNotNull).select("triple.*")
+    joinLinks(triples, links)
   }
 
   /** The non-broadcast path for dictionaries too large to broadcast:

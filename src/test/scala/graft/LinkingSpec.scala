@@ -63,6 +63,16 @@ class LinkingSpec extends AnyFunSuite {
     assert(ka.sameElements(kb))
   }
 
+  test("fused single-pass path produces identical rows to the two-pass path") {
+    val a = Linking.linkTriples(triples, annotated, ChemDict.entries)
+    val b = Linking.linkTriplesFused(annotated, ChemDict.entries)
+    assert(a.columns.sorted.sameElements(b.columns.sorted))
+    val cols = a.columns.sorted.toSeq
+    val ka = a.select(cols.map(col): _*).collect().map(_.toString).sorted
+    val kb = b.select(cols.map(col): _*).collect().map(_.toString).sorted
+    assert(ka.sameElements(kb))
+  }
+
   test("broadcast path plans a BroadcastHashJoin with no shuffle on the probe side") {
     val linked = Linking.linkTriples(triples, annotated, ChemDict.entries)
     val plan = linked.queryExecution.executedPlan.toString
