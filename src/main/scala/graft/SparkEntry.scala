@@ -84,6 +84,19 @@ object SparkEntry {
         .select("clusterId", "cid", "canonicalName", "molecularFormula",
           "molecularWeight")
         .orderBy("clusterId", "cid")),
+    "kg_abbreviations" -> ((s, dir) =>
+      Pipeline.abbreviations(Pipeline.sentences(pages(s, dir)))
+        .toDF("url", "sent_id", "short_text", "short_start", "short_end",
+          "long_text", "long_start", "long_end")
+        .orderBy("url", "sent_id", "short_start")),
+    "kg_rel_sweep" -> ((s, dir) => {
+      val n = PageGen.numPagesFor(dir)
+      Evaluate.thresholdSweep(annotated(s, dir), PageGen.goldSentences(s, n))
+        .orderBy("threshold")
+    }),
+    "kg_label_studio" -> ((s, dir) =>
+      Export.labelStudioJson(annotated(s, dir))
+        .orderBy("url", "sent_id")),
     "kg_mention_counts" -> ((s, dir) =>
       Linking.mentionCounts(annotated(s, dir))
         .filter(col("occurrences") >= Linking.MinOccurrences)

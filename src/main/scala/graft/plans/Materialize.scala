@@ -102,6 +102,18 @@ object Materialize {
   def readTriples(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(dataPath(outDir))
 
+  /** J6-analog (doi→docs lookup, cprex/corpus/corpus.py:114-134): fetch
+    * one url's triples via partition pruning — the bucket predicate is
+    * computable from the url, so the scan touches exactly one bucket
+    * directory (PartitionFilters in the plan; asserted in ResumeSpec).
+    * At 10^12 rows with B=10^5 buckets this reads 1/B of the table.
+    */
+  def readTriplesForUrl(spark: SparkSession, outDir: String, url: String,
+      buckets: Int = 16): DataFrame =
+    readTriples(spark, outDir)
+      .filter(col("bucket") === pmod(hash(lit(url)), lit(buckets)) &&
+        col("url") === url)
+
   /** Materialize the full graph: triples (resumable) + linked triple
     * table + canonical entity table + lineage.
     */

@@ -92,4 +92,18 @@ object Pipeline {
     val names = ChemDict.entries.flatMap(_.synonyms)
     triples(annotate(sentences(pages), names))
   }
+
+  /** M5/W4 optional stage (reference default off, pipeline.py:30):
+    * Schwartz-Hearst abbreviation definitions + re-matched occurrences
+    * per sentence. In-row work only — no shuffle.
+    */
+  def abbreviations(sents: Dataset[Sentence]): Dataset[(String, Int, String, Int, Int, String, Int, Int)] = {
+    val spark = sents.sparkSession
+    import spark.implicits._
+    sents.flatMap { s =>
+      Abbreviations.detect(s.tokens).map(a =>
+        (s.url, s.sentId, a.shortText, a.shortStart, a.shortEnd,
+          a.longText, a.longStart, a.longEnd))
+    }
+  }
 }

@@ -155,11 +155,18 @@ object PageGen {
           prop("stable up to", "temperature"), Lit(" "), q(v, "°C"), Lit(".")))
       // distance cap: chem >100 tokens from value -> no chem edge ->
       // requireChem drops the tuple
+      case 20 =>
+        // Schwartz-Hearst abbreviation definition + a global re-match
+        // occurrence (M5/W4); both HDPE surfaces are gold CHEM because
+        // the gazetteer carries the synonym
+        build(Seq(Lit("Samples of "), chem("high density polyethylene"), Lit(" ( "),
+          chem("HDPE"), Lit(" ) were prepared; "), chem("HDPE"), Lit(" showed a "),
+          prop("density", "density"), Lit(" of "), q(v / 400, "g/cm3"), Lit(".")))
       case _ => build(Seq(Lit("Supplementary data are provided in the appendix.")))
     }
   }
 
-  val TemplateBankSize = 21
+  val TemplateBankSize = 22
 
   /** Deterministic skewed chem choice: ~32% of sentences reference a
     * head entity (water/NaCl/benzene) — the J1 salting workload.

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.{Evaluate, Export, Relations}
+import graft.plans.Pipeline
+import graft.sources.{ChemDict, PageGen}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A4/A5 threshold sweep + S6 label-studio export semantics. */
+class EvaluateExportSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private val N = 150L
+
+  private lazy val annotated = {
+    val names = ChemDict.entries.flatMap(_.synonyms)
+    Pipeline.annotate(Pipeline.sentences(PageGen.pages(spark, N)), names).cache()
+  }
+  private lazy val gold = PageGen.goldSentences(spark, N).cache()
+
+  test("sweep emits one row per reference threshold (evaluate.py:71-85)") {
+    import spark.implicits._
+    val sweep = Evaluate.thresholdSweep(annotated, gold).cache()
+    val ts = sweep.select("threshold").as[Double].collect().toSeq
+    assert(ts == Evaluate.Thresholds.toSeq)
+  }
+
+  test("P/R behave correctly around the extraction threshold") {
+    val byT = Evaluate.thresholdSweep(annotated, gold, goldPositiveThreshold = 0.5).collect()
+      .map(r => r.getAs[Double]("threshold") ->
+        (r.getAs[Double]("precision"), r.getAs[Double]("recall"))).toMap
+    // at threshold 0 every candidate is predicted: recall is max
+    assert(byT(0.0)._2 >= 0.99, s"recall@0 = ${byT(0.0)._2}")
+    // at the gold-positive boundary the engine matches its own gold rules
+    val (p5, r5) = byT(0.5)
+    assert(p5 >= 0.95 && r5 >= 0.95, s"P/R@0.5 = $p5/$r5")
+    // far above every score nothing is predicted -> PRFScore zeros
+    assert(byT(0.999) == ((0.0, 0.0)))
+  }
+
+  test("score_relations micro-P/R/F semantics on handcrafted edges (rel_pipe.py:209-230)") {
+    import spark.implicits._
+    import graft.model.{RelEdge, Sentence}
+    def sent(rels: Array[RelEdge]) = Sentence("u", 0L, 0, "s", "t", "d", "txt",
+      Array.empty, Array.empty, rels)
+    // pred: e1@0.3 (gold+), e2@0.7 (gold+), e3@0.6 (not gold)
+    val pred = Seq(sent(Array(
+      RelEdge(0, 5, "has_value", 0.3),
+      RelEdge(1, 5, "has_value", 0.7),
+      RelEdge(2, 5, "has_value", 0.6)))).toDS()
+    // gold positives at boundary 0.5: e1 (0.5), e2 (0.9)
+    val goldDs = Seq(sent(Array(
+      RelEdge(0, 5, "has_value", 0.5),
+      RelEdge(1, 5, "has_value", 0.9)))).toDS()
+    val byT = Evaluate.thresholdSweep(pred, goldDs, goldPositiveThreshold = 0.5)
+      .collect()
+      .map(r => r.getAs[Double]("threshold") ->
+        (r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"),
+          r.getAs[Double]("precision"), r.getAs[Double]("recall"))).toMap
+    assert(byT(0.0) == ((2L, 1L, 0L, 2.0 / 3.0, 1.0)), byT(0.0).toString)
+    assert(byT(0.5) == ((1L, 1L, 1L, 0.5, 0.5)), byT(0.5).toString)
+    assert(byT(0.7) == ((1L, 0L, 1L, 1.0, 0.5)), byT(0.7).toString)
+    assert(byT(0.8) == ((0L, 0L, 2L, 0.0, 0.0)), byT(0.8).toString)
+  }
+
+  test("label-studio JSON shape matches corpus.py:224-258 incl. VALUE collapse") {
+    import spark.implicits._
+    val row = Export.labelStudioJson(annotated)
+      .filter(col("json").contains("\"CHEM\"") && col("json").contains("\"VALUE\""))
+      .select("json").as[String].head()
+    // exact field names and nesting
+    assert(row.contains("\"data\":{\"text\":"))
+    assert(row.contains("\"predictions\":[{\"result\":[{"))
+    assert(row.contains("\"from_name\":\"label\""))
+    assert(row.contains("\"to_name\":\"text\""))
+    assert(row.contains("\"type\":\"labels\""))
+    assert(row.contains("\"value\":{\"start\":"))
+    // quantity labels collapsed to VALUE: no raw unit-type labels leak
+    Relations.PropertyToUnits.values.flatten.toSet.foreach { (u: String) =>
+      assert(!row.contains(s""""labels":["$u"]"""), u)
+    }
+  }
+}

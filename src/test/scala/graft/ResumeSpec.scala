@@ -48,5 +48,20 @@ class ResumeSpec extends AnyFunSuite {
     assert(manifest.select("bucket").distinct().count() == B)
     val lineageTotal = manifest.groupBy().sum("rows").collect()(0).getLong(0)
     assert(lineageTotal == Materialize.readTriples(spark, dirB).count())
+
+    // J6: url lookup is partition-pruned — the scan reads exactly one
+    // of the B bucket directories (PartitionFilters on the bucket column)
+    val someUrl = Materialize.readTriples(spark, dirA)
+      .select("url").limit(1).collect()(0).getString(0)
+    val lookup = Materialize.readTriplesForUrl(spark, dirA, someUrl, B)
+    assert(lookup.count() > 0)
+    assert(lookup.select("url").distinct().count() == 1)
+    val scan = lookup.queryExecution.executedPlan.collectLeaves().head
+    val meta = scan.toString
+    assert(meta.contains("PartitionFilters") && meta.contains("bucket"),
+      s"expected bucket partition pruning in scan:\n$meta")
+    val pruned = lookup.queryExecution.executedPlan.toString
+    assert(!pruned.contains("PartitionFilters: []"),
+      "partition filters must not be empty")
   }
 }
