@@ -109,7 +109,10 @@ object ScalingBench {
     }
     val mode = sys.env.getOrElse("SPARK_GRAFT_MODE", "local-cluster")
     val nPages = sys.env.getOrElse("SPARK_GRAFT_PAGES", "1200000").toLong
-    val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "8").toInt
+    // 4 cores/executor default: the 4N level then uses 16 of 32 host
+    // cores, the closest this sandbox gets to executors on separate
+    // machines (BENCH.md "host characterization")
+    val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "4").toInt
     val nLow = sys.env.getOrElse("SPARK_GRAFT_N", "1").toInt // executors at low level
     val nHigh = nLow * 4
     if (mode == "local-cluster") jarPath // fail fast before materializing

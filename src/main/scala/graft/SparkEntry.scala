@@ -97,6 +97,10 @@ object SparkEntry {
     "kg_label_studio" -> ((s, dir) =>
       Export.labelStudioJson(annotated(s, dir))
         .orderBy("url", "sent_id")),
+    "kg_corpus_split" -> ((s, dir) =>
+      Corpus.split(annotated(s, dir))
+        .groupBy("fold").agg(count(lit(1)).as("n_sentences"))
+        .orderBy("fold")),
     "kg_mention_counts" -> ((s, dir) =>
       Linking.mentionCounts(annotated(s, dir))
         .filter(col("occurrences") >= Linking.MinOccurrences)

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.model.{Ent, Sentence}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Corpus/fixture tooling (SURVEY.md §2: S8 train/dev/test splits, F7
+  * doi↔filename escaping, F8 entity masking, P4 annotated-example
+  * filter). These back model-training corpus preparation in the
+  * reference; here they are deterministic Dataset transforms.
+  */
+object Corpus {
+
+  /** F7: doi → filesystem-safe name (cprex/corpus/corpus.py:201,209)
+    * and its inverse (corpus.py:131).
+    */
+  def doiToFilename(doi: String): String = doi.replace("/", "_")
+  def filenameToDoi(name: String): String = name.replace("_", "/")
+
+  /** F8: masking transform (cprex/rel/parse_data.py:76-87): replace
+    * each entity's text by its LABEL, shifting all downstream offsets.
+    * Returns (maskedText, maskedEnts) with ents spanning their label
+    * occurrences. Entities must be sorted by startChar (parse_data.py:74).
+    */
+  def mask(text: String, ents: Array[Ent]): (String, Array[Ent]) = {
+    var t = text
+    var offset = 0
+    val out = new Array[Ent](ents.length)
+    var i = 0
+    while (i < ents.length) {
+      val e = ents(i)
+      t = t.substring(0, e.startChar + offset) + e.label +
+        t.substring(e.endChar + offset)
+      val diff = e.label.length - (e.endChar - e.startChar)
+      out(i) = e.copy(startChar = e.startChar + offset,
+        endChar = e.endChar + offset + diff, text = e.label)
+      offset += diff
+      i += 1
+    }
+    (t, out)
+  }
+
+  /** S8 + P4: deterministic train/dev/test split at the reference's
+    * 0.8/0.1/0.1 ratios (parse_data.py:227-231), after dropping
+    * un-annotated examples (total_annotations == 0, parse_data.py:207-209
+    * — here: sentences with no entities). The reference uses a random
+    * sklearn split; this engine is seed-free end-to-end, so the split is
+    * a hash of (url, sentId) — stable across runs and partitionings,
+    * which is exactly what resumable corpus builds need at scale.
+    */
+  def split(sents: Dataset[Sentence]): DataFrame = {
+    val spark = sents.sparkSession
+    import spark.implicits._
+    sents.filter(_.ents.nonEmpty)
+      .withColumn("fold_hash", pmod(hash(col("url"), col("sentId")), lit(10)))
+      .withColumn("fold",
+        when(col("fold_hash") < 8, "train")
+          .when(col("fold_hash") === 8, "dev")
+          .otherwise("test"))
+      .drop("fold_hash")
+  }
+
+  /** S8 sink: write the split corpus partitioned by fold (DocBin-file
+    * analog, parse_data.py:253-295).
+    */
+  def writeSplits(sents: Dataset[Sentence], outDir: String): Unit =
+    split(sents)
+      .write.mode("overwrite").partitionBy("fold").parquet(outDir)
+}
