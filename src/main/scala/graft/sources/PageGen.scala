@@ -266,10 +266,16 @@ object PageGen {
     * engine throughput is measured against a real table scan, not
     * fused with generator CPU.
     */
+  /** Bump when the generator's output changes (templates, dict, html
+    * shape) — invalidates materialized bench inputs cached under
+    * /tmp/graft_pages.
+    */
+  val GeneratorVersion = 2
+
   def materializedPages(spark: SparkSession, n: Long, baseDir: String = "/tmp/graft_pages")
       : Dataset[Page] = {
     import spark.implicits._
-    val dir = s"$baseDir/n=$n"
+    val dir = s"$baseDir/v$GeneratorVersion-n=$n"
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(dir + "/_SUCCESS"))) {
