@@ -33,7 +33,8 @@ object Bench {
     }
     val (_, tLinked) = timed {
       val ann = Pipeline.annotate(Pipeline.sentences(PageGen.pages(spark, nPages)), names)
-      Linking.linkTriplesFused(ann, ChemDict.entries).count()
+      val (linked, unpersist) = Linking.linkTriplesFusedWithHandle(ann, ChemDict.entries)
+      try linked.count() finally unpersist()
     }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val (_, tDedup) = timed { Dedup.minhashPairs(docs, threshold = 0.5).count() }

@@ -13,9 +13,33 @@ object Corpus {
 
   /** F7: doi → filesystem-safe name (cprex/corpus/corpus.py:201,209)
     * and its inverse (corpus.py:131).
+    *
+    * Documented deviation: the reference maps '/'→'_' and back, which is
+    * NOT injective for DOIs containing '_' ("10.1/ab_cd" and
+    * "10.1_ab/cd" collide — real DOIs contain underscores). Since this
+    * API is advertised as a round-trip, we use an injective escape:
+    * '_'→"__", '/'→"_-". Decoding scans left-to-right; every '_' in an
+    * encoded name starts an escape pair, so the next char ('_' vs '-')
+    * disambiguates. Underscore-free DOIs still produce readable names.
     */
-  def doiToFilename(doi: String): String = doi.replace("/", "_")
-  def filenameToDoi(name: String): String = name.replace("_", "/")
+  def doiToFilename(doi: String): String =
+    doi.replace("_", "__").replace("/", "_-")
+
+  def filenameToDoi(name: String): String = {
+    val sb = new StringBuilder(name.length)
+    var i = 0
+    while (i < name.length) {
+      val c = name.charAt(i)
+      if (c == '_' && i + 1 < name.length) {
+        name.charAt(i + 1) match {
+          case '_' => sb.append('_'); i += 2
+          case '-' => sb.append('/'); i += 2
+          case _   => sb.append(c); i += 1 // not produced by the encoder
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** F8: masking transform (cprex/rel/parse_data.py:76-87): replace
     * each entity's text by its LABEL, shifting all downstream offsets.

@@ -121,7 +121,21 @@ object Linking {
       annotated: Dataset[Sentence],
       dict: Array[ChemDictEntry],
       minOccurrences: Int = MinOccurrences
-  ): DataFrame = {
+  ): DataFrame = linkTriplesFusedWithHandle(annotated, dict, minOccurrences)._1
+
+  /** Like `linkTriplesFused` but also returns an unpersist handle the
+    * caller MUST invoke after its action completes: the fused plan
+    * caches the compact (mention|triple) dataset, and disk-backed
+    * MEMORY_AND_DISK blocks are not reclaimed by storage-memory LRU —
+    * a long-lived session invoking this repeatedly without the handle
+    * would accumulate them (Bench uses the handle; one-shot Verify
+    * queries tolerate a single leaked cache until session stop).
+    */
+  def linkTriplesFusedWithHandle(
+      annotated: Dataset[Sentence],
+      dict: Array[ChemDictEntry],
+      minOccurrences: Int = MinOccurrences
+  ): (DataFrame, () => Unit) = {
     val spark = annotated.sparkSession
     import spark.implicits._
     val combined = annotated.flatMap { s =>
@@ -135,8 +149,7 @@ object Linking {
     }.persist()
     // both subtrees of the returned plan scan `combined`: the first scan
     // (A1 groupBy) populates the cache within the caller's action, the
-    // second (triples) reads it. The cache stays until session LRU/stop —
-    // same lifecycle as the reference's memoized pipeline outputs.
+    // second (triples) reads it.
     val eligible = combined.filter(col("mention").isNotNull)
       .groupBy("mention").agg(count(lit(1)).as("occurrences"))
       .filter(col("occurrences") >= minOccurrences)
@@ -147,7 +160,7 @@ object Linking {
       .join(broadcast(dictProps(spark, dict)), Seq("cid"))
       .drop("name_norm")
     val triples = combined.filter(col("triple").isNotNull).select("triple.*")
-    joinLinks(triples, links)
+    (joinLinks(triples, links), () => { combined.unpersist(); () })
   }
 
   /** The non-broadcast path for dictionaries too large to broadcast:

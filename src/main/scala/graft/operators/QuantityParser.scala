@@ -149,23 +149,29 @@ object QuantityParser {
     null
   }
 
+  // ASCII-only digit test: Character.isDigit accepts Unicode digits
+  // (fullwidth '５', Arabic-Indic '٣', ...) that String.toDouble cannot
+  // parse — accepting them here would throw NumberFormatException in the
+  // executor hot path on real web text.
+  @inline private def isAsciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
   /** End index of a NUM starting exactly at `pos`; -1 if none. */
   private def matchNum(text: String, pos: Int): Int = {
     var i = pos
     val n = text.length
     if (i < n && (text.charAt(i) == '+' || text.charAt(i) == '-')) i += 1
     val d0 = i
-    while (i < n && text.charAt(i).isDigit) i += 1
+    while (i < n && isAsciiDigit(text.charAt(i))) i += 1
     if (i == d0) return -1
-    if (i < n && text.charAt(i) == '.' && i + 1 < n && text.charAt(i + 1).isDigit) {
+    if (i < n && text.charAt(i) == '.' && i + 1 < n && isAsciiDigit(text.charAt(i + 1))) {
       i += 1
-      while (i < n && text.charAt(i).isDigit) i += 1
+      while (i < n && isAsciiDigit(text.charAt(i))) i += 1
     }
     if (i < n && (text.charAt(i) == 'e' || text.charAt(i) == 'E')) {
       var j = i + 1
       if (j < n && (text.charAt(j) == '+' || text.charAt(j) == '-')) j += 1
       val e0 = j
-      while (j < n && text.charAt(j).isDigit) j += 1
+      while (j < n && isAsciiDigit(text.charAt(j))) j += 1
       if (j > e0) i = j
     }
     i

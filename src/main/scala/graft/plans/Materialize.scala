@@ -40,6 +40,37 @@ object Materialize {
 
   def manifestPath(outDir: String): String = s"$outDir/$StageTriples/manifest"
   def dataPath(outDir: String): String = s"$outDir/$StageTriples/data"
+  def metaPath(outDir: String): String = s"$outDir/$StageTriples/table_meta.json"
+
+  /** Record the table's bucket count B next to the manifest (Iceberg
+    * table-metadata analog). The bucket-pruning predicate in
+    * `readTriplesForUrl` MUST use the same B the table was written
+    * with — a caller-supplied mismatch would compute pmod(hash(url), B')
+    * pointing at the wrong partition and silently return zero rows.
+    */
+  private def writeMeta(spark: SparkSession, outDir: String, buckets: Int): Unit = {
+    val path = new org.apache.hadoop.fs.Path(metaPath(outDir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) {
+      val out = fs.create(path, true)
+      out.write(s"""{"buckets":$buckets}""".getBytes("UTF-8"))
+      out.close()
+    }
+  }
+
+  /** Bucket count the table was written with (from table_meta.json). */
+  def tableBuckets(spark: SparkSession, outDir: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(metaPath(outDir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path), s"no table metadata at ${metaPath(outDir)}")
+    val in = fs.open(path)
+    val s = scala.io.Source.fromInputStream(in).mkString
+    in.close()
+    """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(s) match {
+      case Some(m) => m.group(1).toInt
+      case None => sys.error(s"malformed table metadata: $s")
+    }
+  }
 
   /** Buckets already completed in a previous run (empty on first run). */
   def completedBuckets(spark: SparkSession, outDir: String): Set[Int] = {
@@ -63,6 +94,7 @@ object Materialize {
       onlyBuckets: Option[Set[Int]] = None // test hook: simulate partial run
   ): Int = {
     val done = completedBuckets(spark, outDir)
+    writeMeta(spark, outDir, buckets)
     val t0 = System.currentTimeMillis()
 
     // resume filter: drop pages of completed buckets BEFORE any work
@@ -107,12 +139,16 @@ object Materialize {
     * computable from the url, so the scan touches exactly one bucket
     * directory (PartitionFilters in the plan; asserted in ResumeSpec).
     * At 10^12 rows with B=10^5 buckets this reads 1/B of the table.
+    * B comes from the table's own metadata (never caller-supplied: a
+    * mismatched B would prune to the wrong partition and silently
+    * return zero rows).
     */
-  def readTriplesForUrl(spark: SparkSession, outDir: String, url: String,
-      buckets: Int = 16): DataFrame =
+  def readTriplesForUrl(spark: SparkSession, outDir: String, url: String): DataFrame = {
+    val buckets = tableBuckets(spark, outDir)
     readTriples(spark, outDir)
       .filter(col("bucket") === pmod(hash(lit(url)), lit(buckets)) &&
         col("url") === url)
+  }
 
   /** Materialize the full graph: triples (resumable) + linked triple
     * table + canonical entity table + lineage.

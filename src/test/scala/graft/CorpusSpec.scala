@@ -14,8 +14,17 @@ class CorpusSpec extends AnyFunSuite {
 
   test("F7: doi <-> filename escaping round-trips (corpus.py:201,131)") {
     val doi = "10.5555/synth.42"
-    assert(Corpus.doiToFilename(doi) == "10.5555_synth.42")
+    assert(Corpus.doiToFilename(doi) == "10.5555_-synth.42")
     assert(Corpus.filenameToDoi(Corpus.doiToFilename(doi)) == doi)
+    // injectivity on underscore-bearing DOIs (the reference's '/'<->'_'
+    // mapping collides here — documented deviation)
+    val tricky = Seq("10.1234/ab_cd", "10.1234_ab/cd", "a_/b", "a/_b",
+      "a__b", "a//b", "plain", "x_-y")
+    tricky.foreach { d =>
+      assert(Corpus.filenameToDoi(Corpus.doiToFilename(d)) == d, s"round-trip $d")
+      assert(!Corpus.doiToFilename(d).contains("/"))
+    }
+    assert(tricky.map(Corpus.doiToFilename).distinct.size == tricky.size)
   }
 
   test("F8: masking replaces entity text by label and reindexes offsets (parse_data.py:76-87)") {

@@ -9,6 +9,15 @@ class QuantityParserSpec extends AnyFunSuite {
   private def find(text: String) =
     QuantityParser.findEntities(text, Text.tokenize(text)).toSeq
 
+  test("non-ASCII digits do not crash the scanner (web-text robustness)") {
+    // '５' (fullwidth five) and '٣' (Arabic-Indic three) pass
+    // Character.isDigit but not String.toDouble — they must be treated
+    // as non-digits (old \d ASCII semantics), never parsed
+    val ents = find("temperature of ５0 K or ٣5 K, measured at 40 K exactly")
+    assert(ents.map(_.text) == Seq("0 K", "5 K", "40 K"))
+    assert(ents.forall(_.label == "TEMPERATURE"))
+  }
+
   test("simple value with glued unit") {
     val Seq(e) = find("MXene is stable up to 180°C")
     assert(e.label == "TEMPERATURE")

@@ -53,7 +53,9 @@ class ResumeSpec extends AnyFunSuite {
     // of the B bucket directories (PartitionFilters on the bucket column)
     val someUrl = Materialize.readTriples(spark, dirA)
       .select("url").limit(1).collect()(0).getString(0)
-    val lookup = Materialize.readTriplesForUrl(spark, dirA, someUrl, B)
+    // bucket count comes from the table's own metadata, never the caller
+    assert(Materialize.tableBuckets(spark, dirA) == B)
+    val lookup = Materialize.readTriplesForUrl(spark, dirA, someUrl)
     assert(lookup.count() > 0)
     assert(lookup.select("url").distinct().count() == 1)
     val scan = lookup.queryExecution.executedPlan.collectLeaves().head
