@@ -2,7 +2,6 @@ package graft.sources
 
 import graft.functions.{Html, Text}
 import graft.model._
-import graft.operators.{Relations, Triples}
 import org.apache.spark.sql.{Dataset, SparkSession}
 import java.sql.Timestamp
 import scala.collection.mutable.ArrayBuffer
@@ -24,11 +23,18 @@ import scala.util.hashing.MurmurHash3
   * pdf_parser.py:113-114) in the html so the normalization path is
   * exercised (the text column holds the normalized form).
   *
-  * Gold entity/triple fixtures come from the template metadata (which
-  * mention sits where), with relation/tuple rules applied via the SAME
-  * rule code the engine uses (Relations/Triples) — i.e. the ground truth
-  * is recoverable from the documented rules, not by luck (SURVEY.md §7
-  * risk 4).
+  * Gold entity fixtures come from the template metadata (which mention
+  * sits where). Gold RELATIONS and TRIPLES are HAND-AUTHORED per
+  * template (`assocs` + `emitsTriples` below): each template case
+  * states, as literal index pairs, which (head, value) associations
+  * the sentence truly expresses under the reference's documented
+  * extraction semantics (threshold 0.45, tuples.py:59-87; max_length
+  * 100, rel_trf.cfg:62; chemicals-present filter, ui/utils.py:90-95;
+  * doc keep-filter, corpus.py:33-70) — WITHOUT calling the engine's
+  * scorer or assembler. A regression in Relations.score /
+  * Triples.assemble therefore FAILS the P/R gate instead of silently
+  * shifting the gold with it (PipelineSpec includes a deliberate
+  * scorer-perturbation test proving the gate's sensitivity).
   */
 object PageGen {
 
@@ -65,13 +71,24 @@ object PageGen {
     Mention(s"$s1-$s2$sep$unitSurface", label, "", s2.toDouble * factor + offset, canon)
   }
 
-  final case class GoldSentence(text: String, htmlText: String, ents: Array[Ent])
+  /** @param assocs hand-authored true (head, value) associations as
+    *   indexes into the sentence's MENTION list (== ents array order);
+    *   the semantic ground truth of which entity pairs the sentence
+    *   expresses, authored per template — never computed by the engine.
+    * @param emitsTriples hand-authored outcome of the doc keep-filter +
+    *   chemicals-present filter for this template: when false, the
+    *   extractor must emit NO triples from this sentence even though
+    *   associations may exist (corpus.py:59-70, ui/utils.py:90-95).
+    */
+  final case class GoldSentence(text: String, htmlText: String, ents: Array[Ent],
+      assocs: Array[(Int, Int)], emitsTriples: Boolean)
 
   /** Assemble segments into a gold sentence: compute char offsets, then
     * token offsets with the engine's alignment rule (first tok.start >=
     * startChar / >= endChar).
     */
-  private def build(segs: Seq[Seg]): GoldSentence = {
+  private def build(segs: Seq[Seg], assocs: Seq[(Int, Int)] = Nil,
+      emitsTriples: Boolean = false): GoldSentence = {
     val sb = new StringBuilder
     val raw = ArrayBuffer.empty[(Int, Int, Mention)]
     segs.foreach {
@@ -93,80 +110,142 @@ object PageGen {
       if (te < 0) te = toks.length
       Ent(ts, te, sc, ec, m.s, m.label, m.entId, m.value, m.unit)
     }.toArray
-    GoldSentence(text, text, ents)
+    GoldSentence(text, text, ents, assocs.toArray, emitsTriples)
   }
 
   /** The template bank. Index is load-bearing (deterministic choice);
     * negatives exercise P3 drop, unit-compat drop, distance cap, W2
-    * traps and the char-normalization quirk.
+    * traps, the competing-value threshold trap and the
+    * char-normalization quirk.
+    *
+    * `assocs`/`emitsTriples` per case are the HAND-AUTHORED gold:
+    * mention-index pairs stating which (head, value) associations the
+    * sentence expresses under the reference's documented extraction
+    * semantics, and whether the doc keep-filter + chemicals-present
+    * filter let this sentence emit triples at all. Authored by reading
+    * each sentence, not by running the scorer.
     */
   private def template(t: Int, i: Long, c: String, slot: String): GoldSentence = {
     val v = 50.0 + pick(i, s"v:$slot", 3500) / 10.0
     val v2 = v + 10.0 + pick(i, s"v2:$slot", 100)
     t match {
+      // m0=PROP m1=CHEM m2=Q: both heads name the value
       case 0 => build(Seq(Lit("The "), prop("melting point", "temperature"), Lit(" of "),
-        chem(c), Lit(" is "), q(v, "°C"), Lit(".")))
+        chem(c), Lit(" is "), q(v, "°C"), Lit(".")),
+        assocs = Seq(0 -> 2, 1 -> 2), emitsTriples = true)
+      // m0=CHEM m1=PROP m2=Q
       case 1 => build(Seq(chem(c), Lit(" has a "), prop("density", "density"), Lit(" of "),
-        q(v / 100, "g/cm3"), Lit(".")))
+        q(v / 100, "g/cm3"), Lit(".")),
+        assocs = Seq(0 -> 2, 1 -> 2), emitsTriples = true)
+      // m0=FORMULA m1=CHEM m2=Q
       case 2 => build(Seq(formula("ΔH fus", "enthalpy"), Lit(" of "), chem(c),
-        Lit(" was measured at "), q(v, "kJ/mol"), Lit(".")))
+        Lit(" was measured at "), q(v, "kJ/mol"), Lit(".")),
+        assocs = Seq(0 -> 2, 1 -> 2), emitsTriples = true)
       case 3 => build(Seq(Lit("The "), prop("detonation velocity", "velocity"), Lit(" of "),
-        chem(c), Lit(" reached "), q(v * 10, "m/s"), Lit(".")))
+        chem(c), Lit(" reached "), q(v * 10, "m/s"), Lit(".")),
+        assocs = Seq(0 -> 2, 1 -> 2), emitsTriples = true)
       case 4 => build(Seq(chem(c), Lit(" "), prop("decomposes at", "temperature"), Lit(" "),
-        q(v, "°C"), Lit(".")))
+        q(v, "°C"), Lit(".")),
+        assocs = Seq(0 -> 2, 1 -> 2), emitsTriples = true)
       case 5 => build(Seq(Lit("The "), prop("heat capacity", "heat capacity"), Lit(" of "),
-        chem(c), Lit(" is "), q(v / 100, "J/(g·K)"), Lit(".")))
+        chem(c), Lit(" is "), q(v / 100, "J/(g·K)"), Lit(".")),
+        assocs = Seq(0 -> 2, 1 -> 2), emitsTriples = true)
       case 6 => build(Seq(Mention("Thermal stability", "PROP", "thermal"), Lit(" of "), chem(c),
-        Lit(" was maintained up to "), q(v, "°C"), Lit(".")))
+        Lit(" was maintained up to "), q(v, "°C"), Lit(".")),
+        assocs = Seq(0 -> 2, 1 -> 2), emitsTriples = true)
       case 7 => build(Seq(Lit("The "), prop("vapor pressure", "pressure"), Lit(" of "), chem(c),
-        Lit(" is "), q(v, "kPa"), Lit(".")))
+        Lit(" is "), q(v, "kPa"), Lit(".")),
+        assocs = Seq(0 -> 2, 1 -> 2), emitsTriples = true)
+      // m0=PROP m1=FORMULA m2=CHEM m3=Q: all three heads
       case 8 => build(Seq(Lit("The "), prop("activation energy", "energy"), Lit(" ("),
         formula("ΔG", "energy"), Lit(") of "), chem(c), Lit(" is "),
-        q(v, "kJ/mol"), Lit(".")))
+        q(v, "kJ/mol"), Lit(".")),
+        assocs = Seq(0 -> 3, 1 -> 3, 2 -> 3), emitsTriples = true)
       case 9 => build(Seq(Lit(s"the "), prop("thermal decomposition", "thermal"), Lit(s" of "),
-        chem(c), Lit(" occurs around "), qi(v, v2, "°C"), Lit(".")))
+        chem(c), Lit(" occurs around "), qi(v, v2, "°C"), Lit(".")),
+        assocs = Seq(0 -> 2, 1 -> 2), emitsTriples = true)
+      // m0=PROP m1=CHEM(c) m2=CHEM(water) m3=Q: the solvent is also a
+      // head of the solubility value in the reference's tuple shape
       case 10 => build(Seq(Lit("The "), prop("solubility", "density"), Lit(" of "), chem(c),
-        Lit(" in "), chem("water"), Lit(" is "), q(v / 10, "g/L"), Lit(".")))
+        Lit(" in "), chem("water"), Lit(" is "), q(v / 10, "g/L"), Lit(".")),
+        assocs = Seq(0 -> 3, 1 -> 3, 2 -> 3), emitsTriples = true)
       case 11 => build(Seq(Lit("The "), prop("density", "density"), Lit(" of "),
-        chem("high density polyethylene"), Lit(" is "), q(v / 400, "g/cm3"), Lit(".")))
+        chem("high density polyethylene"), Lit(" is "), q(v / 400, "g/cm3"), Lit(".")),
+        assocs = Seq(0 -> 2, 1 -> 2), emitsTriples = true)
+      // m0=CHEM m1=Q(K) m2=Q(min): the temperature is the compound's
+      // melting value; the duration is event circumstance, NOT a
+      // property value (hand-gold negative). No PROP/FORMULA in the
+      // sentence -> doc keep-filter drops it -> no triples either way.
       case 12 => build(Seq(Lit("Samples of "), chem("compound 95"), Lit(" melted at "),
-        q(v + 200, "K"), Lit(" after approx. "), q(v / 10, "min"), Lit(".")))
+        q(v + 200, "K"), Lit(" after approx. "), q(v / 10, "min"), Lit(".")),
+        assocs = Seq(0 -> 1), emitsTriples = false)
+      // m0=Q(mL) m1=CHEM(ethanol) m2=Q(g) m3=CHEM(c): each chem is
+      // associated with ITS amount only (cross pairs are hand-gold
+      // negatives); no property -> keep-filter drops -> no triples
       case 13 => build(Seq(Lit("A mixture was prepared with "),
         q(v / 10, "mL"), Lit(" of "), chem("ethanol"),
-        Lit(" and "), q(v / 20, "g"), Lit(" of "), chem(c), Lit(".")))
+        Lit(" and "), q(v / 20, "g"), Lit(" of "), chem(c), Lit(".")),
+        assocs = Seq(1 -> 0, 3 -> 2), emitsTriples = false)
+      // m0=FORMULA m1=Q m2=CHEM
       case 14 => build(Seq(formula("Tc =", "temperature"), Lit(" "),
-        q(v, "K"), Lit(" for "), chem(c), Lit(" single crystals.")))
+        q(v, "K"), Lit(" for "), chem(c), Lit(" single crystals.")),
+        assocs = Seq(0 -> 1, 2 -> 1), emitsTriples = true)
       case 15 =>
         // char-normalization quirk: html carries " ¼", text carries "="
         // (pdf_parser.py:113-114)
         val g = build(Seq(formula("Tc=", "temperature"), Lit(" "),
-          q(v, "K"), Lit(" was found for "), chem(c), Lit(".")))
+          q(v, "K"), Lit(" was found for "), chem(c), Lit(".")),
+          assocs = Seq(0 -> 1, 2 -> 1), emitsTriples = true)
         g.copy(htmlText = g.text.replace("Tc=", "Tc ¼"))
       // ---- negatives ----
       case 16 => build(Seq(Lit("The "), prop("toxicity", "toxicity"), Lit(" of "), chem(c),
-        Lit(" is still under review."))) // P3 drop: no quantity
+        Lit(" is still under review."))) // P3 drop: no quantity, no assocs
       case 17 => build(Seq(Lit(s"Batch ${pick(i, s"b:$slot", 90) + 10} was stored in the dark for later analysis.")))
+      // m0=PROP m1=CHEM m2=Q(kPa): the sentence DOES assert the value
+      // for the chem (hand-gold association), but the stated property
+      // is unit-incompatible (density vs PRESSURE) so the doc
+      // keep-filter rejects the sentence -> no triples
       case 18 => build(Seq(Lit("The "), prop("density", "density"), Lit(" of "), chem(c),
-        Lit(" was reported previously at "), q(v, "kPa"), Lit(".")))
-      // unit-incompat: P3 drops sentence (density needs DENSITY/SOLUBILITY)
+        Lit(" was reported previously at "), q(v, "kPa"), Lit(".")),
+        assocs = Seq(1 -> 2), emitsTriples = false)
+      // m0=CHEM m1=PROP m2=Q: distance cap (>100 tokens) removes the
+      // chem association by documented reference semantics
+      // (max_length, rel_trf.cfg:62); the property association remains
+      // but with no chem head the chemicals-present filter drops the
+      // tuple -> no triples
       case 19 =>
         val filler = "the procedure was repeated with an inert filler material and "
         build(Seq(chem(c), Lit(" was combined as follows: " + filler * 18 + "the product was "),
-          prop("stable up to", "temperature"), Lit(" "), q(v, "°C"), Lit(".")))
-      // distance cap: chem >100 tokens from value -> no chem edge ->
-      // requireChem drops the tuple
+          prop("stable up to", "temperature"), Lit(" "), q(v, "°C"), Lit(".")),
+          assocs = Seq(1 -> 2), emitsTriples = false)
       case 20 =>
         // Schwartz-Hearst abbreviation definition + a global re-match
         // occurrence (M5/W4); both HDPE surfaces are gold CHEM because
-        // the gazetteer carries the synonym
+        // the gazetteer carries the synonym. All three mentions of the
+        // one compound plus the property head name the value.
         build(Seq(Lit("Samples of "), chem("high density polyethylene"), Lit(" ( "),
           chem("HDPE"), Lit(" ) were prepared; "), chem("HDPE"), Lit(" showed a "),
-          prop("density", "density"), Lit(" of "), q(v / 400, "g/cm3"), Lit(".")))
+          prop("density", "density"), Lit(" of "), q(v / 400, "g/cm3"), Lit(".")),
+          assocs = Seq(0 -> 4, 1 -> 4, 2 -> 4, 3 -> 4), emitsTriples = true)
+      // m0=PROP m1=CHEM m2=Q1 m3=Q2 m4=Q3: competing same-label values.
+      // Q1 is the stated melting point; Q2/Q3 are instrument readings
+      // during calibration — hand-gold negatives ~80 tokens downstream.
+      // The documented scorer suppresses them (distance decay +
+      // same-label competition); a perturbed scorer attaches them and
+      // MUST fail the P/R gate (PipelineSpec perturbation test).
+      case 21 =>
+        val filler = "the measurement was repeated under identical conditions with careful control and "
+        build(Seq(Lit("The "), prop("melting point", "temperature"), Lit(" of "),
+          chem(c), Lit(" is "), q(v, "°C"),
+          Lit(", a value confirmed as follows: " + filler * 6 + "the furnace display showed "),
+          q(v2, "°C"), Lit(" and later "), q(v2 + 13.0, "°C"),
+          Lit(" during calibration.")),
+          assocs = Seq(0 -> 2, 1 -> 2), emitsTriples = true)
       case _ => build(Seq(Lit("Supplementary data are provided in the appendix.")))
     }
   }
 
-  val TemplateBankSize = 22
+  val TemplateBankSize = 23
 
   /** Deterministic skewed chem choice: ~32% of sentences reference a
     * head entity (water/NaCl/benzene) — the J1 salting workload.
@@ -182,7 +261,8 @@ object PageGen {
     }
   }
 
-  final case class GoldPage(page: Page, sentences: Array[Sentence])
+  final case class GoldPage(page: Page, sentences: Array[Sentence],
+      triples: Array[Triple])
 
   private val SectionPlan: Array[(String, Array[Int])] = Array(
     ("Abstract", Array(2)), // 1 paragraph of 2 sentences
@@ -237,12 +317,32 @@ object PageGen {
     val page = Page(url, new Timestamp(1700000000000L + i * 60000L),
       Html.render(htmlDoc), textDoc.text, lang)
 
+    // gold rels = the hand-authored associations as binary 1.0
+    // annotations (the reference's label-studio gold shape,
+    // parse_data.py:149-176) — NOT the engine scorer's output
     val sentences = goldSents.zipWithIndex.map { case ((section, g), sid) =>
       val toks = Text.tokenize(g.text)
-      val rels = Relations.relate(g.ents)
+      val rels = g.assocs.map { case (h, t) =>
+        RelEdge(g.ents(h).startTok, g.ents(t).startTok, "has_value", 1.0)
+      }
       Sentence(url, i, sid, section, title, doi, g.text, toks, g.ents, rels)
     }.toArray
-    GoldPage(page, sentences)
+
+    // gold triples = hand-authored associations materialized directly:
+    // one row per assoc of a triple-emitting sentence (tuples.py:32-44
+    // row shape). No scorer, no assembler.
+    val triples = goldSents.zipWithIndex.flatMap { case ((section, g), sid) =>
+      if (!g.emitsTriples) Array.empty[Triple]
+      else g.assocs.map { case (h, t) =>
+        val head = g.ents(h); val value = g.ents(t)
+        Triple(url, doi, section, sid, g.text,
+          headLabel = head.label, headText = head.text,
+          propType = if (head.label == "PROP" || head.label == "FORMULA") head.entId else "",
+          valueLabel = value.label, valueText = value.text,
+          value = value.value, unit = value.unit, score = 1.0)
+      }
+    }.toArray
+    GoldPage(page, sentences, triples)
   }
 
   /** Page count per driver scale dir (sf0.001 -> 200 etc.). */
@@ -270,7 +370,7 @@ object PageGen {
     * shape) — invalidates materialized bench inputs cached under
     * /tmp/graft_pages.
     */
-  val GeneratorVersion = 2
+  val GeneratorVersion = 3
 
   def materializedPages(spark: SparkSession, n: Long, baseDir: String = "/tmp/graft_pages")
       : Dataset[Page] = {
@@ -292,14 +392,15 @@ object PageGen {
       .flatMap(i => genPage(i).sentences)
   }
 
-  /** Gold triples = documented rules applied to gold mentions: P3 filter
-    * then tuple assembly at threshold 0.45 (the reference lifecycle,
-    * corpus.py:92-94 + tuples.py:59-87).
+  /** Gold triples = the hand-authored per-template association lists
+    * materialized directly (see `template`) — fully independent of the
+    * engine's scorer (Relations.score), keep-filter and assembler
+    * (Triples.assemble), so a regression in any of those fails the P/R
+    * gate instead of shifting the gold with it.
     */
   def goldTriples(spark: SparkSession, n: Long): Dataset[Triple] = {
     import spark.implicits._
-    goldSentences(spark, n)
-      .filter(s => Relations.keepDoc(s.ents))
-      .flatMap(s => Triples.assemble(s))
+    spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+      .flatMap(i => genPage(i).triples)
   }
 }

@@ -26,14 +26,23 @@ class EvaluateExportSpec extends AnyFunSuite {
   }
 
   test("P/R behave correctly around the extraction threshold") {
+    // gold = hand-authored binary associations (PageGen.template assocs),
+    // NOT the scorer's own output — so precision at the working
+    // threshold is honestly < 1 (the deterministic scorer accepts some
+    // hand-gold negatives, e.g. the chem->duration pair of template 12
+    // and the crossed chem->amount pairs of template 13), while recall
+    // stays ~1 (every hand-gold association scores high).
     val byT = Evaluate.thresholdSweep(annotated, gold, goldPositiveThreshold = 0.5).collect()
       .map(r => r.getAs[Double]("threshold") ->
         (r.getAs[Double]("precision"), r.getAs[Double]("recall"))).toMap
     // at threshold 0 every candidate is predicted: recall is max
     assert(byT(0.0)._2 >= 0.99, s"recall@0 = ${byT(0.0)._2}")
-    // at the gold-positive boundary the engine matches its own gold rules
     val (p5, r5) = byT(0.5)
-    assert(p5 >= 0.95 && r5 >= 0.95, s"P/R@0.5 = $p5/$r5")
+    assert(r5 >= 0.99, s"recall@0.5 = $r5")
+    assert(p5 >= 0.85 && p5 < 1.0,
+      s"precision@0.5 = $p5 — expected imperfect-but-high vs independent gold")
+    // raising the threshold must not lower precision on this workload
+    assert(byT(0.9)._1 >= p5, s"P@0.9=${byT(0.9)._1} < P@0.5=$p5")
     // far above every score nothing is predicted -> PRFScore zeros
     assert(byT(0.999) == ((0.0, 0.0)))
   }

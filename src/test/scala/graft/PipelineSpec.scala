@@ -70,6 +70,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.95, f"recall $recall%.4f < 0.95")
   }
 
+  test("gate sensitivity: a perturbed scorer FAILS the P/R gate") {
+    // The gold is hand-authored per template (PageGen.template assocs),
+    // so a scorer regression must surface as a gate failure. Simulate
+    // one: drop the distance-decay + same-label-competition features
+    // (score := 1.0 for every candidate pair). The competing-value
+    // template then wrongly attaches far-away instrument readings.
+    import spark.implicits._
+    import graft.model.RelEdge
+    import graft.operators.{Relations, Triples}
+    val names = ChemDict.entries.flatMap(_.synonyms)
+    val perturbed = Pipeline.annotate(Pipeline.sentences(PageGen.pages(spark, N)), names)
+      .map { s =>
+        val rels = for {
+          h <- s.ents; t <- s.ents
+          if h != t && Relations.canLink(h, t)
+        } yield RelEdge(h.startTok, t.startTok, "has_value", 1.0)
+        s.copy(rels = rels)
+      }
+      .filter(s => Relations.keepDoc(s.ents))
+      .flatMap(s => Triples.assemble(s))
+      .collect().map(tripleKey).toSet
+    val gold = PageGen.goldTriples(spark, N).collect().map(tripleKey).toSet
+    val tp = (perturbed & gold).size.toDouble
+    val precision = tp / perturbed.size
+    info(f"perturbed precision=$precision%.4f (gate bar 0.95)")
+    assert(precision < 0.95,
+      "a degenerate scorer must not pass the gate — gold would be circular")
+  }
+
+  test("literal spot-check: template-0 instance emits exactly its two hand gold triples") {
+    // fully literal expectation for one concrete page (style:
+    // reference tests/ner/test_properties.py) — pins sentence text,
+    // spans, labels, normalized value and unit with no shared code path
+    val gp = PageGen.genPage(58L) // deterministic: first sentence is template 0 about water
+    val s0 = gp.sentences(0)
+    val t0 = gp.triples.filter(_.sentId == 0)
+    assert(s0.text == "The melting point of water is 103.7 \u00b0C.", s0.text)
+    val m = """The melting point of (.+) is (\d+\.\d) °C\.""".r
+    s0.text match {
+      case m(chemSurface, valueSurface) =>
+        assert(t0.length == 2)
+        val byLabel = t0.map(t => t.headLabel -> t).toMap
+        assert(byLabel("PROP").headText == "melting point")
+        assert(byLabel("PROP").propType == "temperature")
+        assert(byLabel("CHEM").headText == chemSurface)
+        t0.foreach { t =>
+          assert(t.valueLabel == "TEMPERATURE")
+          assert(t.valueText == s"$valueSurface °C")
+          assert(t.value == valueSurface.toDouble + 273.15)
+          assert(t.unit == "K")
+        }
+      case other => fail(s"template-0 sentence did not match: $other")
+    }
+  }
+
   test("partition-count invariance (W2 determinism, SURVEY §7 risk 2)") {
     val t1 = Pipeline.run(PageGen.pages(spark, 40, partitions = 1))
       .collect().map(tripleKey).toSet
