@@ -44,15 +44,18 @@ object Canonicalize {
   val Bands = 8
 
   /** Candidate same-entity pairs (cidA < cidB) from LSH blocking +
-    * Jaccard verification. Input: (cid, name) pairs.
+    * Jaccard verification. The dictionary arrives as a distributed
+    * Dataset (a 100M-synonym dump never fits the driver); names stay
+    * where they are computed — only (band, band_hash, cid) rows plus
+    * the in-bucket name pairs move.
     */
   def candidatePairs(
-      spark: SparkSession,
-      dict: Array[ChemDictEntry],
+      dict: Dataset[ChemDictEntry],
       maxBucket: Int = 64
   ): DataFrame = {
+    val spark = dict.sparkSession
     import spark.implicits._
-    val names = dict.map(e => (e.cid, Normalize.chemNorm(e.canonicalName))).toSeq
+    val names = dict.map(e => (e.cid, Normalize.chemNorm(e.canonicalName)))
       .toDF("cid", "name")
     val banded = names.as[(Long, String)].flatMap { case (cid, name) =>
       val mh = Normalize.minhash(Normalize.shingles(name), MinhashK)
@@ -116,17 +119,28 @@ object Canonicalize {
     labels
   }
 
-  /** Full canonicalization: dict → clustered entity table. */
+  /** Full canonicalization: dict → clustered entity table. The label
+    * back-attachment is a JOIN on cid, not a broadcast of a
+    * driver-built map — the dict never has to exist on the driver, and
+    * Catalyst still picks a broadcast join automatically when the dict
+    * is actually small.
+    */
+  def entityTable(dict: Dataset[ChemDictEntry]): Dataset[CanonicalEntity] = {
+    val spark = dict.sparkSession
+    import spark.implicits._
+    val nodes = dict.select(col("cid"))
+    val pairs = candidatePairs(dict)
+    val labels = connectedComponents(nodes, pairs)
+    labels
+      .join(dict.toDF(), Seq("cid"))
+      .select(col("cluster_id").as("clusterId"), col("cid"),
+        col("canonicalName"), col("synonyms").as("memberNames"),
+        col("molecularFormula"), col("molecularWeight"))
+      .as[CanonicalEntity]
+  }
+
   def entityTable(spark: SparkSession, dict: Array[ChemDictEntry]): Dataset[CanonicalEntity] = {
     import spark.implicits._
-    val nodes = dict.map(_.cid).toSeq.toDF("cid")
-    val pairs = candidatePairs(spark, dict)
-    val labels = connectedComponents(nodes, pairs)
-    val byCid = spark.sparkContext.broadcast(dict.map(e => e.cid -> e).toMap)
-    labels.as[(Long, Long)].map { case (cid, cluster) =>
-      val e = byCid.value(cid)
-      CanonicalEntity(cluster, cid, e.canonicalName, e.synonyms,
-        e.molecularFormula, e.molecularWeight)
-    }
+    entityTable(spark.createDataset(dict.toIndexedSeq))
   }
 }

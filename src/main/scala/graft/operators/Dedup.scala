@@ -71,9 +71,20 @@ object Dedup {
     * candidates; candidates with word-3-gram Jaccard >= threshold are
     * emitted as (id_a < id_b) pairs.
     *
-    * Scale: the only wide exchange is on (band, band_hash) — compact
-    * ints; bucket sizes above maxBucket are dropped (logged trade, same
-    * rationale as Canonicalize).
+    * Scale contract (asserted by PlanSpec): NO shuffle exchange in this
+    * plan carries a string/binary column — every wide exchange moves
+    * only (band, band_hash, id) ints. Raw text is read exactly twice
+    * where it sits: once to compute signatures (per-partition map), and
+    * once to verify candidates, where the (small) candidate-id set is
+    * BROADCAST into a semi-join against the doc table and the matching
+    * candidate texts are broadcast to the pair rows. Exchange volume is
+    * therefore O(bands x |docs|) ints + O(|near-dups|) text bytes over
+    * the broadcast channel, instead of O(bands x corpus) text bytes —
+    * at 100 TB that is the difference between a feasible job and a
+    * shuffle larger than the corpus itself. (If the candidate set ever
+    * outgrows broadcast budget, the trade to flip is broadcast->
+    * shuffle_hash on candDocs: exchange bytes become O(|candidates|)
+    * text, still never O(corpus).)
     */
   def minhashPairs(
       docs: DataFrame,
@@ -87,25 +98,37 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val rows = k / bands
-    val banded = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
-      .as[(Long, String)]
+    val compactDocs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
+    // (band, band_hash, id) — the ONLY rows that ever shuffle
+    val banded = compactDocs.as[(Long, String)]
       .flatMap { case (id, txt) =>
         val sig = minhashSig(wordShingles(txt), k)
         (0 until bands).map { b =>
-          (b, java.util.Arrays.hashCode(sig.slice(b * rows, (b + 1) * rows)), id, txt)
+          (b, java.util.Arrays.hashCode(sig.slice(b * rows, (b + 1) * rows)), id)
         }
-      }.toDF("band", "bh", "id", "txt")
+      }.toDF("band", "bh", "id")
 
     val ok = banded.groupBy("band", "bh").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1 && col("n") <= maxBucket)
     val pruned = banded.join(ok, Seq("band", "bh"), "left_semi")
-    val a = pruned.select(col("band"), col("bh"), col("id").as("id_a"), col("txt").as("txt_a"))
-    val b = pruned.select(col("band"), col("bh"), col("id").as("id_b"), col("txt").as("txt_b"))
-    val jac = udf((x: String, y: String) => ngramJaccard(x, y))
-    a.join(b, Seq("band", "bh"))
+    val cand = pruned.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(pruned.select(col("band"), col("bh"), col("id").as("id_b")),
+        Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .filter(jac(col("txt_a"), col("txt_b")) >= threshold)
       .select("id_a", "id_b").distinct()
+
+    // verification: fetch candidate texts by id (broadcast the compact id
+    // set down, broadcast the small matching texts back)
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val candDocs = compactDocs.join(broadcast(candIds), Seq("id"), "left_semi")
+    val jac = udf((x: String, y: String) => ngramJaccard(x, y))
+    cand
+      .join(broadcast(candDocs.select(col("id").as("id_a"), col("txt").as("txt_a"))),
+        Seq("id_a"))
+      .join(broadcast(candDocs.select(col("id").as("id_b"), col("txt").as("txt_b"))),
+        Seq("id_b"))
+      .filter(jac(col("txt_a"), col("txt_b")) >= threshold)
+      .select("id_a", "id_b")
   }
 
   /** Near-dup clusters from minhash pairs via connected components;
@@ -192,6 +215,10 @@ object Dedup {
   /** Embedding near-dup pairs: cosine >= threshold. Blocking via
     * random-hyperplane sign buckets (see Similarity.signature);
     * verification with the exact cosine expression.
+    *
+    * Same exchange discipline as `minhashPairs`: only (bucket, id) ints
+    * shuffle; candidate vectors are fetched by broadcast join-back, so
+    * the float arrays never ride a shuffle.
     */
   def embeddingPairs(
       emb: DataFrame,
@@ -202,11 +229,17 @@ object Dedup {
   ): DataFrame = {
     val withSig = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("bucket", Similarity.signatureUdf(bits)(col("v")))
-    val a = withSig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = withSig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
+    val banded = withSig.select("bucket", "id")
+    val cand = banded.select(col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .filter(cosineCol(col("v_a"), col("v_b")) >= threshold)
       .select("id_a", "id_b").distinct()
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val candVecs = withSig.select("id", "v").join(broadcast(candIds), Seq("id"), "left_semi")
+    cand
+      .join(broadcast(candVecs.select(col("id").as("id_a"), col("v").as("v_a"))), Seq("id_a"))
+      .join(broadcast(candVecs.select(col("id").as("id_b"), col("v").as("v_b"))), Seq("id_b"))
+      .filter(cosineCol(col("v_a"), col("v_b")) >= threshold)
+      .select("id_a", "id_b")
   }
 }

@@ -47,19 +47,31 @@ object Linking {
       .groupBy("mention").agg(count(lit(1)).as("occurrences"))
   }
 
+  /** The dictionary is a DISTRIBUTED Dataset, not a driver array — the
+    * honest shape for a 100M-synonym PubChem dump that cannot live on
+    * the driver at all. The Array overloads below parallelize the small
+    * fixture dictionary for tests and driver queries.
+    */
+  def dictDs(spark: SparkSession, dict: Array[ChemDictEntry]): Dataset[ChemDictEntry] = {
+    import spark.implicits._
+    spark.createDataset(dict.toIndexedSeq)
+  }
+
   /** Dictionary rows flattened to (nameNorm, cid) — the join build side. */
-  def dictNames(spark: SparkSession, dict: Array[ChemDictEntry]): DataFrame = {
+  def dictNames(dict: Dataset[ChemDictEntry]): DataFrame = {
+    val spark = dict.sparkSession
     import spark.implicits._
     dict.flatMap(e => e.synonyms.map(s => (Normalize.chemNorm(s), e.cid)))
-      .distinct.toSeq.toDF("name_norm", "cid")
+      .toDF("name_norm", "cid")
       .groupBy("name_norm").agg(min("cid").as("cid")) // first-wins like linker memoization
   }
 
-  def dictProps(spark: SparkSession, dict: Array[ChemDictEntry]): DataFrame = {
+  def dictProps(dict: Dataset[ChemDictEntry]): DataFrame = {
+    val spark = dict.sparkSession
     import spark.implicits._
     dict.map(e => (e.cid, e.canonicalName, e.molecularFormula, e.molecularWeight,
       e.canonicalSmiles, e.iupacName))
-      .toSeq.toDF("cid", "canonical_name", "molecular_formula", "molecular_weight",
+      .toDF("cid", "canonical_name", "molecular_formula", "molecular_weight",
         "canonical_smiles", "iupac_name")
   }
 
@@ -71,19 +83,27 @@ object Linking {
     * surface (linker.py:155) and its back-attachment by exact text
     * (linker.py:160-161).
     */
+  /** @param useBroadcast true = broadcast the dictionary sides (the
+    *   default when the dict fits executor memory); false = every dict
+    *   join is a shuffled hash join — the path for dictionaries too
+    *   large to broadcast, which must contain NO broadcast anywhere
+    *   (asserted by LinkingSpec under autoBroadcastJoinThreshold=-1).
+    */
   private def surfaceLinks(
       annotated: Dataset[Sentence],
-      dict: Array[ChemDictEntry],
-      minOccurrences: Int
+      dict: Dataset[ChemDictEntry],
+      minOccurrences: Int,
+      useBroadcast: Boolean
   ): DataFrame = {
-    val spark = annotated.sparkSession
+    def side(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df.hint("shuffle_hash")
     val eligible = mentionCounts(annotated)
       .filter(col("occurrences") >= minOccurrences)
       .withColumn("name_norm", chemNormCol(col("mention")))
       .select("mention", "name_norm")
     eligible
-      .join(broadcast(dictNames(spark, dict)), Seq("name_norm"))
-      .join(broadcast(dictProps(spark, dict)), Seq("cid"))
+      .join(side(dictNames(dict)), Seq("name_norm"))
+      .join(side(dictProps(dict)), Seq("cid"))
       .drop("name_norm")
   }
 
@@ -94,10 +114,19 @@ object Linking {
   def linkTriples(
       triples: Dataset[Triple],
       annotated: Dataset[Sentence],
+      dict: Dataset[ChemDictEntry],
+      minOccurrences: Int
+  ): DataFrame =
+    joinLinks(triples.toDF(),
+      surfaceLinks(annotated, dict, minOccurrences, useBroadcast = true))
+
+  def linkTriples(
+      triples: Dataset[Triple],
+      annotated: Dataset[Sentence],
       dict: Array[ChemDictEntry],
       minOccurrences: Int = MinOccurrences
   ): DataFrame =
-    joinLinks(triples.toDF(), surfaceLinks(annotated, dict, minOccurrences))
+    linkTriples(triples, annotated, dictDs(annotated.sparkSession, dict), minOccurrences)
 
   private def joinLinks(triples: DataFrame, links: DataFrame): DataFrame =
     triples
@@ -133,11 +162,12 @@ object Linking {
     */
   def linkTriplesFusedWithHandle(
       annotated: Dataset[Sentence],
-      dict: Array[ChemDictEntry],
+      dictArr: Array[ChemDictEntry],
       minOccurrences: Int = MinOccurrences
   ): (DataFrame, () => Unit) = {
     val spark = annotated.sparkSession
     import spark.implicits._
+    val dict = dictDs(spark, dictArr)
     val combined = annotated.flatMap { s =>
       val mentions = s.ents.iterator.filter(_.label == "CHEM")
         .map(e => MentionOrTriple(e.text, null))
@@ -156,25 +186,28 @@ object Linking {
       .withColumn("name_norm", chemNormCol(col("mention")))
       .select("mention", "name_norm")
     val links = eligible
-      .join(broadcast(dictNames(spark, dict)), Seq("name_norm"))
-      .join(broadcast(dictProps(spark, dict)), Seq("cid"))
+      .join(broadcast(dictNames(dict)), Seq("name_norm"))
+      .join(broadcast(dictProps(dict)), Seq("cid"))
       .drop("name_norm")
     val triples = combined.filter(col("triple").isNotNull).select("triple.*")
     (joinLinks(triples, links), () => { combined.unpersist(); () })
   }
 
   /** The non-broadcast path for dictionaries too large to broadcast:
-    * explicit salting of the skewed probe side. Produces identical rows
-    * to `linkTriples` (asserted by LinkingSpec).
+    * NO broadcast anywhere in the plan (every dict join is a shuffled
+    * hash join — LinkingSpec asserts zero BroadcastExchange under
+    * autoBroadcastJoinThreshold=-1) plus explicit salting of the
+    * skewed probe side. Produces identical rows to `linkTriples`
+    * (asserted by LinkingSpec).
     */
   def linkTriplesSalted(
       triples: Dataset[Triple],
       annotated: Dataset[Sentence],
-      dict: Array[ChemDictEntry],
-      nSalts: Int = 8,
-      minOccurrences: Int = MinOccurrences
+      dict: Dataset[ChemDictEntry],
+      nSalts: Int,
+      minOccurrences: Int
   ): DataFrame = {
-    val links = surfaceLinks(annotated, dict, minOccurrences)
+    val links = surfaceLinks(annotated, dict, minOccurrences, useBroadcast = false)
     // dict side exploded ×nSalts
     val saltedDict = links.withColumn("salt", explode(lit((0 until nSalts).toArray)))
     // probe side: deterministic salt from url hash spreads head entities
@@ -188,4 +221,14 @@ object Linking {
         "left_outer")
       .drop("mention", "head_surface", "salt")
   }
+
+  def linkTriplesSalted(
+      triples: Dataset[Triple],
+      annotated: Dataset[Sentence],
+      dict: Array[ChemDictEntry],
+      nSalts: Int = 8,
+      minOccurrences: Int = MinOccurrences
+  ): DataFrame =
+    linkTriplesSalted(triples, annotated, dictDs(annotated.sparkSession, dict),
+      nSalts, minOccurrences)
 }

@@ -73,6 +73,30 @@ class LinkingSpec extends AnyFunSuite {
     assert(ka.sameElements(kb))
   }
 
+  test("salted path contains NO broadcast even with auto-broadcast disabled (large-dict honesty)") {
+    // the stated guarantee: this path works when the dictionary cannot
+    // broadcast at all. Force Catalyst to never pick broadcast on its
+    // own; any BroadcastExchange left in the plan is ours — there must
+    // be none — and the rows must still match the broadcast path.
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = Linking.linkTriples(triples, annotated, ChemDict.entries)
+      val b = Linking.linkTriplesSalted(triples, annotated, ChemDict.entries, nSalts = 4)
+      b.collect() // finalize adaptive plan
+      val plan = b.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange") && !plan.contains("BroadcastHashJoin"),
+        s"salted path must not broadcast:\n$plan")
+      assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+        s"expected shuffled joins:\n$plan")
+      val cols = a.columns.sorted.toSeq
+      val ka = a.select(cols.map(col): _*).collect().map(_.toString).sorted
+      val kb = b.select(cols.map(col): _*).collect().map(_.toString).sorted
+      assert(ka.sameElements(kb))
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("broadcast path plans a BroadcastHashJoin with no shuffle on the probe side") {
     val linked = Linking.linkTriples(triples, annotated, ChemDict.entries)
     val plan = linked.queryExecution.executedPlan.toString

@@ -49,6 +49,41 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, "no partial agg stage")
   }
 
+  test("dedup near-dup plans shuffle only compact keys — no text/vector in any exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, StringType}
+
+    def exchanges(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case q: QueryStageExec => exchanges(q.plan)
+      case e: ShuffleExchangeLike =>
+        e +: p.children.flatMap(exchanges)
+      case _ => p.children.flatMap(exchanges)
+    }
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for ((name, df) <- Seq(
+      "minhashPairs" -> graft.operators.Dedup.minhashPairs(docs, threshold = 0.5),
+      "simhashPairs" -> graft.operators.Dedup.simhashPairs(docs),
+      "embeddingPairs" -> graft.operators.Dedup.embeddingPairs(emb, threshold = 0.95))) {
+      df.collect() // finalize the adaptive plan
+      val exs = exchanges(df.queryExecution.executedPlan)
+      assert(exs.nonEmpty, s"$name: expected at least one exchange")
+      exs.foreach { e =>
+        e.output.foreach { attr =>
+          val bad = attr.dataType == StringType || attr.dataType == BinaryType ||
+            attr.dataType.isInstanceOf[ArrayType]
+          assert(!bad,
+            s"$name: exchange carries wide column ${attr.name}: ${attr.dataType} — " +
+              "raw payloads must never shuffle (only band/bucket/id ints)")
+        }
+      }
+    }
+  }
+
   test("relational queries stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q8_filter_project")(spark, "/root/testdata/sf0.001")
     df.collect() // finalize the adaptive plan (codegen spans appear in the final plan)
