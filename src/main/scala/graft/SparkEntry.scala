@@ -45,8 +45,24 @@ object SparkEntry {
     // ---------- KG pipeline (rows-only; gated by PipelineSpec P/R) ----------
     "kg_sentences" -> ((s, dir) =>
       Pipeline.sentences(pages(s, dir))
-        .select("url", "sentId", "section", "title", "doi", "text")
+        .select(col("url"), col("sentId"), col("section"), col("title"),
+          col("doi"), concat_ws("; ", col("authors")).as("authors"),
+          col("pubDate"), col("text"))
         .orderBy("url", "sentId")),
+    "kg_tables" -> ((s, dir) => {
+      // P1 tables: extracted ragged cells keyed c_0..c_n (colspan-aware)
+      import s.implicits._
+      pages(s, dir).flatMap { p =>
+        graft.functions.Html.extract(p.html).tables.zipWithIndex.toSeq.flatMap {
+          case (t, ti) => t.rows.zipWithIndex.toSeq.flatMap { case (r, ri) =>
+            r.cells.toSeq.sortBy(_._1).map { case (k, v) =>
+              (p.url, ti, t.heading, ri, k, v)
+            }
+          }
+        }
+      }.toDF("url", "table_idx", "heading", "row_idx", "cell_key", "cell_value")
+        .orderBy("url", "table_idx", "row_idx", "cell_key")
+    }),
     "kg_entities" -> ((s, dir) => {
       import s.implicits._
       annotated(s, dir)

@@ -24,13 +24,46 @@ import scala.collection.mutable.ArrayBuffer
 object Html {
 
   final case class Section(heading: String, paragraphs: Array[String])
-  final case class ExtractedDoc(title: String, doi: String, sections: Array[Section]) {
+
+  /** One table row: ragged cells keyed c_0..c_n, where a cell with
+    * colspan k advances the column index by k (reference
+    * pdf_parser.py:193-222 `parse_table`, `cell.get("cols")`).
+    */
+  final case class TableRow(cells: Map[String, String])
+
+  /** Article table (reference pdf_parser.py:21-25 Table(heading,
+    * description, data)); description = figDesc paragraphs.
+    */
+  final case class Table(heading: String, description: Array[String],
+      rows: Array[TableRow])
+
+  /** Cells of a row in original left-to-right order (keys c_i sorted by
+    * numeric column index).
+    */
+  def rowCellsInOrder(r: TableRow): Array[String] =
+    r.cells.toArray.sortBy(kv => kv._1.drop(2).toInt).map(_._2)
+
+  /** Canonical single-line serialization of a table row: cells joined
+    * by tabs — also the text fed to the NLP stages for table rows.
+    */
+  def rowText(r: TableRow): String = rowCellsInOrder(r).mkString("\t")
+
+  final case class ExtractedDoc(title: String, doi: String, sections: Array[Section],
+      authors: Array[String] = Array.empty, pubDate: String = "",
+      tables: Array[Table] = Array.empty) {
 
     /** Canonical text serialization: sections joined by "\n\n", each
-      * section = heading + "\n" + paragraphs joined by "\n".
+      * section = heading + "\n" + paragraphs joined by "\n"; then each
+      * table as heading + description paragraphs + one tab-joined line
+      * per row. Authors/pub_date are metadata fields, not text.
       */
-    def text: String =
-      sections.map(s => s.heading + "\n" + s.paragraphs.mkString("\n")).mkString("\n\n")
+    def text: String = {
+      val secs = sections.map(s => s.heading + "\n" + s.paragraphs.mkString("\n"))
+      val tbls = tables.map { t =>
+        (t.heading +: (t.description ++ t.rows.map(rowText))).mkString("\n")
+      }
+      (secs ++ tbls).mkString("\n\n")
+    }
   }
 
   def escape(s: String): String = {
@@ -73,7 +106,15 @@ object Html {
     val sb = new StringBuilder(1024)
     sb.append("<html><head><meta charset=\"utf-8\"/><title>")
       .append(escape(doc.title))
-      .append("</title></head><body>\n<article data-doi=\"")
+      .append("</title>\n")
+    doc.authors.foreach { a =>
+      sb.append("<meta name=\"citation_author\" content=\"")
+        .append(escape(a)).append("\"/>\n")
+    }
+    if (doc.pubDate.nonEmpty)
+      sb.append("<meta name=\"citation_date\" content=\"")
+        .append(escape(doc.pubDate)).append("\"/>\n")
+    sb.append("</head><body>\n<article data-doi=\"")
       .append(escape(doc.doi))
       .append("\">\n<h1>").append(escape(doc.title)).append("</h1>\n")
     doc.sections.foreach { sec =>
@@ -82,6 +123,27 @@ object Html {
         sb.append("<p>").append(escape(p)).append("</p>\n")
       }
       sb.append("</section>\n")
+    }
+    doc.tables.foreach { t =>
+      sb.append("<figure data-type=\"table\"><h3>").append(escape(t.heading))
+        .append("</h3>\n<figcaption>")
+      t.description.foreach(d => sb.append("<p>").append(escape(d)).append("</p>"))
+      sb.append("</figcaption>\n<table>\n")
+      t.rows.foreach { r =>
+        sb.append("<tr>")
+        val keys = r.cells.keysIterator.toArray.sortBy(_.drop(2).toInt)
+        keys.zipWithIndex.foreach { case (k, pos) =>
+          val idx = k.drop(2).toInt
+          val nextIdx = if (pos + 1 < keys.length) keys(pos + 1).drop(2).toInt
+            else idx + 1
+          val span = nextIdx - idx
+          if (span > 1) sb.append("<td colspan=\"").append(span).append("\">")
+          else sb.append("<td>")
+          sb.append(escape(r.cells(k))).append("</td>")
+        }
+        sb.append("</tr>\n")
+      }
+      sb.append("</table></figure>\n")
     }
     sb.append("</article>\n</body></html>")
     sb.toString.getBytes("UTF-8")
@@ -131,7 +193,99 @@ object Html {
         pos = end + "</section>".length
       }
     }
-    ExtractedDoc(title, doi, sections.toArray)
+
+    // authors + pub date from citation meta tags (pdf_parser.py:78-110
+    // analog: sourceDesc/persName + publicationStmt/date@when)
+    val authors = ArrayBuffer.empty[String]
+    var ap = 0
+    var acont = true
+    while (acont) {
+      between(s, "name=\"citation_author\" content=\"", "\"", ap) match {
+        case Some((a, next)) => authors += unescape(a); ap = next
+        case None => acont = false
+      }
+    }
+    val pubDate = between(s, "name=\"citation_date\" content=\"", "\"", 0)
+      .map(t => unescape(t._1)).getOrElse("")
+
+    // tables (pdf_parser.py:170-222 analog): figure[data-type=table] ->
+    // heading, figDesc paragraphs, ragged rows keyed c_0..c_n with the
+    // colspan-advance rule; cell text gets the same char normalization
+    // as paragraphs (parse_text applied per cell, pdf_parser.py:213)
+    val tables = ArrayBuffer.empty[Table]
+    var tpos = 0
+    var tcont = true
+    while (tcont) {
+      val figStart = s.indexOf("<figure data-type=\"table\">", tpos)
+      if (figStart < 0) tcont = false
+      else {
+        val figEnd0 = s.indexOf("</figure>", figStart)
+        val figEnd = if (figEnd0 < 0) s.length else figEnd0
+        val heading = between(s, "<h3>", "</h3>", figStart).filter(_._2 <= figEnd)
+          .map(t => Text.normalize(unescape(t._1))).getOrElse("")
+        val desc = ArrayBuffer.empty[String]
+        val capEnd = s.indexOf("</figcaption>", figStart)
+        val capStart = s.indexOf("<figcaption>", figStart)
+        if (capStart >= 0 && capEnd > capStart && capEnd <= figEnd) {
+          var p = capStart
+          var pc = true
+          while (pc) {
+            between(s, "<p>", "</p>", p) match {
+              case Some((body, next)) if s.indexOf("<p>", p) >= 0 &&
+                s.indexOf("<p>", p) < capEnd =>
+                desc += Text.normalize(unescape(body)); p = next
+              case _ => pc = false
+            }
+          }
+        }
+        val rows = ArrayBuffer.empty[TableRow]
+        val tblEnd0 = s.indexOf("</table>", figStart)
+        val tblEnd = if (tblEnd0 < 0) figEnd else tblEnd0
+        var rp = s.indexOf("<table>", figStart)
+        var rc = rp >= 0 && rp < figEnd
+        while (rc) {
+          val trStart = s.indexOf("<tr>", rp)
+          if (trStart < 0 || trStart >= tblEnd) rc = false
+          else {
+            val trEnd0 = s.indexOf("</tr>", trStart)
+            val trEnd = if (trEnd0 < 0) tblEnd else trEnd0
+            val cells = scala.collection.mutable.LinkedHashMap.empty[String, String]
+            var idx = 0
+            var cp = trStart
+            var cc = true
+            while (cc) {
+              val tdStart = s.indexOf("<td", cp)
+              if (tdStart < 0 || tdStart >= trEnd) cc = false
+              else {
+                val gt = s.indexOf(">", tdStart)
+                val tdEnd = s.indexOf("</td>", gt)
+                if (gt < 0 || tdEnd < 0) cc = false
+                else {
+                  val attrs = s.substring(tdStart + 3, gt)
+                  val ci = attrs.indexOf("colspan=\"")
+                  val span = if (ci < 0) 1 else {
+                    var j = ci + 9
+                    var v = 0
+                    while (j < attrs.length && attrs.charAt(j) >= '0' && attrs.charAt(j) <= '9') {
+                      v = v * 10 + (attrs.charAt(j) - '0'); j += 1
+                    }
+                    math.max(v, 1)
+                  }
+                  cells(s"c_$idx") = Text.normalize(unescape(s.substring(gt + 1, tdEnd)))
+                  idx += span
+                  cp = tdEnd + 5
+                }
+              }
+            }
+            rows += TableRow(cells.toMap)
+            rp = trEnd + 5
+          }
+        }
+        tables += Table(heading, desc.toArray, rows.toArray)
+        tpos = figEnd + 9
+      }
+    }
+    ExtractedDoc(title, doi, sections.toArray, authors.toArray, pubDate, tables.toArray)
   }
 
   /** Convenience: full extracted text from html bytes. */

@@ -69,7 +69,12 @@ final case class Sentence(
     text: String,
     tokens: Array[Tok],
     ents: Array[Ent],
-    rels: Array[RelEdge]
+    rels: Array[RelEdge],
+    // article-level provenance carried per row (pdf_parser.py:78-110:
+    // Article.authors / Article.pub_date); trailing defaults keep the
+    // core-10-field constructor shape stable
+    authors: Array[String] = Array.empty,
+    pubDate: String = ""
 )
 
 /** Emitted (chemical, property, value-with-unit) triple
@@ -89,7 +94,10 @@ final case class Triple(
     valueText: String, // raw measured span
     value: Double, // normalized numeric value (NaN if unparsed)
     unit: String, // normalized unit ("" if none)
-    score: Double
+    score: Double,
+    // title provenance (tuples.py:32-44 to_dict carries title alongside
+    // doi); trailing default keeps existing constructor call sites
+    title: String = ""
 )
 
 /** PubChem-style dictionary row (reference linker.py:29-53 semantics;

@@ -45,7 +45,8 @@ object Triples {
             headLabel = head.label, headText = head.text,
             propType = if (head.label == "PROP" || head.label == "FORMULA") head.entId else "",
             valueLabel = value.label, valueText = value.text,
-            value = value.value, unit = value.unit, score = edge.score)
+            value = value.value, unit = value.unit, score = edge.score,
+            title = sent.title)
         }
       }
     }

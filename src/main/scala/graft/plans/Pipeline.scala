@@ -51,9 +51,23 @@ object Pipeline {
             Text.splitSentences(para).foreach { sent =>
               out += Sentence(url, docId = 0L, sentId = sid, section = sec.heading,
                 title = doc.title, doi = doc.doi, text = sent,
-                tokens = Text.tokenize(sent), ents = Array.empty, rels = Array.empty)
+                tokens = Text.tokenize(sent), ents = Array.empty, rels = Array.empty,
+                authors = doc.authors, pubDate = doc.pubDate)
               sid += 1
             }
+          }
+        }
+        // table rows as pseudo-sentences (one per row, tab-joined cells)
+        // — tables are where chemistry papers put most property values;
+        // downstream NER/relations treat them like any sentence
+        doc.tables.foreach { t =>
+          t.rows.foreach { r =>
+            val sent = Html.rowText(r)
+            out += Sentence(url, docId = 0L, sentId = sid, section = s"table:${t.heading}",
+              title = doc.title, doi = doc.doi, text = sent,
+              tokens = Text.tokenize(sent), ents = Array.empty, rels = Array.empty,
+              authors = doc.authors, pubDate = doc.pubDate)
+            sid += 1
           }
         }
         out

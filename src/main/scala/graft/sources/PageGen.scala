@@ -264,6 +264,51 @@ object PageGen {
   final case class GoldPage(page: Page, sentences: Array[Sentence],
       triples: Array[Triple])
 
+  // deterministic author-name bank (pdf_parser.py:78-98 analog content)
+  private val FirstNames = Array("Alice", "Bruno", "Chen", "Dana", "Emil",
+    "Farah", "Goro", "Hana", "Igor", "Jule")
+  private val LastNames = Array("Moreau", "Okafor", "Petrov", "Quinn", "Rossi",
+    "Sato", "Tanaka", "Ueda", "Vargas", "Weiss")
+
+  private def genAuthors(i: Long): Array[String] = {
+    val n = 1 + pick(i, "nAuthors", 3)
+    (0 until n).map { k =>
+      s"${FirstNames(pick(i, s"af:$k", FirstNames.length))} ${LastNames(pick(i, s"al:$k", LastNames.length))}"
+    }.toArray
+  }
+
+  private def genPubDate(i: Long): String = {
+    val y = 2015 + pick(i, "pubY", 10)
+    val m = 1 + pick(i, "pubM", 12)
+    val d = 1 + pick(i, "pubD", 28)
+    f"$y%04d-$m%02d-$d%02d"
+  }
+
+  /** One gold table data row: (cells with colspans, gold sentence over
+    * the tab-joined row text). Three row variants; variant 2 exercises
+    * the colspan-advance cell keying (c_0, c_2, c_3).
+    */
+  private def tableDataRow(i: Long, r: Int): (Array[(String, Int)], GoldSentence) = {
+    val slot = s"tblrow:$r"
+    val c = chemSurface(i, slot)
+    val v = 50.0 + pick(i, s"tv:$slot", 3500) / 10.0
+    pick(i, s"tvar:$slot", 3) match {
+      case 0 =>
+        val g = build(Seq(chem(c), Lit("\t"), prop("density", "density"), Lit("\t"),
+          q(v / 100, "g/cm3")), assocs = Seq(0 -> 2, 1 -> 2), emitsTriples = true)
+        (Array(c -> 1, "density" -> 1, g.ents(2).text -> 1), g)
+      case 1 =>
+        val g = build(Seq(chem(c), Lit("\t"), prop("melting point", "temperature"),
+          Lit("\t"), q(v, "°C")), assocs = Seq(0 -> 2, 1 -> 2), emitsTriples = true)
+        (Array(c -> 1, "melting point" -> 1, g.ents(2).text -> 1), g)
+      case _ =>
+        val g = build(Seq(chem(c), Lit("\t"), prop("vapor pressure", "pressure"),
+          Lit("\t"), q(v, "kPa")), assocs = Seq(0 -> 2, 1 -> 2), emitsTriples = true)
+        // chem cell spans 2 columns: keys c_0, c_2, c_3
+        (Array(c -> 2, "vapor pressure" -> 1, g.ents(2).text -> 1), g)
+    }
+  }
+
   private val SectionPlan: Array[(String, Array[Int])] = Array(
     ("Abstract", Array(2)), // 1 paragraph of 2 sentences
     ("Results", Array(2, 2)), // 2 paragraphs of 2 sentences
@@ -279,6 +324,8 @@ object PageGen {
     val doi = s"10.5555/synth.$i"
     val primary = chemSurface(i, "primary")
     val title = s"Properties of $primary"
+    val authors = genAuthors(i)
+    val pubDate = genPubDate(i)
 
     val goldSents = ArrayBuffer.empty[(String, GoldSentence)] // (section, gold)
     val htmlSections = ArrayBuffer.empty[Html.Section]
@@ -312,8 +359,31 @@ object PageGen {
       textSections += Html.Section("Zusammenfassung", Array(para))
     }
 
-    val htmlDoc = Html.ExtractedDoc(title, doi, htmlSections.toArray)
-    val textDoc = Html.ExtractedDoc(title, doi, textSections.toArray)
+    // ~35% of en pages carry a properties table (P1 tables,
+    // pdf_parser.py:170-222): header row + 2 data rows; each data row
+    // is also a gold pseudo-sentence (section "table:<heading>") that
+    // must yield triples through the normal NER/relation path
+    val tableHeading = "Measured properties"
+    val tables: Array[Html.Table] =
+      if (lang == "en" && pick(i, "hasTable", 100) < 35) {
+        def mkRow(cells: Array[(String, Int)]): Html.TableRow = {
+          var idx = 0
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+          cells.foreach { case (txt, span) => m(s"c_$idx") = txt; idx += span }
+          Html.TableRow(m.toMap)
+        }
+        val headerCells = Array("Compound" -> 1, "Property" -> 1, "Value" -> 1)
+        val headerGold = build(Seq(Lit("Compound\tProperty\tValue")))
+        val dataRows = (0 until 2).map(r => tableDataRow(i, r))
+        goldSents += ((s"table:$tableHeading", headerGold))
+        dataRows.foreach { case (_, g) => goldSents += ((s"table:$tableHeading", g)) }
+        Array(Html.Table(tableHeading,
+          Array("Selected property values measured in this work."),
+          (headerCells +: dataRows.map(_._1)).map(mkRow).toArray))
+      } else Array.empty[Html.Table]
+
+    val htmlDoc = Html.ExtractedDoc(title, doi, htmlSections.toArray, authors, pubDate, tables)
+    val textDoc = Html.ExtractedDoc(title, doi, textSections.toArray, authors, pubDate, tables)
     val page = Page(url, new Timestamp(1700000000000L + i * 60000L),
       Html.render(htmlDoc), textDoc.text, lang)
 
@@ -325,7 +395,8 @@ object PageGen {
       val rels = g.assocs.map { case (h, t) =>
         RelEdge(g.ents(h).startTok, g.ents(t).startTok, "has_value", 1.0)
       }
-      Sentence(url, i, sid, section, title, doi, g.text, toks, g.ents, rels)
+      Sentence(url, i, sid, section, title, doi, g.text, toks, g.ents, rels,
+        authors = authors, pubDate = pubDate)
     }.toArray
 
     // gold triples = hand-authored associations materialized directly:
@@ -339,7 +410,7 @@ object PageGen {
           headLabel = head.label, headText = head.text,
           propType = if (head.label == "PROP" || head.label == "FORMULA") head.entId else "",
           valueLabel = value.label, valueText = value.text,
-          value = value.value, unit = value.unit, score = 1.0)
+          value = value.value, unit = value.unit, score = 1.0, title = title)
       }
     }.toArray
     GoldPage(page, sentences, triples)
