@@ -91,7 +91,10 @@ object SparkEntry {
       Linking.linkTriplesFused(annotated(s, dir), ChemDict.entries)
         .orderBy("url", "sentId", "headText", "valueText")),
     "kg_linked_salted" -> ((s, dir) => {
-      val ann = annotated(s, dir).persist()
+      // no persist: a returned-DataFrame query cannot unpersist after its
+      // action, and a leaked cache block outlives the query in long
+      // sessions — the annotate stage is recomputed for the second scan
+      val ann = annotated(s, dir)
       Linking.linkTriplesSalted(Pipeline.triples(ann), ann, ChemDict.entries)
         .orderBy("url", "sentId", "headText", "valueText")
     }),
@@ -106,9 +109,42 @@ object SparkEntry {
           "long_text", "long_start", "long_end")
         .orderBy("url", "sent_id", "short_start")),
     "kg_rel_sweep" -> ((s, dir) => {
+      // model + random-baseline sweep (evaluate.py:71-99); integer-only
+      // projection (threshold scaled x1000) so the DuckDB oracle can
+      // reproduce it exactly — float P/R/F stay available via
+      // Evaluate.thresholdSweep and are derivable from tp/fp/fn
       val n = PageGen.numPagesFor(dir)
-      Evaluate.thresholdSweep(annotated(s, dir), PageGen.goldSentences(s, n))
-        .orderBy("threshold")
+      Evaluate.thresholdSweepWithBaseline(annotated(s, dir), PageGen.goldSentences(s, n))
+        .select(col("scorer"),
+          round(col("threshold") * 1000).cast("int").as("threshold_m"),
+          col("tp"), col("fp"), col("fn"))
+        .orderBy("scorer", "threshold_m")
+    }),
+    "kg_kfold" -> ((s, dir) =>
+      // S8 cv option: stratified 5-fold assignment histogram
+      Corpus.kfoldStratified(annotated(s, dir))
+        .groupBy("fold_id", "stratum", "heldout_role")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("fold_id", "stratum", "heldout_role")),
+    "kg_prop_counts" -> ((s, dir) => {
+      // A2 per-property-type histogram (ui/utils.py:185-198 analog)
+      import s.implicits._
+      annotated(s, dir)
+        .flatMap(x => x.ents.filter(e => e.label == "PROP" || e.label == "FORMULA")
+          .map(_.entId))
+        .toDF("prop_type")
+        .groupBy("prop_type").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("prop_type"))
+    }),
+    "kg_quantity_counts" -> ((s, dir) => {
+      // A2 per-quantity-label histogram
+      import s.implicits._
+      annotated(s, dir)
+        .flatMap(x => x.ents.filter(e => !Relations.HeadLabels.contains(e.label))
+          .map(_.label))
+        .toDF("quantity_label")
+        .groupBy("quantity_label").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("quantity_label"))
     }),
     "kg_label_studio" -> ((s, dir) =>
       Export.labelStudioJson(annotated(s, dir))
@@ -143,9 +179,17 @@ object SparkEntry {
         .orderBy("doc_id")),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir)).orderBy("id_a", "id_b")),
-    "dedup_embedding_pairs" -> ((s, dir) =>
-      Dedup.embeddingPairs(s.read.parquet(s"$dir/embeddings.parquet"),
-        threshold = 0.95).orderBy("id_a", "id_b")),
+    "dedup_embedding_pairs" -> ((s, dir) => {
+      // evidence-bearing: plant exact duplicates (every 50th vector
+      // reappears under id+1,000,000). The driver table has no natural
+      // cosine>=0.95 pairs, so the expected output is exactly the
+      // planted pairs — SQL-oracle-able and regression-sensitive.
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val planted = emb.filter(col("vec_id") % 50 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      Dedup.embeddingPairs(emb.unionByName(planted), threshold = 0.95)
+        .orderBy("id_a", "id_b")
+    }),
 
     // ---------- text analysis ----------
     "text_tokens" -> ((s, dir) =>

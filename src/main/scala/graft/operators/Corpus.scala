@@ -64,6 +64,22 @@ object Corpus {
     (t, out)
   }
 
+  /** Portable deterministic uniform hash in [0, 2^32): unsigned int
+    * from the first 8 hex chars of md5(url:sentId). md5 is available
+    * identically in Spark and DuckDB, so every hash-derived assignment
+    * below is exactly reproducible by the driver's SQL oracle
+    * (DuckDB: ('0x' || substr(md5(k),1,8))::BIGINT).
+    */
+  def hash32(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast("long")
+
+  /** Standard (url, sentId) key, optionally salted for independent
+    * secondary assignments.
+    */
+  def sentKey(salt: String = ""): org.apache.spark.sql.Column =
+    if (salt.isEmpty) concat_ws(":", col("url"), col("sentId").cast("string"))
+    else concat_ws(":", col("url"), col("sentId").cast("string"), lit(salt))
+
   /** S8 + P4: deterministic train/dev/test split at the reference's
     * 0.8/0.1/0.1 ratios (parse_data.py:227-231), after dropping
     * un-annotated examples (total_annotations == 0, parse_data.py:207-209
@@ -76,12 +92,35 @@ object Corpus {
     val spark = sents.sparkSession
     import spark.implicits._
     sents.filter(_.ents.nonEmpty)
-      .withColumn("fold_hash", pmod(hash(col("url"), col("sentId")), lit(10)))
+      .withColumn("fold_hash", hash32(sentKey()) % 10)
       .withColumn("fold",
         when(col("fold_hash") < 8, "train")
           .when(col("fold_hash") === 8, "dev")
           .otherwise("test"))
       .drop("fold_hash")
+  }
+
+  /** S8 cv option: stratified k-fold (parse_data.py:236-250). The
+    * reference runs sklearn StratifiedKFold with y = "doc has a
+    * has_value relation" and then halves each held-out fold into
+    * dev/test. Deterministic distributed analog: the fold is a uniform
+    * hash of (url, sentId); because the hash is independent of the
+    * stratum label, each fold preserves the positive/negative class
+    * ratio in expectation (exact-balance shuffling like sklearn's would
+    * need a global sort — a deliberate scale trade, and the per-fold
+    * class ratios are asserted in CorpusSpec). Output columns:
+    * stratum (1 = has relation), fold_id in [0,k), heldout_role
+    * (dev|test) — when evaluating fold f, rows with fold_id = f are
+    * held out in that role and the rest are train.
+    */
+  def kfoldStratified(sents: Dataset[Sentence], k: Int = 5): DataFrame = {
+    val spark = sents.sparkSession
+    import spark.implicits._
+    sents.filter(_.ents.nonEmpty)
+      .withColumn("stratum", (size(col("rels")) > 0).cast("int"))
+      .withColumn("fold_id", (hash32(sentKey()) % k).cast("int"))
+      .withColumn("heldout_role",
+        when(hash32(sentKey("role")) % 2 === 0, "dev").otherwise("test"))
   }
 
   /** S8 sink: write the split corpus partitioned by fold (DocBin-file

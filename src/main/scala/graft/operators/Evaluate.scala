@@ -37,13 +37,47 @@ object Evaluate {
       .toDF("url", "sent_id", "head_tok", "tail_tok", "label", "score")
   }
 
+  /** Deterministic stand-in for the reference's `random.uniform(0, 1)`
+    * baseline scores (evaluate.py:52-69): a uniform hash of the pair
+    * key into [0, 1). Uses md5 (identical in Spark and DuckDB) so the
+    * baseline sweep is exactly reproducible by the driver's SQL oracle.
+    */
+  def pseudoRandomScore(url: org.apache.spark.sql.Column,
+      sentId: org.apache.spark.sql.Column,
+      headTok: org.apache.spark.sql.Column,
+      tailTok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(concat_ws(":", url, sentId.cast("string"),
+      headTok.cast("string"), tailTok.cast("string"), lit("rnd"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+
+  /** A5 with the reference's random baseline (evaluate.py:71-99): the
+    * model sweep plus the same 13 thresholds scored against
+    * pseudo-random pair scores — the sanity floor a real scorer must
+    * clear. Output adds a `scorer` column (model | random).
+    */
+  def thresholdSweepWithBaseline(
+      pred: Dataset[Sentence],
+      gold: Dataset[Sentence],
+      goldPositiveThreshold: Double = Relations.ExtractionThreshold
+  ): DataFrame = {
+    val predEdges = relEdges(pred)
+    val randEdges = predEdges.withColumn("score",
+      pseudoRandomScore(col("url"), col("sent_id"), col("head_tok"), col("tail_tok")))
+    val goldEdges = relEdges(gold)
+      .filter(col("score") >= goldPositiveThreshold)
+      .withColumn("gold_pos", lit(true))
+      .drop("score")
+    sweepEdges(predEdges, goldEdges).withColumn("scorer", lit("model"))
+      .unionByName(
+        sweepEdges(randEdges, goldEdges).withColumn("scorer", lit("random")))
+  }
+
   /** Micro P/R/F per threshold: pred edges left-join gold-positive edges
     * on the pair key, explode thresholds, aggregate once.
     *
     * @param goldPositiveThreshold gold edges with score >= this are the
-    *   positive class (the reference's binary 1.0 annotations; our gold
-    *   is generated by the same deterministic scorer, positives = those
-    *   surviving the extraction threshold 0.45).
+    *   positive class (binary 1.0 hand-authored annotations in the
+    *   fixture gold; the threshold generalizes to score-valued gold).
     */
   def thresholdSweep(
       pred: Dataset[Sentence],
@@ -55,6 +89,10 @@ object Evaluate {
       .filter(col("score") >= goldPositiveThreshold)
       .withColumn("gold_pos", lit(true))
       .drop("score")
+    sweepEdges(predEdges, goldEdges)
+  }
+
+  private def sweepEdges(predEdges: DataFrame, goldEdges: DataFrame): DataFrame = {
     val key = Seq("url", "sent_id", "head_tok", "tail_tok", "label")
     val joined = predEdges.join(goldEdges, key, "left_outer")
       .withColumn("gold_pos", coalesce(col("gold_pos"), lit(false)))

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.model.{Page, Triple}
+import graft.model.{Page, Sentence, Triple}
 import graft.operators.{Canonicalize, Linking}
 import graft.sources.ChemDict
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
@@ -95,7 +95,6 @@ object Materialize {
   ): Int = {
     val done = completedBuckets(spark, outDir)
     writeMeta(spark, outDir, buckets)
-    val t0 = System.currentTimeMillis()
 
     // resume filter: drop pages of completed buckets BEFORE any work
     val remaining = pages
@@ -107,19 +106,30 @@ object Materialize {
       })
       .drop("bucket").as[Page](pages.encoder)
 
-    val triples = Pipeline.run(remaining)
-    val bucketed = withBucket(triples.toDF(), buckets)
+    writeTriplesResumable(spark, Pipeline.run(remaining).toDF(), outDir, buckets, done)
+  }
 
-    bucketed.write.mode(SaveMode.Append)
+  /** Append triples bucketed by url-hash, then record lineage rows for
+    * the freshly written buckets. The lineage pass selects ONLY the
+    * `bucket` partition column — the scan reads zero data columns
+    * (values come from directory names, row counts from parquet
+    * footers), so it is metadata-cost, not a second pass over the data.
+    */
+  private def writeTriplesResumable(
+      spark: SparkSession,
+      triples: DataFrame,
+      outDir: String,
+      buckets: Int,
+      done: Set[Int]
+  ): Int = {
+    val t0 = System.currentTimeMillis()
+    withBucket(triples, buckets).write.mode(SaveMode.Append)
       .partitionBy("bucket")
       .parquet(dataPath(outDir))
 
-    // lineage/metrics: one row per (stage, bucket) from the data just
-    // written (read back the fresh partitions only — partition pruning
-    // makes this a metadata-cheap scan)
     val t1 = System.currentTimeMillis()
     val doneNow = spark.read.parquet(dataPath(outDir))
-      .withColumn("bucket", col("bucket").cast("int"))
+      .select(col("bucket").cast("int").as("bucket"))
       .filter(!col("bucket").isin(done.toSeq: _*))
       .groupBy("bucket").agg(count(lit(1)).as("rows"))
       .withColumn("stage", lit(StageTriples))
@@ -160,14 +170,25 @@ object Materialize {
       buckets: Int = 16
   ): Unit = {
     import spark.implicits._
-    runResumable(spark, pages, outDir, buckets)
+    // ONE NER pass: the annotated sentence table feeds both the triple
+    // write and the linking join (previously annotate ran twice)
     val sents = Pipeline.annotate(Pipeline.sentences(pages),
-      ChemDict.entries.flatMap(_.synonyms))
-    val triples = readTriples(spark, outDir).drop("bucket").as[Triple]
-    val linked = Linking.linkTriples(triples, sents, ChemDict.entries)
-    withBucket(linked, buckets).write.mode(SaveMode.Overwrite)
-      .partitionBy("bucket").parquet(s"$outDir/linked/data")
-    Canonicalize.entityTable(spark, ChemDict.entries)
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/entities/data")
+      ChemDict.entries.flatMap(_.synonyms)).persist()
+    try {
+      val done = completedBuckets(spark, outDir)
+      writeMeta(spark, outDir, buckets)
+      val remaining = sents
+        .withColumn("bucket", pmod(hash(col("url")), lit(buckets)))
+        .filter(!col("bucket").isin(done.toSeq: _*))
+        .drop("bucket").as[Sentence]
+      writeTriplesResumable(spark, Pipeline.triples(remaining).toDF(),
+        outDir, buckets, done)
+      val triples = readTriples(spark, outDir).drop("bucket").as[Triple]
+      val linked = Linking.linkTriples(triples, sents, ChemDict.entries)
+      withBucket(linked, buckets).write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket").parquet(s"$outDir/linked/data")
+      Canonicalize.entityTable(spark, ChemDict.entries)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/entities/data")
+    } finally sents.unpersist()
   }
 }

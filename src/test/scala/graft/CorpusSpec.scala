@@ -42,6 +42,31 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("S8 cv: stratified k-fold balances folds and preserves class ratio (parse_data.py:236-250)") {
+    val names = ChemDict.entries.flatMap(_.synonyms)
+    val sents = Pipeline.annotate(Pipeline.sentences(PageGen.pages(spark, 400)), names)
+    val kf = Corpus.kfoldStratified(sents, k = 5).cache()
+    val total = kf.count().toDouble
+    // 5 folds, roughly equal size
+    val folds = kf.groupBy("fold_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(folds.keySet == (0 until 5).toSet)
+    folds.values.foreach(n => assert(n / total > 0.12 && n / total < 0.28, folds.toString))
+    // class ratio per fold within +-10pp of the global ratio
+    val globalPos = kf.filter(col("stratum") === 1).count() / total
+    (0 until 5).foreach { f =>
+      val fold = kf.filter(col("fold_id") === f)
+      val pos = fold.filter(col("stratum") === 1).count().toDouble / fold.count()
+      assert(math.abs(pos - globalPos) < 0.10, s"fold $f ratio $pos vs global $globalPos")
+    }
+    // heldout roles split ~50/50 and are deterministic
+    val roles = kf.groupBy("heldout_role").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(roles.keySet == Set("dev", "test"))
+    assert(math.abs(roles("dev") - roles("test")) < total * 0.2)
+    kf.unpersist()
+  }
+
   test("S8+P4: split drops un-annotated sentences and lands near 0.8/0.1/0.1") {
     val names = ChemDict.entries.flatMap(_.synonyms)
     val sents = Pipeline.annotate(Pipeline.sentences(PageGen.pages(spark, 300)), names)

@@ -61,6 +61,21 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a < b })
   }
 
+  test("planted embedding duplicates are found exactly (evidence-bearing driver query)") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planted = emb.filter(col("vec_id") % 50 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val found = Dedup.embeddingPairs(emb.unionByName(planted), threshold = 0.95)
+      .as[(Long, Long)].collect().toSet
+    val expected = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id")).as[Long].collect()
+      .map(id => (id, id + 1000000L)).toSet
+    assert(expected.nonEmpty)
+    assert(found == expected,
+      s"missing=${(expected -- found).take(3)} spurious=${(found -- expected).take(3)}")
+  }
+
   test("embedding near-dup pairs verified by exact cosine") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = Dedup.embeddingPairs(emb, threshold = 0.99)

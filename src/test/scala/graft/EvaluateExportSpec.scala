@@ -47,6 +47,26 @@ class EvaluateExportSpec extends AnyFunSuite {
     assert(byT(0.999) == ((0.0, 0.0)))
   }
 
+  test("random baseline scores far below the model at the working threshold (evaluate.py:52-92)") {
+    val sweep = Evaluate.thresholdSweepWithBaseline(annotated, gold).cache()
+    def f1At(scorer: String, t: Double): Double =
+      sweep.filter(col("scorer") === scorer && col("threshold") === t)
+        .select("f1").collect()(0).getDouble(0)
+    // the baseline emits one row per scorer per threshold
+    assert(sweep.count() == 2L * Evaluate.Thresholds.length)
+    // sanity floor: a real scorer must dominate random at 0.5
+    assert(f1At("model", 0.5) > f1At("random", 0.5) + 0.2,
+      s"model=${f1At("model", 0.5)} random=${f1At("random", 0.5)}")
+    // random scores are uniform-ish: recall decays roughly linearly
+    val rRec = sweep.filter(col("scorer") === "random")
+      .select("threshold", "recall").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(rRec(0.0) >= 0.99)
+    assert(rRec(0.5) > 0.3 && rRec(0.5) < 0.7, s"recall@0.5=${rRec(0.5)}")
+    assert(rRec(0.99) < 0.05)
+    sweep.unpersist()
+  }
+
   test("score_relations micro-P/R/F semantics on handcrafted edges (rel_pipe.py:209-230)") {
     import spark.implicits._
     import graft.model.{RelEdge, Sentence}
