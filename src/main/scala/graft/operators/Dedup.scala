@@ -171,6 +171,19 @@ object Dedup {
     * least one exact band (pigeonhole), so the exchange is on 16-bit
     * band keys, then verified on the full 64-bit signature.
     */
+  /** Per-doc 64-bit simhash signatures (id, sig) — also dumped by the
+    * driver so the banding+Hamming pair logic is SQL-oracle-checkable.
+    */
+  def simhashSigs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
+      .as[(Long, String)]
+      .map { case (id, txt) => (id, simhash64(txt)) }
+      .toDF("id", "sig")
+  }
+
   def simhashPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -180,10 +193,7 @@ object Dedup {
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
-      .as[(Long, String)]
-      .map { case (id, txt) => (id, simhash64(txt)) }
-      .toDF("id", "sig")
+    val sigs = simhashSigs(docs, idCol, textCol)
     val banded = sigs.as[(Long, Long)].flatMap { case (id, sig) =>
       (0 until 4).map(b => (b, ((sig >>> (16 * b)) & 0xffffL).toInt, id, sig))
     }.toDF("band", "bh", "id", "sig")
