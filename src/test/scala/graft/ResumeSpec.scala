@@ -66,4 +66,22 @@ class ResumeSpec extends AnyFunSuite {
     assert(!pruned.contains("PartitionFilters: []"),
       "partition filters must not be empty")
   }
+
+  test("materializeGraph: single annotate pass feeds triple write, linking and entity table") {
+    val dir = Files.createTempDirectory("graft-mat-graph").toString
+    val pages = PageGen.pages(spark, 60)
+    Materialize.materializeGraph(spark, pages, dir, buckets = 4)
+    val triples = Materialize.readTriples(spark, dir)
+    val linked = spark.read.parquet(s"$dir/linked/data")
+    val entities = spark.read.parquet(s"$dir/entities/data")
+    assert(triples.count() > 0)
+    // linked rows = triple rows (left-outer link preserves cardinality)
+    assert(linked.count() == triples.count())
+    assert(entities.count() == graft.sources.ChemDict.entries.length)
+    // rerun is a no-op for the triple stage (all buckets manifested) and
+    // produces identical linked output
+    val before = tripleKeys(triples)
+    Materialize.materializeGraph(spark, pages, dir, buckets = 4)
+    assert(tripleKeys(Materialize.readTriples(spark, dir)) == before)
+  }
 }
