@@ -47,8 +47,15 @@ object ScalingBench {
       .config("spark.ui.enabled", "false")
       // NER cost per input byte is ~100x a plain scan's: size input
       // splits for CPU balance, not IO (default 128MB maxPartitionBytes
-      // would collapse this table to ~2 splits and serialize the run)
-      .config("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
+      // would collapse this table to ~2 splits and serialize the run).
+      // 4MB (not 1MB as in round 1): at 16 concurrent slots, 1MB splits
+      // mean ~0.4s tasks and the single-threaded DAGScheduler event loop
+      // becomes the bottleneck of the WIDE level specifically — measured
+      // 18.5s -> 11.2s at 4x4 executors (1.2M pages) from this change
+      // alone, while the 1x4 level is unchanged. ~1.5s tasks keep
+      // scheduling overhead <1% at both levels.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SPLIT_MB", "4").toInt * 1024 * 1024)
       .config("spark.sql.files.openCostInBytes", "0")
       // local-FS blocks advertise "localhost" while local-cluster
       // executors register under the machine hostname — the mismatch

@@ -446,13 +446,17 @@ object PageGen {
   def materializedPages(spark: SparkSession, n: Long, baseDir: String = "/tmp/graft_pages")
       : Dataset[Page] = {
     import spark.implicits._
-    val dir = s"$baseDir/v$GeneratorVersion-n=$n"
+    // 1024 files: each file is one parquet row group, and row groups are
+    // the REAL split granularity — maxPartitionBytes below file size
+    // only manufactures empty tasks (a 256-file table always ran as 256
+    // working tasks no matter the split setting; measured round 2).
+    // 1024 row groups give the 16-slot wide level 64 genuine waves.
+    val files = 1024
+    val dir = s"$baseDir/v$GeneratorVersion-n=$n-f$files"
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(dir + "/_SUCCESS"))) {
-      // 256 files: parquet tasks can't split below row-group (≈file)
-      // granularity here, so file count bounds scan parallelism
-      pages(spark, n, partitions = 256).write.mode("overwrite").parquet(dir)
+      pages(spark, n, partitions = files).write.mode("overwrite").parquet(dir)
     }
     spark.read.parquet(dir).as[Page]
   }

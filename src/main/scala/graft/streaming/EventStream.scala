@@ -2,9 +2,9 @@ package graft.streaming
 
 import graft.model.Page
 import graft.plans.Pipeline
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming facade (SURVEY.md §2.8: the reference is
@@ -19,6 +19,11 @@ import org.apache.spark.sql.types._
   *    stream output ≡ batch output on the same rows (asserted in
   *    StreamingSpec).
   */
+/** Open-session accumulator for `EventStream.userSessions` (top-level:
+  * encoder codegen requires a publicly constructible class).
+  */
+final case class SessionAcc(startS: Long, lastS: Long, n: Long)
+
 object EventStream {
 
   val eventSchema: StructType = StructType(Seq(
@@ -43,6 +48,83 @@ object EventStream {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("total"))
+
+  /** One closed user session: consecutive events of a user with gaps
+    * <= the session gap.
+    */
+  final case class UserSession(user_id: Long, session_start_ms: Long,
+      session_end_ms: Long, n_events: Long)
+
+  /** Custom-state streaming: event-time sessionization per user via
+    * `flatMapGroupsWithState` + event-time timeout — the
+    * KeyValueGroupedDataset state API the built-in windowed aggs can't
+    * express (a session has data-dependent bounds). A session closes
+    * when the watermark passes its last event + gap; closed sessions
+    * are emitted, open ones stay in state. State per key is three
+    * longs — bounded, timeout-collected: safe at any cardinality.
+    */
+  def userSessions(
+      spark: SparkSession, dir: String,
+      gapMinutes: Int = 30, watermark: String = "10 minutes"
+  ): Dataset[UserSession] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(user, s.startS, s.lastS, s.n))
+          } else {
+            // within one micro-batch, fold sorted event times into
+            // sessions; emit every closed one, keep the open tail
+            val times = rows.map(_._2.getTime).toArray.sorted
+            val closed = Iterator.newBuilder[UserSession]
+            var acc = state.getOption.orNull
+            times.foreach { t =>
+              acc match {
+                case null => acc = SessionAcc(t, t, 1)
+                case a if t - a.lastS <= gapMs =>
+                  acc = SessionAcc(a.startS, math.max(a.lastS, t), a.n + 1)
+                case a =>
+                  closed += UserSession(user, a.startS, a.lastS, a.n)
+                  acc = SessionAcc(t, t, 1)
+              }
+            }
+            state.update(acc)
+            state.setTimeoutTimestamp(acc.lastS + gapMs)
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Batch reference semantics for `userSessions` (used by the spec to
+    * assert stream == batch): sessions = per-user runs of events with
+    * gaps <= gapMinutes.
+    */
+  def userSessionsBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapMs = gapMinutes * 60000L
+    val w = Window.partitionBy("user_id").orderBy("ts_ms")
+    events
+      .select(col("user_id"),
+        (col("ts").cast("timestamp").cast("double") * 1000).cast("long").as("ts_ms"))
+      .withColumn("prev", lag("ts_ms", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("ts_ms") - col("prev") > gapMs, 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts_ms").as("session_start_ms"), max("ts_ms").as("session_end_ms"),
+        count(lit(1)).as("n_events"))
+      .drop("session_id")
+  }
 
   /** Stream pages → triples using the batch pipeline per micro-batch.
     * Checkpointed — restart-safe like the batch manifest path.

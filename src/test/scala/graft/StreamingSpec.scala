@@ -53,4 +53,38 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(_.getString(0)).toSet
     assert(keys(spark.read.parquet(outDir)) == keys(Pipeline.run(pages).toDF()))
   }
+
+  test("flatMapGroupsWithState sessionization: closed stream sessions == batch sessions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sessions").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.repartition(2).write.mode("overwrite").parquet(dir)
+
+    val q = EventStream.userSessions(spark, dir, gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark far past every session with a sentinel
+      // user so all open sessions time out and emit
+      val maxTsMs = events.agg(max(col("ts").cast("timestamp").cast("double") * 1000))
+        .collect()(0).getDouble(0).toLong
+      val sentinel = Seq((java.lang.Long.valueOf(999999999L),
+        new java.sql.Timestamp(maxTsMs + 365L * 86400000L)))
+        .toDF("user_id", "ts")
+        .withColumn("event_id", lit(0L)).withColumn("event_type", lit("x"))
+        .withColumn("value", lit(0.0)).withColumn("props", lit(""))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      sentinel.write.mode("append").parquet(dir)
+      q.processAllAvailable()
+
+      val streamed = spark.sql(
+        "SELECT user_id, session_start_ms, session_end_ms, n_events FROM sessions " +
+        "WHERE user_id <> 999999999")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = EventStream.userSessionsBatch(events, gapMinutes = 30)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} spurious=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
 }
