@@ -208,16 +208,22 @@ object SparkEntry {
     "dedup_simhash_sigs" -> ((s, dir) =>
       Dedup.simhashSigs(docs(s, dir)).orderBy("id")),
     "dedup_embedding_pairs" -> ((s, dir) => {
-      // evidence-bearing: plant exact duplicates (every 50th vector
-      // reappears under id+1,000,000). The driver table has no natural
-      // cosine>=0.95 pairs, so the expected output is exactly the
-      // planted pairs — SQL-oracle-able and regression-sensitive.
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val planted = emb.filter(col("vec_id") % 50 === 0)
-        .withColumn("vec_id", col("vec_id") + lit(1000000L))
-      Dedup.embeddingPairs(emb.unionByName(planted), threshold = 0.95)
-        .orderBy("id_a", "id_b")
+      // evidence-bearing: plant exact duplicates (id+1,000,000) AND
+      // perturbed cosine≈0.97 near-duplicates (id+2,000,000) — see
+      // Dedup.plantNearDups. The driver table has no natural
+      // cosine>=0.95 pairs. The oracle recomputes the multi-probe
+      // candidate + cosine-verify logic in SQL over the engine's own
+      // dumped (id, bucket, vector) table (dedup_emb_input), so it is
+      // exact regardless of LSH recall on the perturbed plants.
+      val emb = Dedup.plantNearDups(s.read.parquet(s"$dir/embeddings.parquet"))
+      Dedup.embeddingPairs(emb, threshold = 0.95).orderBy("id_a", "id_b")
     }),
+    "dedup_emb_input" -> ((s, dir) =>
+      // blocking input dump (id, bucket, v) for the enlarged planted
+      // set — oracle INPUT (like dedup_simhash_sigs), itself rows-only
+      Dedup.embeddingBuckets(
+        Dedup.plantNearDups(s.read.parquet(s"$dir/embeddings.parquet")))
+        .orderBy("id")),
 
     // ---------- text analysis ----------
     "text_tokens" -> ((s, dir) =>
@@ -249,10 +255,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     "ann_lsh_topk" -> ((s, dir) => {
+      // ids+rank only (like ann_brute_topk): cosine floats excluded
+      // from the cross-engine compare; the oracle reproduces the
+      // 9-probe candidate set from the dumped integer buckets
+      // (ann_lsh_buckets) and ranks with DuckDB's own cosine
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.lshTopK(emb, emb.orderBy("vec_id").limit(20), 10)
+        .select("query_id", "rank", "corpus_id")
         .orderBy("query_id", "rank")
     }),
+    "ann_lsh_buckets" -> ((s, dir) =>
+      // corpus sign-LSH buckets — oracle INPUT for ann_lsh_topk
+      Dedup.embeddingBuckets(s.read.parquet(s"$dir/embeddings.parquet"))
+        .select("id", "bucket")
+        .orderBy("id")),
 
     // ---------- multimodal plumbing ----------
     "mm_decode" -> ((s, dir) =>
@@ -485,9 +501,50 @@ object SparkEntry {
         |FROM pruned a JOIN pruned b USING (band, bh)
         |WHERE a.id < b.id AND bit_count(xor(a.sig, b.sig)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    // recomputes the engine's full multi-probe LSH blocking + cosine
+    // verification from the dumped integer (id, bucket) table: exact in
+    // SQL because the probe/candidate logic is pure int arithmetic and
+    // the cosine margin is huge (planted pairs ≈0.97..1.0 vs accidental
+    // bucket-mates ≲0.5 — no near-threshold floats cross-engine)
     "dedup_embedding_pairs" ->
-      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings
-        | WHERE vec_id % 50 = 0 ORDER BY 1""".stripMargin,
+      """WITH inp AS (SELECT id, bucket, v FROM read_parquet('{OUT}/dedup_emb_input/*.parquet')),
+        |probes AS (
+        |  SELECT id, bucket FROM inp
+        |  UNION
+        |  SELECT inp.id, xor(inp.bucket, (1 << f.i)) FROM inp
+        |    CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) f(i)),
+        |cand AS (
+        |  SELECT DISTINCT p.id AS id_a, c.id AS id_b
+        |  FROM probes p JOIN inp c ON p.bucket = c.bucket AND p.id < c.id)
+        |SELECT cand.id_a, cand.id_b
+        |FROM cand
+        |JOIN inp a ON a.id = cand.id_a
+        |JOIN inp b ON b.id = cand.id_b
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
+    "ann_lsh_topk" ->
+      """WITH b AS (SELECT id, bucket FROM read_parquet('{OUT}/ann_lsh_buckets/*.parquet')),
+        |q AS (SELECT id AS query_id, bucket FROM b ORDER BY id LIMIT 20),
+        |probes AS (
+        |  SELECT query_id, bucket FROM q
+        |  UNION
+        |  SELECT query_id, xor(bucket, (1 << f.i)) FROM q
+        |    CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) f(i)),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, c.id AS corpus_id
+        |  FROM probes p JOIN b c ON p.bucket = c.bucket AND c.id <> p.query_id),
+        |scored AS (
+        |  SELECT cand.query_id, cand.corpus_id,
+        |    list_cosine_similarity(e.embedding, qe.embedding) AS cosine
+        |  FROM cand
+        |  JOIN embeddings e ON e.vec_id = cand.corpus_id
+        |  JOIN embeddings qe ON qe.vec_id = cand.query_id),
+        |ranked AS (
+        |  SELECT query_id, corpus_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 20),
         |scored AS (

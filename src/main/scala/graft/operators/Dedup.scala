@@ -81,10 +81,11 @@ object Dedup {
     * therefore O(bands x |docs|) ints + O(|near-dups|) text bytes over
     * the broadcast channel, instead of O(bands x corpus) text bytes —
     * at 100 TB that is the difference between a feasible job and a
-    * shuffle larger than the corpus itself. (If the candidate set ever
-    * outgrows broadcast budget, the trade to flip is broadcast->
-    * shuffle_hash on candDocs: exchange bytes become O(|candidates|)
-    * text, still never O(corpus).)
+    * shuffle larger than the corpus itself. If the candidate set
+    * outgrows broadcast budget (dup-heavy corpus), pass
+    * useBroadcast=false: a Bloom-sketch pre-filter + shuffled hash
+    * fetch joins — exchange bytes become O(|candidates|) text, still
+    * never O(corpus) (see fetchCandidatePayload).
     */
   def minhashPairs(
       docs: DataFrame,
@@ -93,7 +94,8 @@ object Dedup {
       k: Int = 16,
       bands: Int = 8,
       threshold: Double = 0.7,
-      maxBucket: Int = 128
+      maxBucket: Int = 128,
+      useBroadcast: Boolean = true
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -117,18 +119,59 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    // verification: fetch candidate texts by id (broadcast the compact id
-    // set down, broadcast the small matching texts back)
-    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    val candDocs = compactDocs.join(broadcast(candIds), Seq("id"), "left_semi")
+    // verification: fetch candidate texts by id (see fetchCandidatePayload
+    // for the broadcast vs dup-heavy-corpus exchange discipline)
+    val (candDocs, side) = fetchCandidatePayload(cand, compactDocs, useBroadcast)
     val jac = udf((x: String, y: String) => ngramJaccard(x, y))
     cand
-      .join(broadcast(candDocs.select(col("id").as("id_a"), col("txt").as("txt_a"))),
+      .join(side(candDocs.select(col("id").as("id_a"), col("txt").as("txt_a"))),
         Seq("id_a"))
-      .join(broadcast(candDocs.select(col("id").as("id_b"), col("txt").as("txt_b"))),
+      .join(side(candDocs.select(col("id").as("id_b"), col("txt").as("txt_b"))),
         Seq("id_b"))
       .filter(jac(col("txt_a"), col("txt_b")) >= threshold)
       .select("id_a", "id_b")
+  }
+
+  /** Candidate-payload fetch for pair verification (shared by
+    * `minhashPairs` and `embeddingPairs`). `cand` is (id_a, id_b);
+    * `payload` is (id, <payload cols>). Returns the payload rows
+    * restricted to candidate ids plus the join-side decorator for the
+    * two fetch joins.
+    *
+    * useBroadcast=true (default, near-dups rare): candidate ids
+    * broadcast into a semi-join, matching payloads broadcast back —
+    * zero payload shuffle.
+    *
+    * useBroadcast=false (dup-heavy corpora, candidate set outgrows
+    * executor broadcast budget): NOTHING row-sized broadcasts. A
+    * compact Bloom sketch of the candidate ids (~12 bits/id at 1% fpp
+    * — bounded even when |candidates| = O(corpus)) pre-filters the
+    * payload table BEFORE any exchange, and the fetch joins are
+    * shuffled hash joins: every exchange carries O(|candidates|)
+    * payload bytes, never O(corpus). Bloom false positives survive the
+    * pre-filter but are dropped by the inner pair joins on id, so rows
+    * are identical to the broadcast path (asserted in DedupSpec; plan
+    * asserted in PlanSpec under autoBroadcastJoinThreshold=-1). The
+    * bloom build runs the candidate subplan once extra — at production
+    * scale persist `cand` around this call.
+    */
+  private def fetchCandidatePayload(
+      cand: DataFrame,
+      payload: DataFrame,
+      useBroadcast: Boolean
+  ): (DataFrame, DataFrame => DataFrame) = {
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    if (useBroadcast)
+      (payload.join(broadcast(candIds), Seq("id"), "left_semi"),
+        df => broadcast(df))
+    else {
+      val spark = payload.sparkSession
+      val n = math.max(candIds.count(), 1024L)
+      val bf = candIds.stat.bloomFilter("id", n, 0.01)
+      val bfB = spark.sparkContext.broadcast(bf)
+      val mightContain = udf((id: Long) => bfB.value.mightContain(id))
+      (payload.filter(mightContain(col("id"))), df => df.hint("shuffle_hash"))
+    }
   }
 
   /** Near-dup clusters from minhash pairs via connected components;
@@ -222,33 +265,79 @@ object Dedup {
     dot / (na * nb)
   }
 
+  /** Evidence-planting for the driver's embedding-dedup query: base
+    * vectors + EXACT duplicates (every 50th vec_id reappears under
+    * id+1,000,000) + PERTURBED near-duplicates (every (50k+25)th
+    * reappears under id+2,000,000 with +0.25 added to its first
+    * component — cosine ≈ 0.97 against the original for unit-norm
+    * 64-dim vectors, i.e. a genuine near-dup whose sign-LSH signature
+    * can flip a bit: the case only multi-probe blocking recalls).
+    */
+  def plantNearDups(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val exact = emb.filter(col(idCol) % 50 === 0)
+      .withColumn(idCol, col(idCol) + lit(1000000L))
+    val perturbed = emb.filter(col(idCol) % 50 === 25)
+      .withColumn(idCol, col(idCol) + lit(2000000L))
+      .withColumn(vecCol, transform(col(vecCol),
+        (x, i) => when(i === 0, (x + lit(0.25f)).cast("float")).otherwise(x)))
+    emb.unionByName(exact).unionByName(perturbed)
+  }
+
+  /** (id, bucket) sign-LSH table used by `embeddingPairs` blocking —
+    * exposed so the driver can dump it and the candidate/probe/pair
+    * logic becomes SQL-oracle-checkable over deterministic ints (same
+    * pattern as `simhashSigs` → the simhash-pairs oracle).
+    */
+  def embeddingBuckets(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      bits: Int = 8
+  ): DataFrame =
+    emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", Similarity.signatureUdf(bits)(col("v")))
+      .select("id", "bucket", "v")
+
   /** Embedding near-dup pairs: cosine >= threshold. Blocking via
-    * random-hyperplane sign buckets (see Similarity.signature);
-    * verification with the exact cosine expression.
+    * random-hyperplane sign buckets (see Similarity.signature) with
+    * 1-bit-flip multi-probe: the probe side explodes to its bucket plus
+    * every 1-bit-flip neighbor, so genuine 0.95-0.99-cosine near-dups
+    * whose signatures differ in one sign bit are still candidates
+    * (Hamming<=1 coverage; exact-bucket-only missed them — DedupSpec
+    * asserts recall on planted perturbed vectors).
     *
     * Same exchange discipline as `minhashPairs`: only (bucket, id) ints
-    * shuffle; candidate vectors are fetched by broadcast join-back, so
-    * the float arrays never ride a shuffle.
+    * shuffle; candidate vectors are fetched by a join-back that is
+    * broadcast by default and shuffled-hash with useBroadcast=false
+    * (dup-heavy corpora whose candidate set outgrows broadcast budget),
+    * so the float arrays never ride an O(corpus) shuffle.
     */
   def embeddingPairs(
       emb: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       threshold: Double = 0.95,
-      bits: Int = 8
+      bits: Int = 8,
+      multiProbe: Boolean = true,
+      useBroadcast: Boolean = true
   ): DataFrame = {
-    val withSig = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", Similarity.signatureUdf(bits)(col("v")))
+    val withSig = embeddingBuckets(emb, idCol, vecCol, bits)
     val banded = withSig.select("bucket", "id")
-    val cand = banded.select(col("bucket"), col("id").as("id_a"))
+    val probeSide =
+      if (multiProbe)
+        banded.select(explode(Similarity.probesUdf(bits)(col("bucket"))).as("bucket"),
+          col("id").as("id_a"))
+      else banded.select(col("bucket"), col("id").as("id_a"))
+    val cand = probeSide
       .join(banded.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    val candVecs = withSig.select("id", "v").join(broadcast(candIds), Seq("id"), "left_semi")
+    val (candVecs, side) =
+      fetchCandidatePayload(cand, withSig.select("id", "v"), useBroadcast)
     cand
-      .join(broadcast(candVecs.select(col("id").as("id_a"), col("v").as("v_a"))), Seq("id_a"))
-      .join(broadcast(candVecs.select(col("id").as("id_b"), col("v").as("v_b"))), Seq("id_b"))
+      .join(side(candVecs.select(col("id").as("id_a"), col("v").as("v_a"))), Seq("id_a"))
+      .join(side(candVecs.select(col("id").as("id_b"), col("v").as("v_b"))), Seq("id_b"))
       .filter(cosineCol(col("v_a"), col("v_b")) >= threshold)
       .select("id_a", "id_b")
   }

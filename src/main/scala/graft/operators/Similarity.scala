@@ -46,6 +46,14 @@ object Similarity {
 
   def signatureUdf(bits: Int) = udf((v: Seq[Float]) => signature(v, bits))
 
+  /** Multi-probe bucket set: a signature plus every 1-bit-flip neighbor
+    * (shared by `lshTopK` queries and `Dedup.embeddingPairs` blocking).
+    */
+  def probes(s: Int, bits: Int): Array[Int] =
+    (Seq(s) ++ (0 until bits).map(b => s ^ (1 << b))).toArray
+
+  def probesUdf(bits: Int) = udf((s: Int) => probes(s, bits))
+
   /** Exact cosine top-k: every query row against every corpus row.
     * `queries` is expected to be small (it is broadcast); rank with a
     * window per query.
@@ -79,9 +87,8 @@ object Similarity {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
       .withColumn("bucket", sig(col("cv")))
     // each query probes its bucket + all 1-bit-flip buckets
-    val probes = udf { (s: Int) => (Seq(s) ++ (0 until bits).map(b => s ^ (1 << b))).toArray }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket", explode(probes(sig(col("qv")))))
+      .withColumn("bucket", explode(probesUdf(bits)(sig(col("qv")))))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", Dedup.cosineCol(col("cv"), col("qv")))

@@ -61,19 +61,68 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a < b })
   }
 
-  test("planted embedding duplicates are found exactly (evidence-bearing driver query)") {
+  test("planted exact + perturbed embedding dups: multi-probe recalls the near-dups") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val planted = emb.filter(col("vec_id") % 50 === 0)
-      .withColumn("vec_id", col("vec_id") + lit(1000000L))
-    val found = Dedup.embeddingPairs(emb.unionByName(planted), threshold = 0.95)
+    val enlarged = Dedup.plantNearDups(emb)
+    // planted perturbed vectors really are NEAR-dups, not exact: cosine
+    // strictly < 1 but >= 0.95 (the sign-LSH stress case)
+    val baseVecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    val pertVecs = enlarged.filter(col("vec_id") >= 2000000L)
+      .select(col("vec_id") - 2000000L, col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    pertVecs.foreach { case (id, vp) =>
+      val v = baseVecs(id)
+      val dot = v.zip(vp).map { case (x, y) => x.toDouble * y }.sum
+      val cos = dot / (math.sqrt(v.map(x => x.toDouble * x).sum) *
+        math.sqrt(vp.map(x => x.toDouble * x).sum))
+      assert(cos >= 0.95 && cos < 0.9999, s"vec $id: planted cosine $cos not a near-dup")
+    }
+
+    val found = Dedup.embeddingPairs(enlarged, threshold = 0.95)
       .as[(Long, Long)].collect().toSet
-    val expected = emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id")).as[Long].collect()
-      .map(id => (id, id + 1000000L)).toSet
-    assert(expected.nonEmpty)
-    assert(found == expected,
-      s"missing=${(expected -- found).take(3)} spurious=${(found -- expected).take(3)}")
+    val exactExpected = emb.filter(col("vec_id") % 50 === 0)
+      .select("vec_id").as[Long].collect().map(id => (id, id + 1000000L)).toSet
+    val pertExpected = emb.filter(col("vec_id") % 50 === 25)
+      .select("vec_id").as[Long].collect().map(id => (id, id + 2000000L)).toSet
+    assert(exactExpected.nonEmpty && pertExpected.nonEmpty)
+    // exact dups share their bucket — all found
+    assert(exactExpected.subsetOf(found),
+      s"exact dups missed: ${(exactExpected -- found).take(3)}")
+    // no pair outside the planted sets (base corpus has no natural >=0.95)
+    assert((found -- exactExpected -- pertExpected).isEmpty,
+      s"spurious: ${(found -- exactExpected -- pertExpected).take(3)}")
+    // 1-bit-flip multi-probe earns its keep on the perturbed plants:
+    // strictly better recall than exact-bucket-only blocking, and high
+    // absolute recall (deterministic given the fixed testdata)
+    val recall = pertExpected.count(found).toDouble / pertExpected.size
+    val foundNoProbe = Dedup.embeddingPairs(enlarged, threshold = 0.95, multiProbe = false)
+      .as[(Long, Long)].collect().toSet
+    val recallNoProbe = pertExpected.count(foundNoProbe).toDouble / pertExpected.size
+    assert(recall >= recallNoProbe, s"multi-probe $recall < exact-bucket $recallNoProbe")
+    assert(recall >= 0.8, s"multi-probe recall $recall (exact-bucket-only: $recallNoProbe)")
+  }
+
+  test("broadcast-free verification (useBroadcast=false) yields identical pairs with no broadcast") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = Dedup.minhashPairs(docs, threshold = 0.5)
+        .as[(Long, Long)].collect().toSet
+      val bDf = Dedup.minhashPairs(docs, threshold = 0.5, useBroadcast = false)
+      val b = bDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a == b, s"minhash rows differ: ${(a -- b).take(3)} / ${(b -- a).take(3)}")
+      val emb = Dedup.plantNearDups(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+      val pa = Dedup.embeddingPairs(emb, threshold = 0.95)
+        .as[(Long, Long)].collect().toSet
+      val pbDf = Dedup.embeddingPairs(emb, threshold = 0.95, useBroadcast = false)
+      val pb = pbDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pa == pb, s"embedding rows differ: ${(pa -- pb).take(3)} / ${(pb -- pa).take(3)}")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   test("embedding near-dup pairs verified by exact cosine") {

@@ -49,20 +49,23 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, "no partial agg stage")
   }
 
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+  import org.apache.spark.sql.types.{ArrayType, BinaryType, StringType}
+
+  private def exchanges(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+    case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+    case q: QueryStageExec => exchanges(q.plan)
+    case e: ShuffleExchangeLike =>
+      e +: p.children.flatMap(exchanges)
+    case _ => p.children.flatMap(exchanges)
+  }
+
+  private def isWide(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == StringType || dt == BinaryType || dt.isInstanceOf[ArrayType]
+
   test("dedup near-dup plans shuffle only compact keys — no text/vector in any exchange") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    import org.apache.spark.sql.types.{ArrayType, BinaryType, StringType}
-
-    def exchanges(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
-      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
-      case q: QueryStageExec => exchanges(q.plan)
-      case e: ShuffleExchangeLike =>
-        e +: p.children.flatMap(exchanges)
-      case _ => p.children.flatMap(exchanges)
-    }
-
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     for ((name, df) <- Seq(
@@ -74,14 +77,46 @@ class PlanSpec extends AnyFunSuite {
       assert(exs.nonEmpty, s"$name: expected at least one exchange")
       exs.foreach { e =>
         e.output.foreach { attr =>
-          val bad = attr.dataType == StringType || attr.dataType == BinaryType ||
-            attr.dataType.isInstanceOf[ArrayType]
-          assert(!bad,
+          assert(!isWide(attr.dataType),
             s"$name: exchange carries wide column ${attr.name}: ${attr.dataType} — " +
               "raw payloads must never shuffle (only band/bucket/id ints)")
         }
       }
     }
+  }
+
+  test("broadcast-free dedup verification (useBroadcast=false): no broadcast; only candidate payloads in exchanges") {
+    // the dup-heavy-corpus path: candidate set too large to broadcast.
+    // Every exchange stays id/band ints EXCEPT the O(|candidates|)
+    // payload fetch, which must be a shuffled hash join, never broadcast.
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val emb = graft.operators.Dedup.plantNearDups(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+      for ((name, df, allowed) <- Seq(
+        ("minhashPairs",
+          graft.operators.Dedup.minhashPairs(docs, threshold = 0.5, useBroadcast = false),
+          Set("txt", "txt_a", "txt_b")),
+        ("embeddingPairs",
+          graft.operators.Dedup.embeddingPairs(emb, threshold = 0.95, useBroadcast = false),
+          Set("v", "v_a", "v_b")))) {
+        df.collect() // finalize the adaptive plan
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastExchange") && !plan.contains("BroadcastHashJoin"),
+          s"$name: broadcast-free path must not broadcast:\n$plan")
+        assert(plan.contains("ShuffledHashJoin"),
+          s"$name: expected shuffled hash joins for candidate fetch:\n$plan")
+        exchanges(df.queryExecution.executedPlan).foreach { e =>
+          e.output.foreach { attr =>
+            assert(!isWide(attr.dataType) || allowed.contains(attr.name),
+              s"$name: exchange carries non-candidate wide column ${attr.name}: ${attr.dataType}")
+          }
+        }
+      }
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   test("relational queries stay inside whole-stage codegen") {
