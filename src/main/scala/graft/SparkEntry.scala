@@ -64,15 +64,31 @@ object SparkEntry {
         .orderBy("url", "table_idx", "row_idx", "cell_key")
     }),
     "kg_entities" -> ((s, dir) => {
+      // start_tok included so the kg_relations oracle can recompute the
+      // M4 scorer (token-distance features) in SQL over this dump
       import s.implicits._
       annotated(s, dir)
         .flatMap(x => x.ents.map(e =>
-          (x.url, x.sentId, e.startChar, e.endChar, e.text, e.label, e.entId,
-            e.value, e.unit)))
-        .toDF("url", "sent_id", "start_char", "end_char", "ent_text", "label",
-          "ent_id", "value", "unit")
+          (x.url, x.sentId, e.startChar, e.endChar, e.startTok, e.text,
+            e.label, e.entId, e.value, e.unit)))
+        .toDF("url", "sent_id", "start_char", "end_char", "start_tok",
+          "ent_text", "label", "ent_id", "value", "unit")
         .orderBy("url", "sent_id", "start_char")
     }),
+    "kg_entities_linked" -> ((s, dir) =>
+      // J2 strict form: per-CHEM-mention CID back-attachment
+      // (linker.py:157-162) — the annotated sentence table a reference
+      // consumer reads, with ent._.props analog columns
+      Linking.attachToMentions(annotated(s, dir), Linking.dictDs(s, ChemDict.entries))
+        .orderBy("url", "sent_id", "start_char")),
+    "kg_mention_norms" -> ((s, dir) =>
+      // engine-computed chem_norm per distinct CHEM surface — oracle
+      // INPUT so DuckDB SQL never recomputes normalization (the ASCII
+      // translate() approximation would silently diverge on non-ASCII
+      // or exotic-whitespace surfaces)
+      Linking.mentionCounts(annotated(s, dir))
+        .select(col("mention"), Linking.chemNormCol(col("mention")).as("name_norm"))
+        .orderBy("mention")),
     "kg_relations" -> ((s, dir) => {
       import s.implicits._
       annotated(s, dir)
@@ -445,6 +461,59 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN score < threshold_m/1000.0 AND gold_pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
         |FROM joined CROSS JOIN thresholds
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // the M4 scorer itself, recomputed in SQL over the kg_entities dump:
+    // candidate pairs = can_link_instances (head CHEM/PROP/FORMULA ->
+    // non-head, token distance <= 100, PROPERTY_TO_UNITS compat), score
+    // = distance decay minus capped same-label intervening penalties
+    // (Relations.scala:48-92). Doubles match bit-exactly because both
+    // engines evaluate the same IEEE-754 op sequence.
+    "kg_relations" ->
+      """WITH e AS (
+        |  SELECT url, sent_id, start_tok, label, ent_id
+        |  FROM read_parquet('{OUT}/kg_entities/*.parquet')),
+        |compat(prop, qlabel) AS (VALUES
+        |  ('enthalpy','ENERGY'),('enthalpy','ENTHALPY'),('enthalpy','MAXIMUM ENERGY PRODUCT'),
+        |  ('energy','ENERGY'),('energy','ENTHALPY'),('energy','MAXIMUM ENERGY PRODUCT'),
+        |  ('absorptivity','ABSORPTIVITY'),
+        |  ('heat capacity','HEAT CAPACITY'),
+        |  ('temperature','TEMPERATURE'),
+        |  ('pressure','PRESSURE'),
+        |  ('density','SOLUBILITY'),('density','DENSITY'),
+        |  ('viscosity','DYNAMIC VISCOSITY'),
+        |  ('velocity','VELOCITY'),
+        |  ('thermal','TIME'),('thermal','TEMPERATURE')),
+        |pairs AS (
+        |  SELECT h.url, h.sent_id, h.start_tok AS head_tok, t.start_tok AS tail_tok,
+        |         h.label AS head_label, t.label AS tail_label
+        |  FROM e h JOIN e t ON h.url = t.url AND h.sent_id = t.sent_id
+        |  WHERE h.start_tok <> t.start_tok
+        |    AND abs(t.start_tok - h.start_tok) <= 100
+        |    AND h.label IN ('CHEM','PROP','FORMULA')
+        |    AND t.label NOT IN ('CHEM','PROP','FORMULA')
+        |    AND NOT (h.label IN ('PROP','FORMULA') AND t.label <> 'VALUE'
+        |      AND h.ent_id IN (SELECT prop FROM compat)
+        |      AND NOT EXISTS (SELECT 1 FROM compat c
+        |                      WHERE c.prop = h.ent_id AND c.qlabel = t.label))),
+        |scored AS (
+        |  SELECT p.url, p.sent_id, p.head_tok, p.tail_tok,
+        |    (SELECT count(*) FROM e x
+        |     WHERE x.url = p.url AND x.sent_id = p.sent_id
+        |       AND x.start_tok > least(p.head_tok, p.tail_tok)
+        |       AND x.start_tok < greatest(p.head_tok, p.tail_tok)
+        |       AND x.label = p.tail_label) AS same_tail,
+        |    (SELECT count(*) FROM e x
+        |     WHERE x.url = p.url AND x.sent_id = p.sent_id
+        |       AND x.start_tok > least(p.head_tok, p.tail_tok)
+        |       AND x.start_tok < greatest(p.head_tok, p.tail_tok)
+        |       AND x.label = p.head_label) AS same_head
+        |  FROM pairs p)
+        |SELECT url, sent_id, head_tok, tail_tok, 'has_value' AS rel_label,
+        |  greatest(0.0, least(1.0,
+        |    1.0 - abs(tail_tok - head_tok) / 200.0
+        |        - 0.3 * least(same_tail, 2)
+        |        - 0.15 * least(same_head, 2))) AS score
+        |FROM scored
+        |ORDER BY url, sent_id, head_tok, tail_tok""".stripMargin,
     "kg_entity_table" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT cid_a, cid_b FROM read_parquet('{OUT}/kg_canon_pairs/*.parquet')),
@@ -461,13 +530,17 @@ object SparkEntry {
         |       d.molecular_weight AS molecularWeight
         |FROM labels l JOIN read_parquet('{OUT}/kg_dict_props/*.parquet') d USING (cid)
         |ORDER BY clusterId, cid""".stripMargin,
+    // name_norm comes from the engine's own kg_mention_norms dump —
+    // DuckDB never recomputes chem_norm (NFKC + Unicode lowercase +
+    // full whitespace classes are not reproducible with ASCII SQL)
     "kg_linked" ->
       """WITH trip AS (SELECT * FROM read_parquet('{OUT}/kg_triples/*.parquet')),
         |ents AS (SELECT * FROM read_parquet('{OUT}/kg_entities/*.parquet')),
+        |norms AS (SELECT * FROM read_parquet('{OUT}/kg_mention_norms/*.parquet')),
         |eligible AS (
-        |  SELECT ent_text AS mention,
-        |    trim(regexp_replace(translate(lower(ent_text), '-_', '  '), ' +', ' ', 'g')) AS name_norm
-        |  FROM ents WHERE label = 'CHEM'
+        |  SELECT e.ent_text AS mention, any_value(nm.name_norm) AS name_norm
+        |  FROM ents e JOIN norms nm ON nm.mention = e.ent_text
+        |  WHERE e.label = 'CHEM'
         |  GROUP BY 1 HAVING count(*) >= 3),
         |links AS (
         |  SELECT e.mention, n.cid, p.canonical_name, p.molecular_formula,
@@ -480,6 +553,29 @@ object SparkEntry {
         |FROM trip t LEFT JOIN links l
         |  ON (CASE WHEN t.headLabel = 'CHEM' THEN t.headText END) = l.mention
         |ORDER BY t.url, t.sentId, t.headText, t.valueText, t.score""".stripMargin,
+    // J2 strict back-attachment: every CHEM mention row left-joined to
+    // the A1-gated link table — same link derivation as kg_linked
+    "kg_entities_linked" ->
+      """WITH ents AS (SELECT * FROM read_parquet('{OUT}/kg_entities/*.parquet')),
+        |norms AS (SELECT * FROM read_parquet('{OUT}/kg_mention_norms/*.parquet')),
+        |eligible AS (
+        |  SELECT e.ent_text AS mention, any_value(nm.name_norm) AS name_norm
+        |  FROM ents e JOIN norms nm ON nm.mention = e.ent_text
+        |  WHERE e.label = 'CHEM'
+        |  GROUP BY 1 HAVING count(*) >= 3),
+        |links AS (
+        |  SELECT e.mention, n.cid, p.canonical_name, p.molecular_formula,
+        |         p.molecular_weight, p.canonical_smiles, p.iupac_name
+        |  FROM eligible e
+        |  JOIN read_parquet('{OUT}/kg_dict_names/*.parquet') n USING (name_norm)
+        |  JOIN read_parquet('{OUT}/kg_dict_props/*.parquet') p USING (cid))
+        |SELECT m.mention, m.url, m.sent_id, m.start_char, m.end_char, m.start_tok,
+        |       l.cid, l.canonical_name, l.molecular_formula, l.molecular_weight,
+        |       l.canonical_smiles, l.iupac_name
+        |FROM (SELECT url, sent_id, start_char, end_char, start_tok,
+        |        ent_text AS mention FROM ents WHERE label = 'CHEM') m
+        |LEFT JOIN links l USING (mention)
+        |ORDER BY url, sent_id, start_char""".stripMargin,
     "dedup_minhash_clusters" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT id_a, id_b FROM read_parquet('{OUT}/dedup_minhash_pairs/*.parquet')),

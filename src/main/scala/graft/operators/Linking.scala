@@ -107,6 +107,32 @@ object Linking {
       .drop("name_norm")
   }
 
+  /** J2 strict form (linker.py:157-162): back-attach linked properties
+    * to EVERY CHEM mention of the annotated sentence table — the
+    * reference re-walks all docs after linking and sets `ent._.props`
+    * on each CHEM span, not only on triple heads. One row per CHEM
+    * mention with its CID + properties (nulls when the surface is rare
+    * or unresolved), so a consumer of the annotated sentence table gets
+    * per-mention CIDs exactly like the reference's primary artifact.
+    * Same broadcast discipline as the triple path (links is
+    * A1-gated + dict-joined, then broadcast onto the mention rows).
+    */
+  def attachToMentions(
+      annotated: Dataset[Sentence],
+      dict: Dataset[ChemDictEntry],
+      minOccurrences: Int = MinOccurrences
+  ): DataFrame = {
+    val spark = annotated.sparkSession
+    import spark.implicits._
+    val mentions = annotated.flatMap { s =>
+      s.ents.iterator.filter(_.label == "CHEM").map(e =>
+        (s.url, s.sentId, e.startChar, e.endChar, e.startTok, e.text))
+    }.toDF("url", "sent_id", "start_char", "end_char", "start_tok", "mention")
+    mentions.join(
+      broadcast(surfaceLinks(annotated, dict, minOccurrences, useBroadcast = true)),
+      Seq("mention"), "left_outer")
+  }
+
   /** J1+J2 broadcast path: triples ⟕ surface-link table on the exact
     * head surface (CHEM heads only; non-CHEM heads pass through
     * unlinked, as in the reference where only CHEM ents carry props).

@@ -53,6 +53,32 @@ class LinkingSpec extends AnyFunSuite {
     assert(cids.isEmpty || cids == Seq(10L))
   }
 
+  test("J2 strict: attachToMentions rows = CHEM mentions; CIDs agree with the triple path") {
+    import spark.implicits._
+    val attached = Linking.attachToMentions(annotated,
+      Linking.dictDs(spark, ChemDict.entries)).cache()
+    // exactly one row per CHEM mention of the annotated table
+    val nMentions = annotated.flatMap(s => s.ents.filter(_.label == "CHEM")).count()
+    assert(attached.count() == nMentions)
+    // A1 gate holds per mention
+    val counts = Linking.mentionCounts(annotated).as[(String, Long)].collect().toMap
+    attached.filter(col("cid").isNotNull).select("mention").distinct()
+      .as[String].collect().foreach(m => assert(counts(m) >= 3, s"linked-but-rare: $m"))
+    // the per-mention cid matches what the triple-head path links
+    val tripleCids = Linking.linkTriples(triples, annotated, ChemDict.entries)
+      .filter(col("headLabel") === "CHEM" && col("cid").isNotNull)
+      .select(col("headText"), col("cid")).distinct()
+      .as[(String, Long)].collect().toMap
+    val mentionCids = attached.filter(col("cid").isNotNull)
+      .select(col("mention"), col("cid")).distinct()
+      .as[(String, Long)].collect().toMap
+    assert(tripleCids.nonEmpty)
+    tripleCids.foreach { case (m, c) =>
+      assert(mentionCids.get(m).contains(c), s"cid mismatch for $m")
+    }
+    attached.unpersist()
+  }
+
   test("salted join produces identical rows to broadcast join") {
     val a = Linking.linkTriples(triples, annotated, ChemDict.entries)
     val b = Linking.linkTriplesSalted(triples, annotated, ChemDict.entries, nSalts = 4)
