@@ -58,6 +58,20 @@ object Materialize {
     }
   }
 
+  /** The bucket count every write/resume/read path must agree on: once
+    * table metadata exists, the STORED B wins and the caller-supplied
+    * value is ignored — resuming an existing table with a different
+    * `buckets` argument would otherwise silently mix two bucket
+    * numberings in one table (wrong resume skips + wrong pruning).
+    * First call records the requested B.
+    */
+  private def resolveBuckets(spark: SparkSession, outDir: String, requested: Int): Int = {
+    val path = new org.apache.hadoop.fs.Path(metaPath(outDir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) tableBuckets(spark, outDir)
+    else { writeMeta(spark, outDir, requested); requested }
+  }
+
   /** Bucket count the table was written with (from table_meta.json). */
   def tableBuckets(spark: SparkSession, outDir: String): Int = {
     val path = new org.apache.hadoop.fs.Path(metaPath(outDir))
@@ -73,11 +87,14 @@ object Materialize {
   }
 
   /** Buckets already completed in a previous run (empty on first run). */
-  def completedBuckets(spark: SparkSession, outDir: String): Set[Int] = {
-    val path = new org.apache.hadoop.fs.Path(manifestPath(outDir))
+  def completedBuckets(spark: SparkSession, outDir: String): Set[Int] =
+    completedBucketsAt(spark, manifestPath(outDir))
+
+  private def completedBucketsAt(spark: SparkSession, manifest: String): Set[Int] = {
+    val path = new org.apache.hadoop.fs.Path(manifest)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) Set.empty
-    else spark.read.parquet(manifestPath(outDir))
+    else spark.read.parquet(manifest)
       .select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
   }
@@ -93,51 +110,65 @@ object Materialize {
       buckets: Int = 16,
       onlyBuckets: Option[Set[Int]] = None // test hook: simulate partial run
   ): Int = {
+    val b = resolveBuckets(spark, outDir, buckets)
     val done = completedBuckets(spark, outDir)
-    writeMeta(spark, outDir, buckets)
+
+    val attempted = onlyBuckets.getOrElse((0 until b).toSet) -- done
+    if (attempted.isEmpty) return 0 // true no-op: no job submitted
 
     // resume filter: drop pages of completed buckets BEFORE any work
     val remaining = pages
-      .withColumn("bucket", pmod(hash(col("url")), lit(buckets)))
-      .filter(!col("bucket").isin(done.toSeq: _*))
-      .filter(onlyBuckets match {
-        case Some(bs) => col("bucket").isin(bs.toSeq: _*)
-        case None => lit(true)
-      })
+      .withColumn("bucket", pmod(hash(col("url")), lit(b)))
+      .filter(col("bucket").isin(attempted.toSeq: _*))
       .drop("bucket").as[Page](pages.encoder)
 
-    writeTriplesResumable(spark, Pipeline.run(remaining).toDF(), outDir, buckets, done)
+    appendBucketedWithManifest(spark, Pipeline.run(remaining).toDF(), b,
+      s"$outDir/$StageTriples", StageTriples, attempted)
   }
 
-  /** Append triples bucketed by url-hash, then record lineage rows for
-    * the freshly written buckets. The lineage pass selects ONLY the
-    * `bucket` partition column — the scan reads zero data columns
+  /** Append stage rows bucketed by url-hash, then record lineage rows
+    * for every ATTEMPTED bucket — including row-count-0 buckets, which
+    * have no data directory but must still be manifested as complete or
+    * a resume would retry them forever. The lineage pass selects ONLY
+    * the `bucket` partition column — the scan reads zero data columns
     * (values come from directory names, row counts from parquet
     * footers), so it is metadata-cost, not a second pass over the data.
     */
-  private def writeTriplesResumable(
+  private def appendBucketedWithManifest(
       spark: SparkSession,
-      triples: DataFrame,
-      outDir: String,
+      rows: DataFrame,
       buckets: Int,
-      done: Set[Int]
+      stageDir: String,
+      stage: String,
+      attempted: Set[Int]
   ): Int = {
+    import spark.implicits._
     val t0 = System.currentTimeMillis()
-    withBucket(triples, buckets).write.mode(SaveMode.Append)
+    withBucket(rows, buckets).write.mode(SaveMode.Append)
       .partitionBy("bucket")
-      .parquet(dataPath(outDir))
+      .parquet(s"$stageDir/data")
 
     val t1 = System.currentTimeMillis()
-    val doneNow = spark.read.parquet(dataPath(outDir))
-      .select(col("bucket").cast("int").as("bucket"))
-      .filter(!col("bucket").isin(done.toSeq: _*))
-      .groupBy("bucket").agg(count(lit(1)).as("rows"))
-      .withColumn("stage", lit(StageTriples))
+    // an all-empty append leaves no readable parquet under data/ — the
+    // manifest must still record the attempted buckets (rows=0)
+    val counts =
+      try spark.read.parquet(s"$stageDir/data")
+        .select(col("bucket").cast("int").as("bucket"))
+        .filter(col("bucket").isin(attempted.toSeq: _*))
+        .groupBy("bucket").agg(count(lit(1)).as("rows"))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          Seq.empty[(Int, Long)].toDF("bucket", "rows")
+      }
+    val doneNow = attempted.toSeq.sorted.toDF("bucket")
+      .join(counts, Seq("bucket"), "left_outer")
+      .withColumn("rows", coalesce(col("rows"), lit(0L)))
+      .withColumn("stage", lit(stage))
       .withColumn("startedAtMs", lit(t0))
       .withColumn("finishedAtMs", lit(t1))
       .select("stage", "bucket", "rows", "startedAtMs", "finishedAtMs")
-    doneNow.write.mode(SaveMode.Append).parquet(manifestPath(outDir))
-    doneNow.count().toInt
+    doneNow.write.mode(SaveMode.Append).parquet(s"$stageDir/manifest")
+    attempted.size
   }
 
   /** Read the materialized triple table (all completed buckets). */
@@ -160,35 +191,102 @@ object Materialize {
         col("url") === url)
   }
 
-  /** Materialize the full graph: triples (resumable) + linked triple
-    * table + canonical entity table + lineage.
+  val StageLinked = "linked"
+  val StageEntities = "entities"
+
+  /** Content hash of the dictionary the entity table was built from —
+    * recorded in entities/table_meta.json so an unchanged dict skips
+    * the full CC rebuild on resume.
+    */
+  private def dictHash(dict: Array[graft.model.ChemDictEntry]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    dict.sortBy(_.cid).foreach { e =>
+      md.update((e.cid.toString + "|" + e.canonicalName + "|" +
+        e.synonyms.mkString(",") + "|" + e.molecularFormula + "|" +
+        e.molecularWeight + "|" + e.canonicalSmiles + "|" + e.iupacName + "\n")
+        .getBytes("UTF-8"))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def entitiesMetaPath(outDir: String) = s"$outDir/$StageEntities/table_meta.json"
+
+  private def entitiesUpToDate(spark: SparkSession, outDir: String, hash: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(entitiesMetaPath(outDir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) false
+    else {
+      val in = fs.open(path)
+      val s = scala.io.Source.fromInputStream(in).mkString
+      in.close()
+      s.contains(s""""dict_hash":"$hash"""")
+    }
+  }
+
+  private def writeEntitiesMeta(spark: SparkSession, outDir: String, hash: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(entitiesMetaPath(outDir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    out.write(s"""{"dict_hash":"$hash"}""".getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Materialize the full graph: triples + linked triple table +
+    * canonical entity table + lineage. ALL three stages are resumable:
+    * triples and linked at manifest/bucket granularity (append-only,
+    * completed buckets are never re-scanned or re-joined), the entity
+    * table by dictionary content hash (an unchanged dict skips the CC
+    * loop). A rerun over a fully materialized graph submits NO Spark
+    * jobs at all (asserted in ResumeSpec via a job listener).
     */
   def materializeGraph(
       spark: SparkSession,
       pages: Dataset[Page],
       outDir: String,
-      buckets: Int = 16
+      buckets: Int = 16,
+      onlyBuckets: Option[Set[Int]] = None // test hook: simulate partial run
   ): Unit = {
     import spark.implicits._
+    val b = resolveBuckets(spark, outDir, buckets)
+    val doneT = completedBuckets(spark, outDir)
+    val doneL = completedBucketsAt(spark, s"$outDir/$StageLinked/manifest")
+    val dHash = dictHash(ChemDict.entries)
+    val entitiesDone = entitiesUpToDate(spark, outDir, dHash)
+    val only: Set[Int] = onlyBuckets.getOrElse((0 until b).toSet)
+    val remainingT = (only -- doneT)
+    val remainingL = (only -- doneL)
+    if (remainingT.isEmpty && remainingL.isEmpty && entitiesDone) return
+
     // ONE NER pass: the annotated sentence table feeds both the triple
-    // write and the linking join (previously annotate ran twice)
-    val sents = Pipeline.annotate(Pipeline.sentences(pages),
+    // write and the linking join — and only when some stage needs it
+    lazy val sents = Pipeline.annotate(Pipeline.sentences(pages),
       ChemDict.entries.flatMap(_.synonyms)).persist()
+    val needSents = remainingT.nonEmpty || remainingL.nonEmpty
     try {
-      val done = completedBuckets(spark, outDir)
-      writeMeta(spark, outDir, buckets)
-      val remaining = sents
-        .withColumn("bucket", pmod(hash(col("url")), lit(buckets)))
-        .filter(!col("bucket").isin(done.toSeq: _*))
-        .drop("bucket").as[Sentence]
-      writeTriplesResumable(spark, Pipeline.triples(remaining).toDF(),
-        outDir, buckets, done)
-      val triples = readTriples(spark, outDir).drop("bucket").as[Triple]
-      val linked = Linking.linkTriples(triples, sents, ChemDict.entries)
-      withBucket(linked, buckets).write.mode(SaveMode.Overwrite)
-        .partitionBy("bucket").parquet(s"$outDir/linked/data")
-      Canonicalize.entityTable(spark, ChemDict.entries)
-        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/entities/data")
-    } finally sents.unpersist()
+      if (remainingT.nonEmpty) {
+        val todo = sents
+          .withColumn("bucket", pmod(hash(col("url")), lit(b)))
+          .filter(col("bucket").isin(remainingT.toSeq: _*))
+          .drop("bucket").as[Sentence]
+        appendBucketedWithManifest(spark, Pipeline.triples(todo).toDF(), b,
+          s"$outDir/$StageTriples", StageTriples, remainingT)
+      }
+      if (remainingL.nonEmpty) {
+        // link ONLY the still-unlinked buckets' triples; the A1 gate +
+        // dict join (surface links) is corpus-global, computed from the
+        // full annotated table as always
+        val todo = readTriples(spark, outDir)
+          .filter(col("bucket").isin(remainingL.toSeq: _*))
+          .drop("bucket").as[Triple]
+        val linked = Linking.linkTriples(todo, sents, ChemDict.entries)
+        appendBucketedWithManifest(spark, linked, b,
+          s"$outDir/$StageLinked", StageLinked, remainingL)
+      }
+      if (!entitiesDone) {
+        Canonicalize.entityTable(spark, ChemDict.entries)
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$StageEntities/data")
+        writeEntitiesMeta(spark, outDir, dHash)
+      }
+    } finally if (needSents) sents.unpersist()
   }
 }

@@ -82,24 +82,37 @@ object EventStream {
             state.remove()
             Iterator.single(UserSession(user, s.startS, s.lastS, s.n))
           } else {
-            // within one micro-batch, fold sorted event times into
-            // sessions; emit every closed one, keep the open tail
-            val times = rows.map(_._2.getTime).toArray.sorted
-            val closed = Iterator.newBuilder[UserSession]
-            var acc = state.getOption.orNull
-            times.foreach { t =>
-              acc match {
-                case null => acc = SessionAcc(t, t, 1)
-                case a if t - a.lastS <= gapMs =>
-                  acc = SessionAcc(a.startS, math.max(a.lastS, t), a.n + 1)
-                case a =>
-                  closed += UserSession(user, a.startS, a.lastS, a.n)
-                  acc = SessionAcc(t, t, 1)
-              }
+            // merge the micro-batch's event times with the open-state
+            // interval. flatMapGroupsWithState does NOT drop
+            // late-but-within-watermark rows, so events may arrive
+            // OLDER than the open session's start: treating the state
+            // as an interval [startS, lastS] (whose interior gaps are
+            // already <= gap, so anything within gap of the interval
+            // belongs to it) reproduces the batch window semantics —
+            // a late event within gap of the start LOWERS the session
+            // start; one more than gap older forms its own session.
+            val intervals = scala.collection.mutable.ArrayBuffer.empty[SessionAcc]
+            state.getOption.foreach(intervals += _)
+            rows.foreach { case (_, ts) =>
+              intervals += SessionAcc(ts.getTime, ts.getTime, 1)
             }
-            state.update(acc)
-            state.setTimeoutTimestamp(acc.lastS + gapMs)
-            closed.result().iterator
+            val merged = scala.collection.mutable.ArrayBuffer.empty[SessionAcc]
+            intervals.sortBy(a => (a.startS, a.lastS)).foreach { iv =>
+              if (merged.nonEmpty && iv.startS - merged.last.lastS <= gapMs) {
+                val last = merged.last
+                merged(merged.length - 1) = SessionAcc(
+                  math.min(last.startS, iv.startS),
+                  math.max(last.lastS, iv.lastS), last.n + iv.n)
+              } else merged += iv
+            }
+            val open = merged.last
+            state.update(open)
+            // a very late batch can leave lastS + gap at/below the
+            // watermark; Spark requires a timeout strictly above it
+            state.setTimeoutTimestamp(math.max(open.lastS + gapMs,
+              state.getCurrentWatermarkMs() + 1))
+            merged.dropRight(1).iterator
+              .map(a => UserSession(user, a.startS, a.lastS, a.n))
           }
       }
   }

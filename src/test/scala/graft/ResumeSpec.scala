@@ -43,6 +43,11 @@ class ResumeSpec extends AnyFunSuite {
     // third run is a no-op (all buckets manifested)
     assert(Materialize.runResumable(spark, pages, dirB, B) == 0)
 
+    // the stored bucket count wins over a mismatched caller argument:
+    // resuming with buckets=999 must not renumber/reprocess anything
+    assert(Materialize.runResumable(spark, pages, dirB, 999) == 0)
+    assert(Materialize.tableBuckets(spark, dirB) == B)
+
     // lineage: one row per bucket, row counts match the data
     val manifest = spark.read.parquet(Materialize.manifestPath(dirB))
     assert(manifest.select("bucket").distinct().count() == B)
@@ -83,5 +88,55 @@ class ResumeSpec extends AnyFunSuite {
     val before = tripleKeys(triples)
     Materialize.materializeGraph(spark, pages, dir, buckets = 4)
     assert(tripleKeys(Materialize.readTriples(spark, dir)) == before)
+  }
+
+  test("materializeGraph resumes the linked stage per bucket; complete rerun does no stage work") {
+    val dirA = Files.createTempDirectory("graft-mat-res-a").toString
+    val dirB = Files.createTempDirectory("graft-mat-res-b").toString
+    val pages = PageGen.pages(spark, 60)
+
+    def linkedKeys(dir: String): Set[String] =
+      spark.read.parquet(s"$dir/linked/data")
+        .selectExpr("concat_ws('|', url, sentId, headText, valueText, cast(cid as string))")
+        .collect().map(_.getString(0)).toSet
+
+    // single shot
+    Materialize.materializeGraph(spark, pages, dirA, buckets = 4)
+    // partial run (buckets 0-1 only), then resume completes 2-3
+    Materialize.materializeGraph(spark, pages, dirB, buckets = 4, Some(Set(0, 1)))
+    val partial = spark.read.parquet(s"$dirB/linked/manifest")
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    assert(partial == Set(0, 1))
+    Materialize.materializeGraph(spark, pages, dirB, buckets = 4)
+    assert(linkedKeys(dirB) == linkedKeys(dirA))
+    assert(linkedKeys(dirB).nonEmpty)
+
+    // a rerun over the fully materialized graph must do no stage work:
+    // no triple re-scan, no linking join, no CC rebuild. Direct
+    // evidence: every data file untouched (mtime), and the only Spark
+    // jobs are the two one-row-per-bucket manifest reads.
+    def mtimes(sub: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dirB/$sub")).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val beforeFiles = mtimes("triples/data") ++ mtimes("linked/data") ++ mtimes("entities/data")
+    assert(beforeFiles.nonEmpty)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Materialize.materializeGraph(spark, pages, dirB, buckets = 4)
+      Thread.sleep(1000) // listener bus is async; drain before asserting
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val afterFiles = mtimes("triples/data") ++ mtimes("linked/data") ++ mtimes("entities/data")
+    assert(afterFiles == beforeFiles, "rerun touched materialized data files")
+    // each tiny manifest read costs ~3 jobs (file listing + schema +
+    // the distinct-collect); stage work would be dozens
+    assert(jobs.get() <= 8, s"complete rerun submitted ${jobs.get()} jobs (manifest reads only expected)")
   }
 }

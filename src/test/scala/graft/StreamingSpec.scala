@@ -54,6 +54,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(keys(spark.read.parquet(outDir)) == keys(Pipeline.run(pages).toDF()))
   }
 
+  test("sessionization merges late out-of-order events like the batch semantics") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sessions-ooo").toString
+    def write(rows: Seq[(Long, Long)]): Unit = // (user_id, minute)
+      rows.toDF("user_id", "m")
+        .withColumn("ts", expr("timestamp_millis(m * 60000 + 1500000000000)"))
+        .withColumn("event_id", lit(0L)).withColumn("event_type", lit("x"))
+        .withColumn("value", lit(0.0)).withColumn("props", lit(""))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+
+    write(Seq((1L, 100L), (1L, 110L), (2L, 200L)))
+    val q = EventStream.userSessions(spark, dir, gapMinutes = 30, watermark = "240 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sessions_ooo").start()
+    try {
+      q.processAllAvailable()
+      // out-of-order second batch: user1's event arrives BEFORE its open
+      // session's start but within gap (must merge and LOWER the start);
+      // user2's is more than gap older (must become its own session)
+      write(Seq((1L, 95L), (2L, 100L)))
+      q.processAllAvailable()
+      write(Seq((999L, 100000L))) // sentinel: watermark past everything
+      q.processAllAvailable()
+
+      val streamed = spark.sql(
+        "SELECT user_id, session_start_ms, session_end_ms, n_events FROM sessions_ooo " +
+        "WHERE user_id < 999")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = EventStream.userSessionsBatch(
+        spark.read.parquet(dir).filter(col("user_id") < 999), gapMinutes = 30)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(5)} spurious=${(streamed -- batch).take(5)}")
+      // the late event genuinely lowered user1's session start
+      assert(streamed.exists(s => s._1 == 1L &&
+        s._2 == 95L * 60000 + 1500000000000L && s._4 == 3L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization: closed stream sessions == batch sessions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-sessions").toString
