@@ -45,7 +45,8 @@ object SparkEntry {
     // ---------- KG pipeline (rows-only; gated by PipelineSpec P/R) ----------
     "kg_sentences" -> ((s, dir) =>
       Pipeline.sentences(pages(s, dir))
-        .select(col("url"), col("sentId"), col("section"), col("title"),
+        .select(col("url"), col("sentId"), col("section"),
+          col("isAbstract").as("is_abstract"), col("title"),
           col("doi"), concat_ws("; ", col("authors")).as("authors"),
           col("pubDate"), col("text"))
         .orderBy("url", "sentId")),

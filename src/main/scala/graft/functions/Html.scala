@@ -48,21 +48,32 @@ object Html {
     */
   def rowText(r: TableRow): String = rowCellsInOrder(r).mkString("\t")
 
+  /** `abstractParas` is a DISTINCT field from `sections`, mirroring the
+    * reference's Article.abstract vs Article.sections split
+    * (pdf_parser.py:128-141) — consumers can tell abstract text apart
+    * without relying on a section named "Abstract".
+    */
   final case class ExtractedDoc(title: String, doi: String, sections: Array[Section],
       authors: Array[String] = Array.empty, pubDate: String = "",
-      tables: Array[Table] = Array.empty) {
+      tables: Array[Table] = Array.empty,
+      abstractParas: Array[String] = Array.empty) {
 
-    /** Canonical text serialization: sections joined by "\n\n", each
-      * section = heading + "\n" + paragraphs joined by "\n"; then each
-      * table as heading + description paragraphs + one tab-joined line
-      * per row. Authors/pub_date are metadata fields, not text.
+    /** Canonical text serialization: the abstract block first (rendered
+      * with the literal "Abstract" heading), then sections joined by
+      * "\n\n", each section = heading + "\n" + paragraphs joined by
+      * "\n"; then each table as heading + description paragraphs + one
+      * tab-joined line per row. Authors/pub_date are metadata fields,
+      * not text.
       */
     def text: String = {
+      val abs =
+        if (abstractParas.isEmpty) Array.empty[String]
+        else Array("Abstract\n" + abstractParas.mkString("\n"))
       val secs = sections.map(s => s.heading + "\n" + s.paragraphs.mkString("\n"))
       val tbls = tables.map { t =>
         (t.heading +: (t.description ++ t.rows.map(rowText))).mkString("\n")
       }
-      (secs ++ tbls).mkString("\n\n")
+      (abs ++ secs ++ tbls).mkString("\n\n")
     }
   }
 
@@ -117,6 +128,13 @@ object Html {
     sb.append("</head><body>\n<article data-doi=\"")
       .append(escape(doc.doi))
       .append("\">\n<h1>").append(escape(doc.title)).append("</h1>\n")
+    if (doc.abstractParas.nonEmpty) {
+      sb.append("<section data-field=\"abstract\"><h2>Abstract</h2>\n")
+      doc.abstractParas.foreach { p =>
+        sb.append("<p>").append(escape(p)).append("</p>\n")
+      }
+      sb.append("</section>\n")
+    }
     doc.sections.foreach { sec =>
       sb.append("<section><h2>").append(escape(sec.heading)).append("</h2>\n")
       sec.paragraphs.foreach { p =>
@@ -167,12 +185,16 @@ object Html {
     val doi = between(s, "data-doi=\"", "\"", 0)
       .map(t => unescape(t._1)).getOrElse("")
     val sections = ArrayBuffer.empty[Section]
+    val abstractParas = ArrayBuffer.empty[String]
     var pos = 0
     var continue = true
     while (continue) {
-      val secStart = s.indexOf("<section>", pos)
+      val secStart = s.indexOf("<section", pos)
       if (secStart < 0) continue = false
       else {
+        // abstract is a distinct Article field (pdf_parser.py:128-141),
+        // marked in the html; regular sections keep their heading
+        val isAbstract = s.startsWith("<section data-field=\"abstract\">", secStart)
         val secEnd = s.indexOf("</section>", secStart)
         val end = if (secEnd < 0) s.length else secEnd
         val heading = between(s, "<h2>", "</h2>", secStart)
@@ -189,7 +211,8 @@ object Html {
             case _ => inner = false
           }
         }
-        sections += Section(heading, paras.toArray)
+        if (isAbstract) abstractParas ++= paras
+        else sections += Section(heading, paras.toArray)
         pos = end + "</section>".length
       }
     }
@@ -285,7 +308,8 @@ object Html {
         tpos = figEnd + 9
       }
     }
-    ExtractedDoc(title, doi, sections.toArray, authors.toArray, pubDate, tables.toArray)
+    ExtractedDoc(title, doi, sections.toArray, authors.toArray, pubDate,
+      tables.toArray, abstractParas.toArray)
   }
 
   /** Convenience: full extracted text from html bytes. */

@@ -74,7 +74,11 @@ final case class Sentence(
     // Article.authors / Article.pub_date); trailing defaults keep the
     // core-10-field constructor shape stable
     authors: Array[String] = Array.empty,
-    pubDate: String = ""
+    pubDate: String = "",
+    // true when the row comes from the article's abstract — a distinct
+    // Article field in the reference (pdf_parser.py:128-141), not just
+    // a section heading
+    isAbstract: Boolean = false
 )
 
 /** Emitted (chemical, property, value-with-unit) triple

@@ -46,6 +46,17 @@ object Pipeline {
         val doc = Html.extract(html)
         val out = ArrayBuffer.empty[Sentence]
         var sid = 0
+        // abstract first (document order): a distinct Article field in
+        // the reference, carried as isAbstract=true rows here
+        doc.abstractParas.foreach { para =>
+          Text.splitSentences(para).foreach { sent =>
+            out += Sentence(url, docId = 0L, sentId = sid, section = "Abstract",
+              title = doc.title, doi = doc.doi, text = sent,
+              tokens = Text.tokenize(sent), ents = Array.empty, rels = Array.empty,
+              authors = doc.authors, pubDate = doc.pubDate, isAbstract = true)
+            sid += 1
+          }
+        }
         doc.sections.foreach { sec =>
           sec.paragraphs.foreach { para =>
             Text.splitSentences(para).foreach { sent =>

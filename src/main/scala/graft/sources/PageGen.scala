@@ -309,8 +309,12 @@ object PageGen {
     }
   }
 
+  // the abstract is a distinct Article field (pdf_parser.py:128-141) —
+  // generated separately from the body sections, but with the SAME
+  // "Abstract:<p>:<s>" slot keys as before so surfaces/templates (and
+  // therefore every golden byte) are unchanged
+  private val AbstractPlan: Array[Int] = Array(2) // 1 paragraph of 2 sentences
   private val SectionPlan: Array[(String, Array[Int])] = Array(
-    ("Abstract", Array(2)), // 1 paragraph of 2 sentences
     ("Results", Array(2, 2)), // 2 paragraphs of 2 sentences
     ("Thermal analysis", Array(2)) // 1 paragraph of 2 sentences
   )
@@ -330,11 +334,12 @@ object PageGen {
     val goldSents = ArrayBuffer.empty[(String, GoldSentence)] // (section, gold)
     val htmlSections = ArrayBuffer.empty[Html.Section]
     val textSections = ArrayBuffer.empty[Html.Section]
+    val abstractHtml = ArrayBuffer.empty[String]
+    val abstractText = ArrayBuffer.empty[String]
 
     if (lang == "en") {
-      SectionPlan.foreach { case (heading, paras) =>
-        val htmlParas = ArrayBuffer.empty[String]
-        val textParas = ArrayBuffer.empty[String]
+      def genParas(heading: String, paras: Array[Int],
+          htmlOut: ArrayBuffer[String], textOut: ArrayBuffer[String]): Unit =
         paras.zipWithIndex.foreach { case (nSents, p) =>
           val gs = (0 until nSents).map { s =>
             val slot = s"$heading:$p:$s"
@@ -344,9 +349,14 @@ object PageGen {
             goldSents += ((heading, g))
             g
           }
-          htmlParas += gs.map(_.htmlText).mkString(" ")
-          textParas += gs.map(_.text).mkString(" ")
+          htmlOut += gs.map(_.htmlText).mkString(" ")
+          textOut += gs.map(_.text).mkString(" ")
         }
+      genParas("Abstract", AbstractPlan, abstractHtml, abstractText)
+      SectionPlan.foreach { case (heading, paras) =>
+        val htmlParas = ArrayBuffer.empty[String]
+        val textParas = ArrayBuffer.empty[String]
+        genParas(heading, paras, htmlParas, textParas)
         htmlSections += Html.Section(heading, htmlParas.toArray)
         textSections += Html.Section(heading, textParas.toArray)
       }
@@ -382,8 +392,10 @@ object PageGen {
           (headerCells +: dataRows.map(_._1)).map(mkRow).toArray))
       } else Array.empty[Html.Table]
 
-    val htmlDoc = Html.ExtractedDoc(title, doi, htmlSections.toArray, authors, pubDate, tables)
-    val textDoc = Html.ExtractedDoc(title, doi, textSections.toArray, authors, pubDate, tables)
+    val htmlDoc = Html.ExtractedDoc(title, doi, htmlSections.toArray, authors, pubDate,
+      tables, abstractHtml.toArray)
+    val textDoc = Html.ExtractedDoc(title, doi, textSections.toArray, authors, pubDate,
+      tables, abstractText.toArray)
     val page = Page(url, new Timestamp(1700000000000L + i * 60000L),
       Html.render(htmlDoc), textDoc.text, lang)
 
@@ -396,7 +408,7 @@ object PageGen {
         RelEdge(g.ents(h).startTok, g.ents(t).startTok, "has_value", 1.0)
       }
       Sentence(url, i, sid, section, title, doi, g.text, toks, g.ents, rels,
-        authors = authors, pubDate = pubDate)
+        authors = authors, pubDate = pubDate, isAbstract = section == "Abstract")
     }.toArray
 
     // gold triples = hand-authored associations materialized directly:

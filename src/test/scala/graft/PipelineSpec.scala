@@ -41,6 +41,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(engine == gold)
   }
 
+  test("abstract is a distinct field: isAbstract rows == abstractParas sentences") {
+    import spark.implicits._
+    val sents = Pipeline.sentences(PageGen.pages(spark, N))
+      .map(s => (s.url, s.section, s.isAbstract)).collect()
+    // every abstract row is flagged, and only those (the flag does not
+    // ride on a section heading — Html.extract keeps abstractParas
+    // apart from sections, pdf_parser.py:128-141 analog)
+    assert(sents.exists(_._3))
+    sents.foreach { case (url, section, isAbs) =>
+      assert(isAbs == (section == "Abstract"), s"$url/$section flagged $isAbs")
+    }
+    // the extractor itself keeps the fields apart
+    val doc = Html.extract(PageGen.genPage(3L).page.html)
+    assert(doc.abstractParas.nonEmpty)
+    assert(!doc.sections.exists(_.heading == "Abstract"))
+  }
+
   test("NER reproduces gold entities exactly") {
     import spark.implicits._
     val names = ChemDict.entries.flatMap(_.synonyms)
