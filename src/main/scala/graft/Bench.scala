@@ -24,45 +24,63 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  def run(spark: SparkSession, sfDir: String): (Map[String, Double], Long, Long) = {
+  /** Noise-proofed measurement (same methodology as ScalingBench): each
+    * query runs `Rounds` times in INTERLEAVED order (q1..qn, q1..qn, …)
+    * and reports its per-query MINIMUM — a noisy epoch of this shared
+    * VM inflates one round, not one query, so the min is robust; the
+    * round-to-round spread is reported per query as
+    * (max-min)/min for a self-diagnosing artifact.
+    */
+  val Rounds = 3
+
+  def run(spark: SparkSession, sfDir: String): (Map[String, Double], Map[String, Double], Long, Long) = {
     val nPages = PageGen.numPagesFor(sfDir)
     val names = ChemDict.entries.flatMap(_.synonyms)
+    var nTriples = 0L
 
-    val (nTriples, tPipeline) = timed {
-      Pipeline.run(PageGen.pages(spark, nPages)).count()
+    val thunks: Seq[(String, () => Unit)] = Seq(
+      "kg_pipeline" -> (() => {
+        nTriples = Pipeline.run(PageGen.pages(spark, nPages)).count()
+      }),
+      "kg_linked" -> (() => {
+        val ann = Pipeline.annotate(Pipeline.sentences(PageGen.pages(spark, nPages)), names)
+        val (linked, unpersist) = Linking.linkTriplesFusedWithHandle(ann, ChemDict.entries)
+        try { linked.count(); () } finally unpersist()
+      }),
+      "dedup_minhash" -> (() => {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        Dedup.minhashPairs(docs, threshold = 0.5).count(); ()
+      }),
+      "ann_brute" -> (() => {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        Similarity.bruteForceTopK(emb, emb.orderBy("vec_id").limit(20), 10).count(); ()
+      }),
+      "q1_agg" -> (() => {
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity"), count(lit(1))).count(); ()
+      }),
+      "q2_join" -> (() => {
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val part = spark.read.parquet(s"$sfDir/part.parquet")
+        li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+          .groupBy("p_brand").agg(count(lit(1))).count(); ()
+      }),
+      "q7_events_window" -> (() => {
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .groupBy(date_trunc("hour", col("ts")), col("event_type"))
+          .agg(count(lit(1))).count(); ()
+      })
+    )
+
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 0 until Rounds; (name, f) <- thunks) {
+      val (_, t) = timed(f())
+      samples(name) = t :: samples.getOrElse(name, Nil)
     }
-    val (_, tLinked) = timed {
-      val ann = Pipeline.annotate(Pipeline.sentences(PageGen.pages(spark, nPages)), names)
-      val (linked, unpersist) = Linking.linkTriplesFusedWithHandle(ann, ChemDict.entries)
-      try linked.count() finally unpersist()
-    }
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val (_, tDedup) = timed { Dedup.minhashPairs(docs, threshold = 0.5).count() }
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val (_, tAnn) = timed {
-      Similarity.bruteForceTopK(emb, emb.orderBy("vec_id").limit(20), 10).count()
-    }
-    val (_, tQ1) = timed {
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(sum("l_quantity"), count(lit(1))).count()
-    }
-    val (_, tQ2) = timed {
-      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      val part = spark.read.parquet(s"$sfDir/part.parquet")
-      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
-        .groupBy("p_brand").agg(count(lit(1))).count()
-    }
-    val (_, tQ7) = timed {
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .groupBy(date_trunc("hour", col("ts")), col("event_type"))
-        .agg(count(lit(1))).count()
-    }
-    (Map(
-      "kg_pipeline" -> tPipeline, "kg_linked" -> tLinked,
-      "dedup_minhash" -> tDedup, "ann_brute" -> tAnn,
-      "q1_agg" -> tQ1, "q2_join" -> tQ2, "q7_events_window" -> tQ7
-    ), nTriples, nPages.toLong)
+    val best = samples.map { case (k, ts) => k -> ts.min }.toMap
+    val spread = samples.map { case (k, ts) => k -> ((ts.max - ts.min) / ts.min) }.toMap
+    (best, spread, nTriples, nPages.toLong)
   }
 
   def main(args: Array[String]): Unit = {
@@ -80,15 +98,16 @@ object Bench {
     // JIT/codegen warmup on a small slice so timings measure steady state
     Pipeline.run(PageGen.pages(spark, 100)).count()
 
-    val (queries, nTriples, nPages) = run(spark, sfDir)
+    val (queries, spread, nTriples, nPages) = run(spark, sfDir)
     val total = queries.values.sum
     val tps = nTriples / queries("kg_pipeline")
     val dps = nPages / queries("kg_pipeline")
-    val qs = queries.toSeq.sortBy(_._1)
+    def jmap(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(queries)},""" +
       s""""sf":"$sfDir","triples":$nTriples,"pages":$nPages,""" +
-      s""""triples_per_sec":$tps,"docs_per_sec":$dps,"cpus":$cpus}""")
+      s""""triples_per_sec":$tps,"docs_per_sec":$dps,"cpus":$cpus,""" +
+      s""""method":"best-of-${Bench.Rounds}-interleaved","spread":${jmap(spread)}}""")
     spark.stop()
   }
 }

@@ -133,14 +133,13 @@ object SparkEntry {
       // persisted, not full Sentence rows (Linking.linkTriplesFused)
       Linking.linkTriplesFused(annotated(s, dir), ChemDict.entries)
         .orderBy("url", "sentId", "headText", "valueText", "score")),
-    "kg_linked_salted" -> ((s, dir) => {
-      // no persist: a returned-DataFrame query cannot unpersist after its
-      // action, and a leaked cache block outlives the query in long
-      // sessions — the annotate stage is recomputed for the second scan
-      val ann = annotated(s, dir)
-      Linking.linkTriplesSalted(Pipeline.triples(ann), ann, ChemDict.entries)
-        .orderBy("url", "sentId", "headText", "valueText", "score")
-    }),
+    "kg_linked_salted" -> ((s, dir) =>
+      // fused single-pass: ONE annotate feeds both the A1 count and the
+      // probe side (the old shape recomputed annotate twice). The
+      // compact (mention|triple) cache outlives the query until session
+      // stop — the same accepted trade as kg_linked above.
+      Linking.linkTriplesSaltedFused(annotated(s, dir), ChemDict.entries)
+        .orderBy("url", "sentId", "headText", "valueText", "score")),
     "kg_entity_table" -> ((s, dir) =>
       Canonicalize.entityTable(s, ChemDict.entries).toDF()
         .select("clusterId", "cid", "canonicalName", "molecularFormula",

@@ -192,8 +192,27 @@ object Linking {
       minOccurrences: Int = MinOccurrences
   ): (DataFrame, () => Unit) = {
     val spark = annotated.sparkSession
-    import spark.implicits._
     val dict = dictDs(spark, dictArr)
+    val (combined, eligible, triples) = fusedParts(annotated, minOccurrences)
+    val links = eligible
+      .join(broadcast(dictNames(dict)), Seq("name_norm"))
+      .join(broadcast(dictProps(dict)), Seq("cid"))
+      .drop("name_norm")
+    (joinLinks(triples, links), () => { combined.unpersist(); () })
+  }
+
+  /** Shared skeleton of the fused single-pass paths: ONE flatMap over
+    * the annotated table emits compact (mention | triple) rows; only
+    * that union persists. Both subtrees of the final plan scan
+    * `combined`: the first scan (A1 groupBy) populates the cache within
+    * the caller's action, the second (triples) reads it.
+    */
+  private def fusedParts(
+      annotated: Dataset[Sentence],
+      minOccurrences: Int
+  ): (Dataset[MentionOrTriple], DataFrame, DataFrame) = {
+    val spark = annotated.sparkSession
+    import spark.implicits._
     val combined = annotated.flatMap { s =>
       val mentions = s.ents.iterator.filter(_.label == "CHEM")
         .map(e => MentionOrTriple(e.text, null))
@@ -203,20 +222,51 @@ object Linking {
         else Iterator.empty
       mentions ++ trips
     }.persist()
-    // both subtrees of the returned plan scan `combined`: the first scan
-    // (A1 groupBy) populates the cache within the caller's action, the
-    // second (triples) reads it.
     val eligible = combined.filter(col("mention").isNotNull)
       .groupBy("mention").agg(count(lit(1)).as("occurrences"))
       .filter(col("occurrences") >= minOccurrences)
       .withColumn("name_norm", chemNormCol(col("mention")))
       .select("mention", "name_norm")
-    val links = eligible
-      .join(broadcast(dictNames(dict)), Seq("name_norm"))
-      .join(broadcast(dictProps(dict)), Seq("cid"))
-      .drop("name_norm")
     val triples = combined.filter(col("triple").isNotNull).select("triple.*")
-    (joinLinks(triples, links), () => { combined.unpersist(); () })
+    (combined, eligible, triples)
+  }
+
+  /** Fused + salted: the broadcast-free large-dict path with the
+    * single-annotate-pass plan shape of `linkTriplesFused` (previously
+    * the salted driver query recomputed the annotate stage twice).
+    * Identical rows to `linkTriplesSalted`/`linkTriples` (LinkingSpec).
+    */
+  def linkTriplesSaltedFused(
+      annotated: Dataset[Sentence],
+      dictArr: Array[ChemDictEntry],
+      nSalts: Int = 8,
+      minOccurrences: Int = MinOccurrences
+  ): DataFrame = linkTriplesSaltedFusedWithHandle(annotated, dictArr, nSalts, minOccurrences)._1
+
+  def linkTriplesSaltedFusedWithHandle(
+      annotated: Dataset[Sentence],
+      dictArr: Array[ChemDictEntry],
+      nSalts: Int = 8,
+      minOccurrences: Int = MinOccurrences
+  ): (DataFrame, () => Unit) = {
+    val spark = annotated.sparkSession
+    val dict = dictDs(spark, dictArr)
+    val (combined, eligible, triples) = fusedParts(annotated, minOccurrences)
+    val links = eligible
+      .join(dictNames(dict).hint("shuffle_hash"), Seq("name_norm"))
+      .join(dictProps(dict).hint("shuffle_hash"), Seq("cid"))
+      .drop("name_norm")
+    val saltedDict = links.withColumn("salt", explode(lit((0 until nSalts).toArray)))
+    val probe = triples
+      .withColumn("head_surface", when(col("headLabel") === "CHEM", col("headText")))
+      .withColumn("salt", pmod(hash(col("url")), lit(nSalts)))
+    val out = probe
+      .hint("shuffle_hash")
+      .join(saltedDict,
+        probe("head_surface") === saltedDict("mention") && probe("salt") === saltedDict("salt"),
+        "left_outer")
+      .drop("mention", "head_surface", "salt")
+    (out, () => { combined.unpersist(); () })
   }
 
   /** The non-broadcast path for dictionaries too large to broadcast:

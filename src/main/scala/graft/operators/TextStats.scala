@@ -76,11 +76,13 @@ object TextStats {
     */
   def withQualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val d = withQualitySignals(docs, textCol)
-    val stopHits = udf { (s: String) =>
-      if (s == null) 0
-      else s.toLowerCase.split("\\W+").count(StopwordProfiles("en").contains)
-    }
-    d.withColumn("stop_hits", stopHits(col(textCol)))
+    // stopword hits as a pure Column expression (split + filter HOF +
+    // array_contains over a literal array) — stays in whole-stage
+    // codegen; the former UDF broke the codegen span here
+    val stopArr = array(StopwordProfiles("en").toSeq.sorted.map(lit): _*)
+    val stopHits = size(filter(split(lower(col(textCol)), "\\W+"),
+      w => array_contains(stopArr, w)))
+    d.withColumn("stop_hits", coalesce(stopHits, lit(0)))
       .withColumn("len_score",
         least(col("n_tokens").cast("double") / lit(20.0), lit(1.0)))
       .withColumn("punct_score",

@@ -123,6 +123,27 @@ class LinkingSpec extends AnyFunSuite {
     } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("salted-fused path: identical rows, no broadcast under auto-broadcast disabled") {
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = Linking.linkTriples(triples, annotated, ChemDict.entries)
+      val (b, unpersist) = Linking.linkTriplesSaltedFusedWithHandle(
+        annotated, ChemDict.entries, nSalts = 4)
+      try {
+        b.collect() // finalize adaptive plan
+        val plan = b.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastExchange") && !plan.contains("BroadcastHashJoin"),
+          s"salted-fused path must not broadcast:\n$plan")
+        val cols = a.columns.sorted.toSeq
+        val ka = a.select(cols.map(col): _*).collect().map(_.toString).sorted
+        val kb = b.select(cols.map(col): _*).collect().map(_.toString).sorted
+        assert(ka.sameElements(kb))
+      } finally unpersist()
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("broadcast path plans a BroadcastHashJoin with no shuffle on the probe side") {
     val linked = Linking.linkTriples(triples, annotated, ChemDict.entries)
     val plan = linked.queryExecution.executedPlan.toString
