@@ -66,6 +66,14 @@ object ScalingBench {
       case "local-cluster" =>
         b.master(s"local-cluster[$nExec,$coresPerExec,$execMemMb]")
           .config("spark.executor.memory", s"${execMemMb}m")
+          // each executor JVM must size its GC/JIT/thread pools for ITS
+          // cores, not the host's 32: without this, 4 co-hosted
+          // executors each spawn a ~23-thread parallel-GC pool sized
+          // for the whole machine and stampede each other during young
+          // GC — a local-cluster artifact real deployments don't have
+          // (cluster managers cgroup-limit visible CPUs per executor)
+          .config("spark.executor.extraJavaOptions",
+            s"-XX:ActiveProcessorCount=$coresPerExec")
           .config("spark.jars", jarPath)
       case _ => b.master(s"local[$totalCores]")
     }).getOrCreate()

@@ -124,9 +124,14 @@ object SparkEntry {
     "kg_canon_pairs" -> ((s, dir) =>
       // LSH-blocked verified candidate pairs — the edge list whose
       // connected components the kg_entity_table oracle recomputes via
-      // a recursive CTE
+      // a recursive CTE; itself oracle-checked from the bands dump
       Canonicalize.candidatePairs(Linking.dictDs(s, ChemDict.entries))
         .orderBy("cid_a", "cid_b")),
+    "kg_canon_bands" -> ((s, dir) =>
+      // J5 blocking dump (band, band_hash, cid, chemNorm'd name) —
+      // oracle INPUT for kg_canon_pairs
+      Canonicalize.bandedNames(Linking.dictDs(s, ChemDict.entries))
+        .orderBy("band", "band_hash", "cid")),
     "kg_linked" -> ((s, dir) =>
       // fused single-pass path: annotated feeds BOTH the triple assembly
       // and the A1 mention count; only compact (mention|triple) rows are
@@ -216,6 +221,10 @@ object SparkEntry {
       Dedup.exactSurvivors(docs(s, dir)).select("doc_id").orderBy("doc_id")),
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(docs(s, dir), threshold = 0.5).orderBy("id_a", "id_b")),
+    "dedup_minhash_bands" -> ((s, dir) =>
+      // banded signature dump — oracle INPUT so the minhash-pairs
+      // bucket + jaccard-verify logic is SQL-checkable
+      Dedup.minhashBands(docs(s, dir)).orderBy("band", "bh", "id")),
     "dedup_minhash_clusters" -> ((s, dir) =>
       Dedup.minhashClusters(docs(s, dir), threshold = 0.5)
         .orderBy("doc_id")),
@@ -293,6 +302,10 @@ object SparkEntry {
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.genMedia(s, 200), 4)
         .orderBy("media_id", "frame_idx")),
+    "mm_thumbs" -> ((s, dir) =>
+      // real ImageIO resize of the genuine PNG/BMP payloads
+      Multimodal.withThumbnails(Multimodal.genMedia(s, 200))
+        .orderBy("media_id")),
 
     // ---------- relational analogs with DuckDB oracles ----------
     "q1_agg" -> ((s, dir) =>
@@ -360,7 +373,7 @@ object SparkEntry {
     * (kg_linked value/score) or excluded from oracle'd projections
     * (ann cosine) — cross-engine float recomputation is never compared.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = MoreOracleSql ++ Map(
     "kg_mention_counts" ->
       """SELECT ent_text AS mention, count(*) AS occurrences
         | FROM read_parquet('{OUT}/kg_entities/*.parquet')
@@ -461,6 +474,63 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN score < threshold_m/1000.0 AND gold_pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
         |FROM joined CROSS JOIN thresholds
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // J4 tuple assembly + P3 keep-filter + P5 chem-present filter
+    // recomputed in SQL over the kg_entities/kg_relations/kg_sentences
+    // dumps (tuples.py:59-87 semantics): edges with score >= 0.45 from
+    // kept sentences, grouped by tail, kept only when some head is
+    // CHEM; one row per surviving edge. The score threshold compares
+    // the engine's own dumped doubles, so it is bit-safe.
+    "kg_triples" ->
+      """WITH ents AS (SELECT * FROM read_parquet('{OUT}/kg_entities/*.parquet')),
+        |rels AS (SELECT * FROM read_parquet('{OUT}/kg_relations/*.parquet')),
+        |sents AS (SELECT url, sentId AS sent_id, section, title, doi, text
+        |          FROM read_parquet('{OUT}/kg_sentences/*.parquet')),
+        |compat(prop, qlabel) AS (VALUES
+        |  ('enthalpy','ENERGY'),('enthalpy','ENTHALPY'),('enthalpy','MAXIMUM ENERGY PRODUCT'),
+        |  ('energy','ENERGY'),('energy','ENTHALPY'),('energy','MAXIMUM ENERGY PRODUCT'),
+        |  ('absorptivity','ABSORPTIVITY'),
+        |  ('heat capacity','HEAT CAPACITY'),
+        |  ('temperature','TEMPERATURE'),
+        |  ('pressure','PRESSURE'),
+        |  ('density','SOLUBILITY'),('density','DENSITY'),
+        |  ('viscosity','DYNAMIC VISCOSITY'),
+        |  ('velocity','VELOCITY'),
+        |  ('thermal','TIME'),('thermal','TEMPERATURE')),
+        |anyq(prop) AS (VALUES ('toxicity'),('formula weight'),('sensibility')),
+        |kept AS (
+        |  SELECT s.url, s.sent_id FROM sents s
+        |  WHERE EXISTS (
+        |      SELECT 1 FROM ents p JOIN compat c ON p.ent_id = c.prop
+        |      WHERE p.url = s.url AND p.sent_id = s.sent_id
+        |        AND EXISTS (SELECT 1 FROM ents q
+        |                    WHERE q.url = s.url AND q.sent_id = s.sent_id AND q.label = c.qlabel))
+        |    OR EXISTS (
+        |      SELECT 1 FROM ents p JOIN anyq a ON p.ent_id = a.prop
+        |      WHERE p.url = s.url AND p.sent_id = s.sent_id
+        |        AND EXISTS (SELECT 1 FROM ents q
+        |                    WHERE q.url = s.url AND q.sent_id = s.sent_id
+        |                      AND q.label NOT IN ('CHEM','PROP','FORMULA')))),
+        |edges AS (
+        |  SELECT r.url, r.sent_id, r.head_tok, r.tail_tok, r.score,
+        |         h.label AS head_label, h.ent_text AS head_text, h.ent_id AS head_ent_id
+        |  FROM rels r
+        |  JOIN kept k ON r.url = k.url AND r.sent_id = k.sent_id
+        |  JOIN ents h ON h.url = r.url AND h.sent_id = r.sent_id AND h.start_tok = r.head_tok
+        |  WHERE r.score >= 0.45),
+        |oktails AS (
+        |  SELECT url, sent_id, tail_tok FROM edges
+        |  GROUP BY 1, 2, 3
+        |  HAVING max(CASE WHEN head_label = 'CHEM' THEN 1 ELSE 0 END) = 1)
+        |SELECT e.url, s.doi, s.section, e.sent_id AS "sentId", s.text AS sentence,
+        |  e.head_label AS "headLabel", e.head_text AS "headText",
+        |  CASE WHEN e.head_label IN ('PROP','FORMULA') THEN e.head_ent_id ELSE '' END AS "propType",
+        |  t.label AS "valueLabel", t.ent_text AS "valueText", t.value, t.unit,
+        |  e.score, s.title
+        |FROM edges e
+        |JOIN oktails o ON o.url = e.url AND o.sent_id = e.sent_id AND o.tail_tok = e.tail_tok
+        |JOIN ents t ON t.url = e.url AND t.sent_id = e.sent_id AND t.start_tok = e.tail_tok
+        |JOIN sents s ON s.url = e.url AND s.sent_id = e.sent_id
+        |ORDER BY e.url, e.sent_id, "headText", "valueText", e.score""".stripMargin,
     // the M4 scorer itself, recomputed in SQL over the kg_entities dump:
     // candidate pairs = can_link_instances (head CHEM/PROP/FORMULA ->
     // non-head, token distance <= 100, PROPERTY_TO_UNITS compat), score
@@ -533,7 +603,55 @@ object SparkEntry {
     // name_norm comes from the engine's own kg_mention_norms dump —
     // DuckDB never recomputes chem_norm (NFKC + Unicode lowercase +
     // full whitespace classes are not reproducible with ASCII SQL)
-    "kg_linked" ->
+    "kg_linked" -> LinkedOracleSql,
+    // the salted/shuffle-hash path is row-identical to the broadcast
+    // path by contract (LinkingSpec) — same oracle
+    "kg_linked_salted" -> LinkedOracleSql,
+    // J5 blocking + verification from the dumped bands: bucket prune
+    // (1 < n <= 64), in-bucket pairs, then BOTH verification signals
+    // recomputed exactly — char-3-gram Jaccard >= 0.6 and token-set
+    // Jaccard >= 0.5 over the engine-dumped chemNorm'd names
+    "kg_canon_pairs" ->
+      """WITH banded AS (SELECT * FROM read_parquet('{OUT}/kg_canon_bands/*.parquet')),
+        |ok AS (SELECT band, band_hash FROM banded
+        |       GROUP BY 1, 2 HAVING count(*) > 1 AND count(*) <= 64),
+        |pruned AS (SELECT banded.* FROM banded JOIN ok USING (band, band_hash)),
+        |names AS (SELECT DISTINCT cid, name FROM banded),
+        |sh AS (SELECT cid,
+        |    CASE WHEN len(name) <= 3 THEN [name]
+        |         ELSE list_distinct([name[i:i+2] for i in range(1, len(name) - 1)]) END AS cs,
+        |    list_distinct(string_split(name, ' ')) AS ts
+        |  FROM names),
+        |cand AS (SELECT DISTINCT a.cid AS cid_a, b.cid AS cid_b
+        |         FROM pruned a JOIN pruned b USING (band, band_hash)
+        |         WHERE a.cid < b.cid)
+        |SELECT c.cid_a, c.cid_b
+        |FROM cand c JOIN sh a ON a.cid = c.cid_a JOIN sh b ON b.cid = c.cid_b
+        |WHERE CAST(len(list_intersect(a.cs, b.cs)) AS DOUBLE) /
+        |      (len(a.cs) + len(b.cs) - len(list_intersect(a.cs, b.cs))) >= 0.6
+        |  AND CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+        |      (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.5
+        |ORDER BY cid_a, cid_b""".stripMargin,
+    // Java 31*h+c rolling hash over the normalized text, reproduced
+    // with HUGEINT arithmetic mod 2^64 then re-signed — exact because
+    // the driver documents are ASCII (code units == codepoints)
+    "text_fingerprint" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        |  FROM documents),
+        |codes AS (
+        |  SELECT doc_id, [unicode(c) for c in string_split_regex(s, '')] AS cs FROM norm),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(1125899906842597::HUGEINT, cs),
+        |      (acc, c) -> (31::HUGEINT * acc + c) % 18446744073709551616::HUGEINT) AS hu
+        |  FROM codes)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |    THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS fp64
+        |FROM h ORDER BY doc_id""".stripMargin)
+
+  private val LinkedOracleSql: String =
       """WITH trip AS (SELECT * FROM read_parquet('{OUT}/kg_triples/*.parquet')),
         |ents AS (SELECT * FROM read_parquet('{OUT}/kg_entities/*.parquet')),
         |norms AS (SELECT * FROM read_parquet('{OUT}/kg_mention_norms/*.parquet')),
@@ -552,7 +670,12 @@ object SparkEntry {
         |       l.canonical_smiles, l.iupac_name
         |FROM trip t LEFT JOIN links l
         |  ON (CASE WHEN t.headLabel = 'CHEM' THEN t.headText END) = l.mention
-        |ORDER BY t.url, t.sentId, t.headText, t.valueText, t.score""".stripMargin,
+        |ORDER BY t.url, t.sentId, t.headText, t.valueText, t.score""".stripMargin
+
+  /** Continuation of `oracleSql` (split around the shared kg_linked
+    * SQL constant above).
+    */
+  private val MoreOracleSql: Map[String, String] = Map(
     // J2 strict back-attachment: every CHEM mention row left-joined to
     // the A1-gated link table — same link derivation as kg_linked
     "kg_entities_linked" ->
@@ -586,6 +709,47 @@ object SparkEntry {
         |  UNION
         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
         |SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // the full minhash-LSH pair logic from the dumped integer bands:
+    // bucket prune (1 < n <= 128), candidate pairs, then the word-3-gram
+    // Jaccard verification recomputed exactly (int/int division — both
+    // engines evaluate the same IEEE op; the shingle split \W+ is ASCII
+    // in both Java and RE2)
+    "dedup_minhash_pairs" ->
+      """WITH banded AS (SELECT * FROM read_parquet('{OUT}/dedup_minhash_bands/*.parquet')),
+        |ok AS (SELECT band, bh FROM banded GROUP BY 1, 2 HAVING count(*) > 1 AND count(*) <= 128),
+        |pruned AS (SELECT banded.* FROM banded JOIN ok USING (band, bh)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |         FROM pruned a JOIN pruned b USING (band, bh) WHERE a.id < b.id),
+        |words AS (SELECT doc_id AS id,
+        |    list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh AS (SELECT id, CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in range(1, len(w) - 1)]) END AS s
+        |  FROM words)
+        |SELECT c.id_a, c.id_b
+        |FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    // char-exact S6 export reproduction: both engines serialize the
+    // same struct shape (ints + strings only, no doubles) to compact
+    // JSON with identical field order and escaping
+    "kg_label_studio" ->
+      """WITH sents AS (SELECT url, sentId AS sent_id, text FROM read_parquet('{OUT}/kg_sentences/*.parquet')),
+        |ents AS (SELECT * FROM read_parquet('{OUT}/kg_entities/*.parquet')),
+        |items AS (
+        |  SELECT url, sent_id, list(struct_pack(
+        |      from_name := 'label', to_name := 'text', "type" := 'labels',
+        |      "value" := struct_pack(start := start_char, "end" := end_char, text := ent_text,
+        |        labels := [CASE WHEN label IN ('CHEM','PROP','FORMULA') THEN label ELSE 'VALUE' END]))
+        |    ORDER BY start_tok) AS result
+        |  FROM ents GROUP BY url, sent_id)
+        |SELECT s.url, s.sent_id,
+        |  to_json(struct_pack(
+        |    data := struct_pack(text := s.text),
+        |    predictions := [struct_pack(result := COALESCE(i.result, []))])) AS json
+        |FROM sents s LEFT JOIN items i ON i.url = s.url AND i.sent_id = s.sent_id
+        |ORDER BY s.url, s.sent_id""".stripMargin,
     "dedup_simhash_pairs" ->
       """WITH s AS (SELECT * FROM read_parquet('{OUT}/dedup_simhash_sigs/*.parquet')),
         |banded AS (

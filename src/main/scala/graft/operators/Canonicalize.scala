@@ -49,22 +49,29 @@ object Canonicalize {
     * where they are computed — only (band, band_hash, cid) rows plus
     * the in-bucket name pairs move.
     */
+  /** (band, band_hash, cid, name) LSH blocking rows (name already
+    * chemNorm'd) — exposed so the driver can dump them and the
+    * bucket/pair/Jaccard-verify logic becomes SQL-oracle-checkable.
+    */
+  def bandedNames(dict: Dataset[ChemDictEntry]): DataFrame = {
+    val spark = dict.sparkSession
+    import spark.implicits._
+    dict.map(e => (e.cid, Normalize.chemNorm(e.canonicalName)))
+      .flatMap { case (cid, name) =>
+        val mh = Normalize.minhash(Normalize.shingles(name), MinhashK)
+        val rows = MinhashK / Bands
+        (0 until Bands).map { b =>
+          val bandHash = java.util.Arrays.hashCode(mh.slice(b * rows, (b + 1) * rows))
+          (b, bandHash, cid, name)
+        }
+      }.toDF("band", "band_hash", "cid", "name")
+  }
+
   def candidatePairs(
       dict: Dataset[ChemDictEntry],
       maxBucket: Int = 64
   ): DataFrame = {
-    val spark = dict.sparkSession
-    import spark.implicits._
-    val names = dict.map(e => (e.cid, Normalize.chemNorm(e.canonicalName)))
-      .toDF("cid", "name")
-    val banded = names.as[(Long, String)].flatMap { case (cid, name) =>
-      val mh = Normalize.minhash(Normalize.shingles(name), MinhashK)
-      val rows = MinhashK / Bands
-      (0 until Bands).map { b =>
-        val bandHash = java.util.Arrays.hashCode(mh.slice(b * rows, (b + 1) * rows))
-        (b, bandHash, cid, name)
-      }
-    }.toDF("band", "band_hash", "cid", "name")
+    val banded = bandedNames(dict)
 
     // cap degenerate buckets before the self-join
     val bucketSizes = banded.groupBy("band", "band_hash")

@@ -97,18 +97,9 @@ object Dedup {
       maxBucket: Int = 128,
       useBroadcast: Boolean = true
   ): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val rows = k / bands
     val compactDocs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
     // (band, band_hash, id) — the ONLY rows that ever shuffle
-    val banded = compactDocs.as[(Long, String)]
-      .flatMap { case (id, txt) =>
-        val sig = minhashSig(wordShingles(txt), k)
-        (0 until bands).map { b =>
-          (b, java.util.Arrays.hashCode(sig.slice(b * rows, (b + 1) * rows)), id)
-        }
-      }.toDF("band", "bh", "id")
+    val banded = minhashBands(docs, idCol, textCol, k, bands)
 
     val ok = banded.groupBy("band", "bh").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1 && col("n") <= maxBucket)
@@ -130,6 +121,32 @@ object Dedup {
         Seq("id_b"))
       .filter(jac(col("txt_a"), col("txt_b")) >= threshold)
       .select("id_a", "id_b")
+  }
+
+  /** (band, band_hash, id) banded minhash rows — the ONLY rows that
+    * shuffle in `minhashPairs`; exposed so the driver can dump them and
+    * the bucket/candidate/jaccard-verify pair logic becomes
+    * SQL-oracle-checkable (same pattern as `simhashSigs` /
+    * `embeddingBuckets`).
+    */
+  def minhashBands(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 16,
+      bands: Int = 8
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = k / bands
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
+      .as[(Long, String)]
+      .flatMap { case (id, txt) =>
+        val sig = minhashSig(wordShingles(txt), k)
+        (0 until bands).map { b =>
+          (b, java.util.Arrays.hashCode(sig.slice(b * rows, (b + 1) * rows)), id)
+        }
+      }.toDF("band", "bh", "id")
   }
 
   /** Candidate-payload fetch for pair verification (shared by
