@@ -31,7 +31,7 @@ object Bench {
     * round-to-round spread is reported per query as
     * (max-min)/min for a self-diagnosing artifact.
     */
-  val Rounds = 3
+  val Rounds = 5
 
   def run(spark: SparkSession, sfDir: String): (Map[String, Double], Map[String, Double], Long, Long) = {
     val nPages = PageGen.numPagesFor(sfDir)
@@ -73,6 +73,11 @@ object Bench {
       })
     )
 
+    // one full DISCARDED warmup round first: JIT/codegen must see every
+    // query path before any measured round — the small-slice pipeline
+    // warmup alone left first-round JIT noise inside the measured min
+    for ((_, f) <- thunks) f()
+
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     for (_ <- 0 until Rounds; (name, f) <- thunks) {
       val (_, t) = timed(f())
@@ -107,7 +112,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(queries)},""" +
       s""""sf":"$sfDir","triples":$nTriples,"pages":$nPages,""" +
       s""""triples_per_sec":$tps,"docs_per_sec":$dps,"cpus":$cpus,""" +
-      s""""method":"best-of-${Bench.Rounds}-interleaved","spread":${jmap(spread)}}""")
+      s""""method":"warm+best-of-${Bench.Rounds}-interleaved","spread":${jmap(spread)}}""")
     spark.stop()
   }
 }
