@@ -306,6 +306,13 @@ object SparkEntry {
       // real ImageIO resize of the genuine PNG/BMP payloads
       Multimodal.withThumbnails(Multimodal.genMedia(s, 200))
         .orderBy("media_id")),
+    "mm_payloads" -> ((s, dir) =>
+      // raw media bytes (genuine PNG/BMP/WAV files + the fake video
+      // container) — oracle INPUT: DuckDB parses the real format
+      // headers out of the BLOBs to check mm_decode/mm_frames
+      Multimodal.genMedia(s, 500).toDF()
+        .select("media_id", "modality", "payload")
+        .orderBy("media_id")),
 
     // ---------- relational analogs with DuckDB oracles ----------
     "q1_agg" -> ((s, dir) =>
@@ -632,6 +639,52 @@ object SparkEntry {
         |  AND CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
         |      (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.5
         |ORDER BY cid_a, cid_b""".stripMargin,
+    // REAL-format cross-engine check: DuckDB parses the PNG (IHDR
+    // big-endian), BMP (little-endian BITMAPINFOHEADER) and RIFF/WAVE
+    // (fmt/data chunks) headers straight out of the dumped payload
+    // BLOBs via hex-string arithmetic and must agree with the engine's
+    // ImageIO / wav-parser decode byte for byte
+    "mm_decode" ->
+      """WITH p AS (SELECT media_id, modality, hex(payload) AS h,
+        |             octet_length(payload) AS nb
+        |           FROM read_parquet('{OUT}/mm_payloads/*.parquet')),
+        |t AS (SELECT media_id, modality, h, nb, substr(h, 1, 8) AS magic FROM p)
+        |SELECT media_id, modality,
+        |  CASE
+        |    WHEN magic = '89504E47' THEN ('0x' || substr(h, 33, 8))::BIGINT
+        |    WHEN substr(magic,1,4) = '424D' THEN ('0x' || substr(h,43,2) || substr(h,41,2) || substr(h,39,2) || substr(h,37,2))::BIGINT
+        |    WHEN magic = '52494646' THEN ('0x' || substr(h,55,2) || substr(h,53,2) || substr(h,51,2) || substr(h,49,2))::BIGINT
+        |    ELSE ('0x' || substr(h, 11, 4))::BIGINT
+        |  END::INT AS width,
+        |  CASE
+        |    WHEN magic = '89504E47' THEN ('0x' || substr(h, 41, 8))::BIGINT
+        |    WHEN substr(magic,1,4) = '424D' THEN ('0x' || substr(h,51,2) || substr(h,49,2) || substr(h,47,2) || substr(h,45,2))::BIGINT
+        |    WHEN magic = '52494646' THEN ('0x' || substr(h,47,2) || substr(h,45,2))::BIGINT
+        |    ELSE ('0x' || substr(h, 15, 4))::BIGINT
+        |  END::INT AS height,
+        |  CASE
+        |    WHEN magic = '89504E47' OR substr(magic,1,4) = '424D' THEN 1
+        |    WHEN magic = '52494646' THEN
+        |      (least(('0x' || substr(h,87,2) || substr(h,85,2) || substr(h,83,2) || substr(h,81,2))::BIGINT, nb - 44)
+        |       / (2 * ('0x' || substr(h,47,2) || substr(h,45,2))::BIGINT))::INT
+        |    ELSE ('0x' || substr(h, 19, 4))::BIGINT
+        |  END::INT AS n_frames,
+        |  CASE WHEN magic = '89504E47' THEN 'png'
+        |       WHEN substr(magic,1,4) = '424D' THEN 'bmp'
+        |       WHEN magic = '52494646' THEN 'wav'
+        |       ELSE 'fakevideo' END AS format,
+        |  nb::BIGINT AS n_bytes
+        |FROM t ORDER BY media_id""".stripMargin,
+    "mm_frames" ->
+      """WITH p AS (SELECT media_id, hex(payload) AS h, octet_length(payload) AS nb
+        |           FROM read_parquet('{OUT}/mm_payloads/*.parquet') WHERE media_id < 200),
+        |vid AS (SELECT media_id, h, nb, ('0x' || substr(h,19,4))::BIGINT AS frames
+        |        FROM p WHERE substr(h,1,8) = '47524654'),
+        |fi AS (SELECT media_id, h, nb, unnest(range(0, frames, 4)) AS frame_idx FROM vid)
+        |SELECT media_id, frame_idx::INT AS frame_idx,
+        |  CASE WHEN 12 + frame_idx <= nb
+        |    THEN ('0x' || substr(h, 2*(12+frame_idx)-1, 2))::INT ELSE 0 END AS frame_byte
+        |FROM fi ORDER BY media_id, frame_idx""".stripMargin,
     // Java 31*h+c rolling hash over the normalized text, reproduced
     // with HUGEINT arithmetic mod 2^64 then re-signed — exact because
     // the driver documents are ASCII (code units == codepoints)
