@@ -139,6 +139,27 @@ object EventStream {
       .drop("session_id")
   }
 
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("ts", TimestampType),
+    StructField("text", StringType)))
+
+  /** Streaming exact dedup over a document stream — the streaming
+    * analog of Dedup.exactSurvivors: first-seen wins per content hash.
+    * State is the 16-byte hash per distinct doc and is BOUNDED by the
+    * watermark (`dropDuplicatesWithinWatermark` ages entries out once
+    * the watermark passes them) — the only state shape that survives an
+    * unbounded stream; a plain dropDuplicates would grow state forever.
+    * Only the hash rides in state/shuffle, never the text (the same
+    * exchange discipline as the batch dedup family).
+    */
+  def dedupDocStream(
+      spark: SparkSession, dir: String, watermark: String = "1 hour"
+  ): DataFrame =
+    spark.readStream.schema(docSchema).parquet(dir)
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Stream pages → triples using the batch pipeline per micro-batch.
     * Checkpointed — restart-safe like the batch manifest path.
     */

@@ -54,6 +54,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(keys(spark.read.parquet(outDir)) == keys(Pipeline.run(pages).toDF()))
   }
 
+  test("streaming exact dedup: one survivor per distinct text, state bounded by watermark") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-dedup").toString
+    def write(rows: Seq[(Long, Long, String)]): Unit = // (doc_id, minute, text)
+      rows.toDF("doc_id", "m", "text")
+        .withColumn("ts", expr("timestamp_millis(m * 60000 + 1600000000000)"))
+        .select("doc_id", "ts", "text")
+        .write.mode("append").parquet(dir)
+
+    // batch 1: 6 rows, 4 distinct texts (intra-batch dups)
+    write(Seq((0L, 0L, "alpha"), (1L, 0L, "beta"), (2L, 1L, "alpha"),
+      (3L, 1L, "gamma"), (4L, 2L, "beta"), (5L, 2L, "delta")))
+    val q = graft.streaming.EventStream.dedupDocStream(spark, dir, watermark = "2 hours")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_stream").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: cross-batch dups within the watermark drop; new text survives
+      write(Seq((6L, 3L, "alpha"), (7L, 3L, "epsilon"), (8L, 4L, "gamma")))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id, text FROM dedup_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      // exactly one survivor per distinct text (within a micro-batch
+      // the surviving row is whichever task saw the hash first — the
+      // same any-single-survivor contract as batch exactSurvivors up
+      // to tie-break); cross-batch duplicates must NOT re-emit
+      assert(out.length == 5, s"got ${out.toSeq}")
+      assert(out.map(_._2).toSet == Set("alpha", "beta", "gamma", "delta", "epsilon"))
+      val byText = out.toMap.map(_.swap)
+      assert(byText("alpha") <= 5L && byText("gamma") <= 5L,
+        s"batch-2 duplicate re-emitted: $byText")
+      assert(byText("epsilon") == 7L)
+    } finally q.stop()
+  }
+
   test("sessionization merges late out-of-order events like the batch semantics") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-sessions-ooo").toString

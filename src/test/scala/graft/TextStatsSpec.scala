@@ -63,6 +63,16 @@ class TextStatsSpec extends AnyFunSuite {
     assert(a != c)
   }
 
+  test("JPEG decode is real too (JDK codec; lossy, so not used for fixtures)") {
+    val img = Multimodal.genImage(7L, 32, 24)
+    val jpeg = Multimodal.encodeImage(img, "jpg")
+    val dec = Multimodal.decodeImage(jpeg).get
+    assert(dec.getWidth == 32 && dec.getHeight == 24)
+    val meta = Multimodal.decodeOne(Multimodal.MediaRow(7L, "image", jpeg, "u")).get
+    assert(meta.format == "jpeg" && meta.width == 32 && meta.height == 24 &&
+      meta.n_frames == 1)
+  }
+
   test("multimodal: real PNG/BMP/WAV codecs round-trip; resize; video stub") {
     import spark.implicits._
     val media = Multimodal.genMedia(spark, 200).cache()
