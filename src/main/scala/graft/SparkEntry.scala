@@ -294,6 +294,29 @@ object SparkEntry {
       Dedup.embeddingBuckets(s.read.parquet(s"$dir/embeddings.parquet"))
         .select("id", "bucket")
         .orderBy("id")),
+    "ann_ivf_topk" -> ((s, dir) => {
+      // IVF (inverted-file) ANN — the second scale path next to LSH:
+      // nlist centroid cells, nProbe-cell probing, exact rank within.
+      // ids+rank only; the oracle rebuilds candidates from the dumped
+      // integer cell/probe tables and ranks with DuckDB's cosine
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfTopK(emb, emb.orderBy("vec_id").limit(20), 10)
+        .select("query_id", "rank", "corpus_id")
+        .orderBy("query_id", "rank")
+    }),
+    "ann_ivf_cells" -> ((s, dir) => {
+      // inverted-file assignment (id, cell) — oracle INPUT
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfAssign(emb, Similarity.ivfCentroids(emb, 16))
+        .orderBy("id")
+    }),
+    "ann_ivf_probes" -> ((s, dir) => {
+      // per-query probed cells (query_id, cell) — oracle INPUT
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfProbes(emb.orderBy("vec_id").limit(20),
+        Similarity.ivfCentroids(emb, 16), 4)
+        .orderBy("query_id", "cell")
+    }),
 
     // ---------- multimodal plumbing ----------
     "mm_decode" -> ((s, dir) =>
@@ -846,6 +869,25 @@ object SparkEntry {
         |cand AS (
         |  SELECT DISTINCT p.query_id, c.id AS corpus_id
         |  FROM probes p JOIN b c ON p.bucket = c.bucket AND c.id <> p.query_id),
+        |scored AS (
+        |  SELECT cand.query_id, cand.corpus_id,
+        |    list_cosine_similarity(e.embedding, qe.embedding) AS cosine
+        |  FROM cand
+        |  JOIN embeddings e ON e.vec_id = cand.corpus_id
+        |  JOIN embeddings qe ON qe.vec_id = cand.query_id),
+        |ranked AS (
+        |  SELECT query_id, corpus_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_topk" ->
+      """WITH cells AS (SELECT id, cell FROM read_parquet('{OUT}/ann_ivf_cells/*.parquet')),
+        |probes AS (SELECT query_id, cell FROM read_parquet('{OUT}/ann_ivf_probes/*.parquet')),
+        |cand AS (
+        |  SELECT p.query_id, c.id AS corpus_id
+        |  FROM probes p JOIN cells c USING (cell)
+        |  WHERE c.id <> p.query_id),
         |scored AS (
         |  SELECT cand.query_id, cand.corpus_id,
         |    list_cosine_similarity(e.embedding, qe.embedding) AS cosine

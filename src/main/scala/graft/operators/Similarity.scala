@@ -73,6 +73,100 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  // ---------- IVF (inverted-file) ANN ----------
+
+  /** Deterministic coarse-quantizer centroids: the vectors of the
+    * `nlist` corpus rows with the smallest murmur(vec_id) — a seeded
+    * stand-in for a trained k-means coarse quantizer (training is an
+    * offline concern; the INDEX structure — cell assignment, inverted
+    * lists, multi-cell probing — is what the operator exercises).
+    * nlist is small; the centroid table rides as a broadcast value.
+    */
+  def ivfCentroids(
+      corpus: DataFrame, nlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): Array[(Int, Array[Float])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (MurmurHash3.stringHash(s"ivf:$id", 4242), id, v) }
+      .toDF("h", "id", "v")
+      .orderBy("h", "id").limit(nlist)
+      .select("v").as[Array[Float]].collect()
+      .zipWithIndex.map { case (v, i) => (i, v) }
+  }
+
+  private def nearestCells(v: Seq[Float], cents: Array[(Int, Array[Float])], n: Int): Array[Int] = {
+    cents.map { case (cell, c) =>
+      var dot = 0.0; var na = 0.0; var nc = 0.0
+      var j = 0
+      while (j < v.length) {
+        dot += v(j) * c(j); na += v(j) * v(j); nc += c(j) * c(j); j += 1
+      }
+      (cell, dot / (math.sqrt(na) * math.sqrt(nc)))
+    }.sortBy { case (cell, cos) => (-cos, cell) }.take(n).map(_._1)
+  }
+
+  /** (id, cell) inverted-file assignment — each corpus vector goes to
+    * its nearest centroid cell. Exposed for the driver dump so the
+    * probe/candidate logic is SQL-oracle-checkable (ints only).
+    */
+  def ivfAssign(
+      corpus: DataFrame, cents: Array[(Int, Array[Float])],
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(cents)
+    val cellUdf = udf((v: Seq[Float]) => nearestCells(v, bc.value, 1)(0))
+    corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("cell", cellUdf(col("v")))
+      .select("id", "cell")
+  }
+
+  /** (query_id, cell) probe list — each query probes its nProbe nearest
+    * cells (dump-exposed for the oracle, like ivfAssign).
+    */
+  def ivfProbes(
+      queries: DataFrame, cents: Array[(Int, Array[Float])], nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(cents)
+    val probesUdf = udf((v: Seq[Float]) => nearestCells(v, bc.value, nProbe))
+    queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(probesUdf(col("qv"))))
+      .select("query_id", "cell")
+  }
+
+  /** IVF ANN top-k: corpus partitioned into nlist inverted lists by
+    * nearest centroid; each query scans only its nProbe nearest cells
+    * and ranks exactly within — per-query work drops from O(corpus) to
+    * O(nProbe × corpus/nlist). The second scale path next to `lshTopK`
+    * (recall vs brute force asserted in SimilaritySpec).
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist, idCol, vecCol)
+    val c = corpus.select(col(idCol).cast("long").as("corpus_id"), col(vecCol).as("cv"))
+    val assigned = ivfAssign(corpus, cents, idCol, vecCol)
+      .select(col("id").as("corpus_id"), col("cell"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    val probes = ivfProbes(queries, cents, nProbe, idCol, vecCol)
+    val scored = c.join(assigned, Seq("corpus_id"))
+      .join(broadcast(probes.join(q, Seq("query_id"))), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", Dedup.cosineCol(col("cv"), col("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
   /** LSH-bucketed ANN top-k: candidates share the query's signature
     * bucket or any 1-bit-flip neighbor bucket (multi-probe); exact
     * cosine rank within candidates. Trades recall for a corpus-scan-free

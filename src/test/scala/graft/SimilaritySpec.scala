@@ -82,6 +82,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.8, f"mean recall $mean%.3f too low")
   }
 
+  test("IVF ANN: recall@10 vs brute force >= 0.8 on clustered data; cells partition the corpus") {
+    import spark.implicits._
+    val cents = Similarity.ivfCentroids(clustered, nlist = 8)
+    assert(cents.length == 8)
+    // every corpus vector lands in exactly one cell
+    val assigned = Similarity.ivfAssign(clustered, cents)
+    assert(assigned.count() == clustered.count())
+    assert(assigned.select("id").distinct().count() == clustered.count())
+    // probing nProbe cells recovers most of the true top-k
+    val bf = Similarity.bruteForceTopK(clustered, cQueries, K)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.ivfTopK(clustered, cQueries, K, nlist = 8, nProbe = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bf.keys.toSeq.map { q =>
+      ivf.getOrElse(q, Set.empty).intersect(bf(q)).size.toDouble / K
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF mean recall@$K = $mean%.3f over ${recalls.size} queries (nProbe=3/8 cells)")
+    assert(mean >= 0.8, f"mean recall $mean%.3f too low")
+    // single-cell probing must be cheaper AND lower-or-equal recall:
+    // the probe budget is the recall/cost dial
+    val ivf1 = Similarity.ivfTopK(clustered, cQueries, K, nlist = 8, nProbe = 1)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val mean1 = bf.keys.toSeq.map { q =>
+      ivf1.getOrElse(q, Set.empty).intersect(bf(q)).size.toDouble / K
+    }.sum / recalls.size
+    assert(mean1 <= mean + 1e-9)
+  }
+
   test("label coherence on clustered data: 1-NN shares the label") {
     import spark.implicits._
     val labels = clustered.select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
