@@ -195,8 +195,10 @@ object Dedup {
     * returns (id, cluster_id = min id of component).
     */
   def minhashClusters(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", threshold: Double = 0.7): DataFrame = {
-    val pairs = minhashPairs(docs, idCol, textCol, threshold = threshold)
+      textCol: String = "text", threshold: Double = 0.7,
+      useBroadcast: Boolean = true): DataFrame = {
+    val pairs = minhashPairs(docs, idCol, textCol, threshold = threshold,
+      useBroadcast = useBroadcast)
       .select(col("id_a").as("cid_a"), col("id_b").as("cid_b"))
     val nodes = docs.select(col(idCol).cast("long").as("cid"))
     Canonicalize.connectedComponents(nodes, pairs)

@@ -119,6 +119,23 @@ class PlanSpec extends AnyFunSuite {
     } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("attachToMentions (J2 strict): link table broadcasts; only the A1 count shuffles") {
+    import spark.implicits._
+    val ann = graft.plans.Pipeline.annotate(
+      graft.plans.Pipeline.sentences(graft.sources.PageGen.pages(spark, 60)),
+      graft.sources.ChemDict.entries.flatMap(_.synonyms))
+    val df = graft.operators.Linking.attachToMentions(ann,
+      graft.operators.Linking.dictDs(spark, graft.sources.ChemDict.entries))
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"link table must broadcast:\n$plan")
+    // the 10^12-row mention side must NOT shuffle: the only exchanges
+    // allowed are inside the (tiny) link-table subtree — the A1
+    // mention-count aggregation
+    val exs = exchanges(df.queryExecution.executedPlan)
+    assert(exs.size <= 2, s"unexpected exchanges (${exs.size}): probe side must not shuffle")
+  }
+
   test("relational queries stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q8_filter_project")(spark, "/root/testdata/sf0.001")
     df.collect() // finalize the adaptive plan (codegen spans appear in the final plan)
