@@ -43,12 +43,6 @@ object Canonicalize {
   // extra volume is bounded.
   val Bands = 8
 
-  /** Candidate same-entity pairs (cidA < cidB) from LSH blocking +
-    * Jaccard verification. The dictionary arrives as a distributed
-    * Dataset (a 100M-synonym dump never fits the driver); names stay
-    * where they are computed — only (band, band_hash, cid) rows plus
-    * the in-bucket name pairs move.
-    */
   /** (band, band_hash, cid, name) LSH blocking rows (name already
     * chemNorm'd) — exposed so the driver can dump them and the
     * bucket/pair/Jaccard-verify logic becomes SQL-oracle-checkable.
@@ -67,6 +61,12 @@ object Canonicalize {
       }.toDF("band", "band_hash", "cid", "name")
   }
 
+  /** Candidate same-entity pairs (cidA < cidB) from LSH blocking +
+    * Jaccard verification. The dictionary arrives as a distributed
+    * Dataset (a 100M-synonym dump never fits the driver); names stay
+    * where they are computed — only (band, band_hash, cid) rows plus
+    * the in-bucket name pairs move.
+    */
   def candidatePairs(
       dict: Dataset[ChemDictEntry],
       maxBucket: Int = 64

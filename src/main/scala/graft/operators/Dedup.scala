@@ -183,11 +183,18 @@ object Dedup {
         df => broadcast(df))
     else {
       val spark = payload.sparkSession
-      val n = math.max(candIds.count(), 1024L)
-      val bf = candIds.stat.bloomFilter("id", n, 0.01)
-      val bfB = spark.sparkContext.broadcast(bf)
-      val mightContain = udf((id: Long) => bfB.value.mightContain(id))
-      (payload.filter(mightContain(col("id"))), df => df.hint("shuffle_hash"))
+      // candIds feeds TWO driver actions (count for sizing, then the
+      // bloom build) — persist so the candidate subplan computes once
+      // for both; it does not appear in the returned lazy plan, so
+      // unpersisting here is safe
+      candIds.persist()
+      try {
+        val n = math.max(candIds.count(), 1024L)
+        val bf = candIds.stat.bloomFilter("id", n, 0.01)
+        val bfB = spark.sparkContext.broadcast(bf)
+        val mightContain = udf((id: Long) => bfB.value.mightContain(id))
+        (payload.filter(mightContain(col("id"))), df => df.hint("shuffle_hash"))
+      } finally candIds.unpersist()
     }
   }
 

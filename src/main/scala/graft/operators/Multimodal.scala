@@ -77,16 +77,19 @@ object Multimodal {
     img
   }
 
+  // every sniffer is null-safe: media columns are nullable and all
+  // stages (decode, features, thumbnails, frames) must pass/drop null
+  // payloads instead of throwing
   private def isPng(p: Array[Byte]) =
-    p.length > 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
+    p != null && p.length > 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
   private def isJpeg(p: Array[Byte]) =
-    p.length > 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8
-  private def isBmp(p: Array[Byte]) = p.length > 2 && p(0) == 'B' && p(1) == 'M'
+    p != null && p.length > 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8
+  private def isBmp(p: Array[Byte]) = p != null && p.length > 2 && p(0) == 'B' && p(1) == 'M'
   private def isWav(p: Array[Byte]) =
-    p.length > 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+    p != null && p.length > 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
       p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
   private def isFakeVideo(p: Array[Byte]) =
-    p.length >= 11 && p(0) == 'G' && p(1) == 'R' && p(2) == 'F' && p(3) == 'T'
+    p != null && p.length >= 11 && p(0) == 'G' && p(1) == 'R' && p(2) == 'F' && p(3) == 'T'
 
   /** REAL image decode via ImageIO (PNG/BMP/JPEG — all in the JDK). */
   def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
@@ -144,6 +147,10 @@ object Multimodal {
     while (o + 8 <= p.length) {
       val id = new String(p, o, 4, "US-ASCII")
       val len = le32(p, o + 4)
+      // a corrupt negative chunk length would stall the walk (o stops
+      // advancing) or yield a negative sample count — reject the file
+      // like a real decoder
+      if (len < 0) return None
       if (id == "fmt " && o + 8 + 16 <= p.length) {
         val audioFormat = le16(p, o + 8)
         if (audioFormat != 1) return None // PCM only

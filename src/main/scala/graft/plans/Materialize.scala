@@ -42,18 +42,23 @@ object Materialize {
   def dataPath(outDir: String): String = s"$outDir/$StageTriples/data"
   def metaPath(outDir: String): String = s"$outDir/$StageTriples/table_meta.json"
 
-  /** Record the table's bucket count B next to the manifest (Iceberg
-    * table-metadata analog). The bucket-pruning predicate in
-    * `readTriplesForUrl` MUST use the same B the table was written
-    * with — a caller-supplied mismatch would compute pmod(hash(url), B')
-    * pointing at the wrong partition and silently return zero rows.
+  /** Record the table's bucket count B and the dictionary content hash
+    * next to the manifest (Iceberg table-metadata analog). The
+    * bucket-pruning predicate in `readTriplesForUrl` MUST use the same
+    * B the table was written with — a caller-supplied mismatch would
+    * compute pmod(hash(url), B') pointing at the wrong partition and
+    * silently return zero rows. The dict hash guards resume
+    * consistency: triples (gazetteer) and linked (cid join) both
+    * depend on the dictionary, so resuming manifested buckets under a
+    * DIFFERENT dictionary would silently mix annotation vintages.
     */
-  private def writeMeta(spark: SparkSession, outDir: String, buckets: Int): Unit = {
+  private def writeMeta(spark: SparkSession, outDir: String, buckets: Int,
+      dictHash: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(metaPath(outDir))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) {
       val out = fs.create(path, true)
-      out.write(s"""{"buckets":$buckets}""".getBytes("UTF-8"))
+      out.write(s"""{"buckets":$buckets,"dict_hash":"$dictHash"}""".getBytes("UTF-8"))
       out.close()
     }
   }
@@ -63,13 +68,26 @@ object Materialize {
     * value is ignored — resuming an existing table with a different
     * `buckets` argument would otherwise silently mix two bucket
     * numberings in one table (wrong resume skips + wrong pruning).
-    * First call records the requested B.
+    * A dictionary CHANGE between runs fails loudly instead: completed
+    * buckets were annotated/linked under the old dict and cannot be
+    * mixed with new-dict output — write to a fresh outDir.
+    * First call records the requested B + current dict hash.
     */
   private def resolveBuckets(spark: SparkSession, outDir: String, requested: Int): Int = {
     val path = new org.apache.hadoop.fs.Path(metaPath(outDir))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) tableBuckets(spark, outDir)
-    else { writeMeta(spark, outDir, requested); requested }
+    val dh = dictHash(ChemDict.entries)
+    if (fs.exists(path)) {
+      val in = fs.open(path)
+      val meta = scala.io.Source.fromInputStream(in).mkString
+      in.close()
+      """"dict_hash"\s*:\s*"([0-9a-f]+)"""".r.findFirstMatchIn(meta).foreach { m =>
+        require(m.group(1) == dh,
+          s"dictionary changed since this table was written ($outDir): " +
+            "completed buckets hold old-dict annotations — materialize to a fresh outDir")
+      }
+      tableBuckets(spark, outDir)
+    } else { writeMeta(spark, outDir, requested, dh); requested }
   }
 
   /** Bucket count the table was written with (from table_meta.json). */

@@ -19,10 +19,17 @@ import org.apache.spark.sql.types._
   *    stream output ≡ batch output on the same rows (asserted in
   *    StreamingSpec).
   */
-/** Open-session accumulator for `EventStream.userSessions` (top-level:
-  * encoder codegen requires a publicly constructible class).
+/** One pending session interval for `EventStream.userSessions`
+  * (top-level: encoder codegen requires a publicly constructible
+  * class). State per user is the LIST of pending sessions — a session
+  * is only emitted once the watermark passes lastS + gap, because
+  * until then a late-but-within-watermark event may still merge into
+  * it (or bridge two pending sessions); emitting earlier would split
+  * sessions the batch semantics would join.
   */
 final case class SessionAcc(startS: Long, lastS: Long, n: Long)
+
+final case class SessionState(pending: List[SessionAcc])
 
 object EventStream {
 
@@ -74,46 +81,46 @@ object EventStream {
       .select(col("user_id"), col("ts"))
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessionAcc, UserSession](
+      .flatMapGroupsWithState[SessionState, UserSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (user, rows, state: GroupState[SessionAcc]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(UserSession(user, s.startS, s.lastS, s.n))
-          } else {
-            // merge the micro-batch's event times with the open-state
-            // interval. flatMapGroupsWithState does NOT drop
-            // late-but-within-watermark rows, so events may arrive
-            // OLDER than the open session's start: treating the state
-            // as an interval [startS, lastS] (whose interior gaps are
-            // already <= gap, so anything within gap of the interval
-            // belongs to it) reproduces the batch window semantics —
-            // a late event within gap of the start LOWERS the session
-            // start; one more than gap older forms its own session.
-            val intervals = scala.collection.mutable.ArrayBuffer.empty[SessionAcc]
-            state.getOption.foreach(intervals += _)
-            rows.foreach { case (_, ts) =>
-              intervals += SessionAcc(ts.getTime, ts.getTime, 1)
-            }
-            val merged = scala.collection.mutable.ArrayBuffer.empty[SessionAcc]
-            intervals.sortBy(a => (a.startS, a.lastS)).foreach { iv =>
-              if (merged.nonEmpty && iv.startS - merged.last.lastS <= gapMs) {
-                val last = merged.last
-                merged(merged.length - 1) = SessionAcc(
-                  math.min(last.startS, iv.startS),
-                  math.max(last.lastS, iv.lastS), last.n + iv.n)
-              } else merged += iv
-            }
-            val open = merged.last
-            state.update(open)
-            // a very late batch can leave lastS + gap at/below the
-            // watermark; Spark requires a timeout strictly above it
-            state.setTimeoutTimestamp(math.max(open.lastS + gapMs,
-              state.getCurrentWatermarkMs() + 1))
-            merged.dropRight(1).iterator
-              .map(a => UserSession(user, a.startS, a.lastS, a.n))
+        case (user, rows, state: GroupState[SessionState]) =>
+          // merge the micro-batch's event times into the PENDING
+          // session list. flatMapGroupsWithState does NOT drop
+          // late-but-within-watermark rows, so an event may arrive
+          // older than any pending session's start, inside one, or
+          // bridging two: interval-merge over (pending ∪ new singleton
+          // intervals) reproduces the batch window semantics exactly,
+          // because a pending interval's interior gaps are already
+          // <= gap, so anything within gap of the interval belongs to
+          // it. A session is EMITTED only once the watermark passes
+          // its lastS + gap — before that, a late event could still
+          // change it, and append-mode output cannot be retracted.
+          val wm = state.getCurrentWatermarkMs()
+          val intervals = scala.collection.mutable.ArrayBuffer.empty[SessionAcc]
+          if (state.exists) intervals ++= state.get.pending
+          rows.foreach { case (_, ts) =>
+            intervals += SessionAcc(ts.getTime, ts.getTime, 1)
           }
+          val merged = scala.collection.mutable.ArrayBuffer.empty[SessionAcc]
+          intervals.sortBy(a => (a.startS, a.lastS)).foreach { iv =>
+            if (merged.nonEmpty && iv.startS - merged.last.lastS <= gapMs) {
+              val last = merged.last
+              merged(merged.length - 1) = SessionAcc(
+                math.min(last.startS, iv.startS),
+                math.max(last.lastS, iv.lastS), last.n + iv.n)
+            } else merged += iv
+          }
+          val (closed, open) = merged.partition(_.lastS + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionState(open.toList))
+            // next emission point; clamp strictly above the watermark
+            // (a very late batch can leave lastS + gap at/below it and
+            // Spark rejects such timeouts)
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.lastS).min + gapMs, wm + 1))
+          }
+          closed.iterator.map(a => UserSession(user, a.startS, a.lastS, a.n))
       }
   }
 

@@ -99,15 +99,18 @@ class StreamingSpec extends AnyFunSuite {
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.mode("append").parquet(dir)
 
-    write(Seq((1L, 100L), (1L, 110L), (2L, 200L)))
+    write(Seq((1L, 100L), (1L, 110L), (2L, 200L), (3L, 0L), (3L, 100L)))
     val q = EventStream.userSessions(spark, dir, gapMinutes = 30, watermark = "240 minutes")
       .writeStream.outputMode("append").format("memory").queryName("sessions_ooo").start()
     try {
       q.processAllAvailable()
       // out-of-order second batch: user1's event arrives BEFORE its open
       // session's start but within gap (must merge and LOWER the start);
-      // user2's is more than gap older (must become its own session)
-      write(Seq((1L, 95L), (2L, 100L)))
+      // user2's is more than gap older (must become its own session);
+      // user3's t=25 must merge into the PENDING session [0,0] — which
+      // therefore must not have been emitted in batch 1, even though a
+      // later event (t=100) already closed it batch-locally
+      write(Seq((1L, 95L), (2L, 100L), (3L, 25L)))
       q.processAllAvailable()
       write(Seq((999L, 100000L))) // sentinel: watermark past everything
       q.processAllAvailable()
