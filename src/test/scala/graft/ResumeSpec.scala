@@ -90,6 +90,24 @@ class ResumeSpec extends AnyFunSuite {
     assert(tripleKeys(Materialize.readTriples(spark, dir)) == before)
   }
 
+  test("resume fails loudly when the dictionary changed since the table was written") {
+    val dir = Files.createTempDirectory("graft-dict-guard").toString
+    val pages = PageGen.pages(spark, 20)
+    Materialize.runResumable(spark, pages, dir, 4)
+    // simulate a dictionary change by tampering the stored content hash
+    val metaFile = java.nio.file.Paths.get(Materialize.metaPath(dir))
+    val meta = java.nio.file.Files.readString(metaFile)
+    java.nio.file.Files.writeString(metaFile,
+      meta.replaceAll(""""dict_hash":"[0-9a-f]+"""", """"dict_hash":"deadbeef00000000deadbeef00000000""""))
+    // drop the Hadoop local-FS checksum sidecar invalidated by the edit
+    java.nio.file.Files.deleteIfExists(
+      metaFile.getParent.resolve("." + metaFile.getFileName.toString + ".crc"))
+    val e = intercept[IllegalArgumentException] {
+      Materialize.runResumable(spark, pages, dir, 4)
+    }
+    assert(e.getMessage.contains("dictionary changed"))
+  }
+
   test("materializeGraph resumes the linked stage per bucket; complete rerun does no stage work") {
     val dirA = Files.createTempDirectory("graft-mat-res-a").toString
     val dirB = Files.createTempDirectory("graft-mat-res-b").toString
