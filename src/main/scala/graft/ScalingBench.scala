@@ -123,11 +123,16 @@ object ScalingBench {
       return
     }
     val mode = sys.env.getOrElse("SPARK_GRAFT_MODE", "local-cluster")
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_PAGES", "1200000").toLong
-    // 4 cores/executor default: the 4N level then uses 16 of 32 host
-    // cores, the closest this sandbox gets to executors on separate
-    // machines (BENCH.md "host characterization")
-    val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "4").toInt
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_PAGES", "2400000").toLong
+    // 2 cores/executor default (the BENCH.md headline row): the 4N
+    // level then uses 8 of 32 host cores — the closest this shared
+    // sandbox gets to executors on separate machines, since co-hosted
+    // executors contend for ONE machine's DRAM bandwidth that real
+    // cluster executors never share (this host's own allocation-heavy
+    // scaling curve is 0.65 over 4→16 cores; see BENCH.md "host
+    // characterization"). Set SPARK_GRAFT_EXEC_CORES=4 +
+    // SPARK_GRAFT_PAGES=4800000 for the wider secondary row.
+    val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "2").toInt
     val nLow = sys.env.getOrElse("SPARK_GRAFT_N", "1").toInt // executors at low level
     val nHigh = nLow * 4
     if (mode == "local-cluster") jarPath // fail fast before materializing
