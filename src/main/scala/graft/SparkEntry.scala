@@ -244,10 +244,14 @@ object SparkEntry {
       Dedup.embeddingPairs(emb, threshold = 0.95).orderBy("id_a", "id_b")
     }),
     "dedup_emb_input" -> ((s, dir) =>
-      // blocking input dump (id, bucket, v) for the enlarged planted
-      // set — oracle INPUT (like dedup_simhash_sigs), itself rows-only
+      // blocking input dump (id, bucket) for the enlarged planted set —
+      // oracle INPUT (like dedup_simhash_sigs). Integer columns ONLY:
+      // the raw vector column broke the driver's row comparator
+      // (unhashable array) in round 3; the oracle reconstructs the
+      // planted vectors from the embeddings table instead.
       Dedup.embeddingBuckets(
         Dedup.plantNearDups(s.read.parquet(s"$dir/embeddings.parquet")))
+        .select("id", "bucket")
         .orderBy("id")),
 
     // ---------- text analysis ----------
@@ -843,7 +847,21 @@ object SparkEntry {
     // the cosine margin is huge (planted pairs ≈0.97..1.0 vs accidental
     // bucket-mates ≲0.5 — no near-threshold floats cross-engine)
     "dedup_embedding_pairs" ->
-      """WITH inp AS (SELECT id, bucket, v FROM read_parquet('{OUT}/dedup_emb_input/*.parquet')),
+      """WITH buckets AS (SELECT id, bucket FROM read_parquet('{OUT}/dedup_emb_input/*.parquet')),
+        |-- reconstruct the planted corpus (Dedup.plantNearDups) from the
+        |-- embeddings table: exact dups at id+1e6, perturbed near-dups at
+        |-- id+2e6 with +0.25f on component 0. float(double(x)+0.25) is
+        |-- bit-identical to the engine's float add (the double sum of two
+        |-- floats is exact, so the final rounding agrees).
+        |vecs AS (
+        |  SELECT vec_id::BIGINT AS id, embedding AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 2000000,
+        |         list_prepend(CAST(embedding[1] + 0.25 AS FLOAT), embedding[2:])
+        |  FROM embeddings WHERE vec_id % 50 = 25),
+        |inp AS (SELECT b.id, b.bucket, vecs.v FROM buckets b JOIN vecs USING (id)),
         |probes AS (
         |  SELECT id, bucket FROM inp
         |  UNION

@@ -93,11 +93,27 @@ object Canonicalize {
       .select("cid_a", "cid_b").distinct()
   }
 
-  /** Connected components by iterative label propagation:
-    * label(v) := min(label(v), min label over neighbors); repeat until
-    * fixpoint. Returns (cid, cluster_id = min cid of component).
+  /** Connected components by min-label propagation WITH pointer
+    * jumping. Each iteration does two monotone steps:
+    *
+    *  1. neighbor-min: label(v) := min(label(v), min over neighbors'
+    *     labels) — the classic propagation, O(diameter) alone;
+    *  2. pointer jump: label(v) := min(label(v), label(label(v))) —
+    *     every label is itself a node id of the same component, so
+    *     chasing one hop of the label "pointer graph" halves chain
+    *     depth, giving O(log diameter) convergence overall (a
+    *     3000-link synonym chain converges in ~12 rounds, not 3000).
+    *
+    * Invariants: label(v) is always (a) a node id of v's component and
+    * (b) <= v; both steps only decrease labels, so the loop converges,
+    * and at fixpoint labels are constant per component and equal to the
+    * component min. `maxIter` is a SAFETY VALVE, not a truncation
+    * point: if the loop exits with changes still pending the result
+    * would be silently wrong cluster ids, so it `require`-fails loudly
+    * instead (a diameter needing > 2^40 jumps does not exist).
+    * Returns (cid, cluster_id = min cid of component).
     */
-  def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 40): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("cid_a").as("src"), col("cid_b").as("dst"))
       .union(pairs.select(col("cid_b").as("src"), col("cid_a").as("dst")))
@@ -110,12 +126,22 @@ object Canonicalize {
         .join(labels, edges("dst") === labels("cid"))
         .groupBy(col("src").as("cid0"))
         .agg(min("cluster_id").as("nbr_min"))
-      val updated = labels
+      val viaNbr = labels
         .join(candidate, labels("cid") === candidate("cid0"), "left_outer")
-        .select(col("cid"),
+        .select(col("cid"), col("cluster_id").as("old_label"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("mid_label"))
+      // pointer jump: look up the label of the label (every label IS a
+      // node id, so the self-join is total; left_outer + coalesce is
+      // belt-and-braces)
+      val ptr = viaNbr.select(col("cid").as("jcid"), col("mid_label").as("jlabel"))
+      val updated = viaNbr
+        .join(ptr, viaNbr("mid_label") === ptr("jcid"), "left_outer")
+        .select(viaNbr("cid"),
+          least(col("mid_label"), coalesce(col("jlabel"), col("mid_label")))
             .as("cluster_id"),
-          (col("nbr_min").isNotNull && col("nbr_min") < col("cluster_id")).as("changed"))
+          (least(col("mid_label"), coalesce(col("jlabel"), col("mid_label")))
+            < col("old_label")).as("changed"))
         .localCheckpoint() // cut lineage each iteration
       changedCount = updated.filter(col("changed")).count()
       labels.unpersist()
@@ -123,6 +149,10 @@ object Canonicalize {
       iter += 1
     }
     edges.unpersist()
+    require(changedCount == 0,
+      s"connectedComponents did not converge within $maxIter iterations " +
+        s"($changedCount labels still changing) — result would be silently " +
+        "wrong cluster ids; raise maxIter")
     labels
   }
 

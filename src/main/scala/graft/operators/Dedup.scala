@@ -96,7 +96,29 @@ object Dedup {
       threshold: Double = 0.7,
       maxBucket: Int = 128,
       useBroadcast: Boolean = true
-  ): DataFrame = {
+  ): DataFrame =
+    minhashPairsWithHandle(docs, idCol, textCol, k, bands, threshold, maxBucket,
+      useBroadcast)._1
+
+  /** Like `minhashPairs` but also returns a release handle the caller
+    * should invoke after its action completes: on the useBroadcast=false
+    * path the candidate-pair subplan (full-corpus banding + self-join)
+    * is persisted — it feeds the Bloom build (a driver action) AND the
+    * returned lazy pair joins, and without the cache the most expensive
+    * stage of the job would run three times at the dup-heavy production
+    * scale this path exists for. Handle is a no-op on the broadcast
+    * path (nothing persisted there).
+    */
+  def minhashPairsWithHandle(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.7,
+      maxBucket: Int = 128,
+      useBroadcast: Boolean = true
+  ): (DataFrame, () => Unit) = {
     val compactDocs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
     // (band, band_hash, id) — the ONLY rows that ever shuffle
     val banded = minhashBands(docs, idCol, textCol, k, bands)
@@ -112,15 +134,16 @@ object Dedup {
 
     // verification: fetch candidate texts by id (see fetchCandidatePayload
     // for the broadcast vs dup-heavy-corpus exchange discipline)
-    val (candDocs, side) = fetchCandidatePayload(cand, compactDocs, useBroadcast)
+    val (candDocs, side, release) = fetchCandidatePayload(cand, compactDocs, useBroadcast)
     val jac = udf((x: String, y: String) => ngramJaccard(x, y))
-    cand
+    val out = cand
       .join(side(candDocs.select(col("id").as("id_a"), col("txt").as("txt_a"))),
         Seq("id_a"))
       .join(side(candDocs.select(col("id").as("id_b"), col("txt").as("txt_b"))),
         Seq("id_b"))
       .filter(jac(col("txt_a"), col("txt_b")) >= threshold)
       .select("id_a", "id_b")
+    (out, release)
   }
 
   /** (band, band_hash, id) banded minhash rows — the ONLY rows that
@@ -168,33 +191,36 @@ object Dedup {
     * payload bytes, never O(corpus). Bloom false positives survive the
     * pre-filter but are dropped by the inner pair joins on id, so rows
     * are identical to the broadcast path (asserted in DedupSpec; plan
-    * asserted in PlanSpec under autoBroadcastJoinThreshold=-1). The
-    * bloom build runs the candidate subplan once extra — at production
-    * scale persist `cand` around this call.
+    * asserted in PlanSpec under autoBroadcastJoinThreshold=-1).
+    *
+    * On that path `cand` itself is PERSISTED (not just candIds): the
+    * candidate subplan — full-corpus banding + bucket self-join, the
+    * most expensive stage — feeds the Bloom build (an eager driver
+    * action) and then reappears inside the returned lazy pair joins;
+    * without the cache it would compute twice-to-three times. The third
+    * tuple element releases it; callers invoke it after their action
+    * (mirrors Linking.linkTriplesFusedWithHandle).
     */
   private def fetchCandidatePayload(
       cand: DataFrame,
       payload: DataFrame,
       useBroadcast: Boolean
-  ): (DataFrame, DataFrame => DataFrame) = {
+  ): (DataFrame, DataFrame => DataFrame, () => Unit) = {
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     if (useBroadcast)
       (payload.join(broadcast(candIds), Seq("id"), "left_semi"),
-        df => broadcast(df))
+        df => broadcast(df), () => ())
     else {
       val spark = payload.sparkSession
-      // candIds feeds TWO driver actions (count for sizing, then the
-      // bloom build) — persist so the candidate subplan computes once
-      // for both; it does not appear in the returned lazy plan, so
-      // unpersisting here is safe
-      candIds.persist()
-      try {
-        val n = math.max(candIds.count(), 1024L)
-        val bf = candIds.stat.bloomFilter("id", n, 0.01)
-        val bfB = spark.sparkContext.broadcast(bf)
-        val mightContain = udf((id: Long) => bfB.value.mightContain(id))
-        (payload.filter(mightContain(col("id"))), df => df.hint("shuffle_hash"))
-      } finally candIds.unpersist()
+      // cand feeds the count/bloom driver actions here AND the caller's
+      // final plan — persist across both; released by the handle
+      cand.persist()
+      val n = math.max(candIds.count(), 1024L)
+      val bf = candIds.stat.bloomFilter("id", n, 0.01)
+      val bfB = spark.sparkContext.broadcast(bf)
+      val mightContain = udf((id: Long) => bfB.value.mightContain(id))
+      (payload.filter(mightContain(col("id"))), df => df.hint("shuffle_hash"),
+        () => { cand.unpersist(); () })
     }
   }
 
@@ -204,12 +230,16 @@ object Dedup {
   def minhashClusters(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.7,
       useBroadcast: Boolean = true): DataFrame = {
-    val pairs = minhashPairs(docs, idCol, textCol, threshold = threshold,
-      useBroadcast = useBroadcast)
-      .select(col("id_a").as("cid_a"), col("id_b").as("cid_b"))
+    val (rawPairs, release) = minhashPairsWithHandle(docs, idCol, textCol,
+      threshold = threshold, useBroadcast = useBroadcast)
+    val pairs = rawPairs.select(col("id_a").as("cid_a"), col("id_b").as("cid_b"))
     val nodes = docs.select(col(idCol).cast("long").as("cid"))
-    Canonicalize.connectedComponents(nodes, pairs)
-      .select(col("cid").as(idCol), col("cluster_id"))
+    // CC materializes the edge list eagerly (persist + checkpointed
+    // label iterations), so the candidate cache can release right after
+    val labels =
+      try Canonicalize.connectedComponents(nodes, pairs)
+      finally release()
+    labels.select(col("cid").as(idCol), col("cluster_id"))
   }
 
   // ---------- simhash ----------
@@ -347,7 +377,24 @@ object Dedup {
       bits: Int = 8,
       multiProbe: Boolean = true,
       useBroadcast: Boolean = true
-  ): DataFrame = {
+  ): DataFrame =
+    embeddingPairsWithHandle(emb, idCol, vecCol, threshold, bits, multiProbe,
+      useBroadcast)._1
+
+  /** `embeddingPairs` + release handle — same contract as
+    * `minhashPairsWithHandle` (the handle matters on the
+    * useBroadcast=false path, where the candidate subplan is persisted
+    * across the Bloom build and the pair joins).
+    */
+  def embeddingPairsWithHandle(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.95,
+      bits: Int = 8,
+      multiProbe: Boolean = true,
+      useBroadcast: Boolean = true
+  ): (DataFrame, () => Unit) = {
     val withSig = embeddingBuckets(emb, idCol, vecCol, bits)
     val banded = withSig.select("bucket", "id")
     val probeSide =
@@ -359,12 +406,13 @@ object Dedup {
       .join(banded.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val (candVecs, side) =
+    val (candVecs, side, release) =
       fetchCandidatePayload(cand, withSig.select("id", "v"), useBroadcast)
-    cand
+    val out = cand
       .join(side(candVecs.select(col("id").as("id_a"), col("v").as("v_a"))), Seq("id_a"))
       .join(side(candVecs.select(col("id").as("id_b"), col("v").as("v_b"))), Seq("id_b"))
       .filter(cosineCol(col("v_a"), col("v_b")) >= threshold)
       .select("id_a", "id_b")
+    (out, release)
   }
 }

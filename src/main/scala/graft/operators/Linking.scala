@@ -121,16 +121,46 @@ object Linking {
       annotated: Dataset[Sentence],
       dict: Dataset[ChemDictEntry],
       minOccurrences: Int = MinOccurrences
-  ): DataFrame = {
+  ): DataFrame = attachToMentionsWithHandle(annotated, dict, minOccurrences)._1
+
+  /** Fused single-pass form of the J2 strict back-attachment: ONE
+    * flatMap over the annotated table emits the compact per-mention
+    * rows, that dataset persists, and BOTH consumers — the A1
+    * occurrence count and the final attach join — read the cache. The
+    * pre-round-4 shape re-derived mentionCounts from the un-persisted
+    * `annotated` and so ran the full NER annotate stage twice; at
+    * 10^12 pages that doubles the dominant cost of the pipeline's
+    * primary artifact. Single-pass is asserted by LinkingSpec with a
+    * row accumulator on the annotate subtree.
+    *
+    * Returns the unpersist handle for the compact mention cache (same
+    * contract as `linkTriplesFusedWithHandle`; one-shot Verify queries
+    * tolerate the leak until session stop).
+    */
+  def attachToMentionsWithHandle(
+      annotated: Dataset[Sentence],
+      dict: Dataset[ChemDictEntry],
+      minOccurrences: Int = MinOccurrences
+  ): (DataFrame, () => Unit) = {
     val spark = annotated.sparkSession
     import spark.implicits._
     val mentions = annotated.flatMap { s =>
       s.ents.iterator.filter(_.label == "CHEM").map(e =>
         (s.url, s.sentId, e.startChar, e.endChar, e.startTok, e.text))
     }.toDF("url", "sent_id", "start_char", "end_char", "start_tok", "mention")
-    mentions.join(
-      broadcast(surfaceLinks(annotated, dict, minOccurrences, useBroadcast = true)),
-      Seq("mention"), "left_outer")
+      .persist()
+    // A1 gate computed from the SAME compact rows (groupBy over exact
+    // surfaces — identical to mentionCounts over `annotated`)
+    val eligible = mentions.groupBy("mention").agg(count(lit(1)).as("occurrences"))
+      .filter(col("occurrences") >= minOccurrences)
+      .withColumn("name_norm", chemNormCol(col("mention")))
+      .select("mention", "name_norm")
+    val links = eligible
+      .join(broadcast(dictNames(dict)), Seq("name_norm"))
+      .join(broadcast(dictProps(dict)), Seq("cid"))
+      .drop("name_norm")
+    (mentions.join(broadcast(links), Seq("mention"), "left_outer"),
+      () => { mentions.unpersist(); () })
   }
 
   /** J1+J2 broadcast path: triples ⟕ surface-link table on the exact

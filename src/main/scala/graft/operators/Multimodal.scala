@@ -151,6 +151,10 @@ object Multimodal {
       // advancing) or yield a negative sample count — reject the file
       // like a real decoder
       if (len < 0) return None
+      // a huge positive length would Int-overflow the offset advance
+      // below (o wraps negative → String ctor throws in the executor
+      // instead of this row dropping); do the bound check in Long
+      val next = o.toLong + 8L + len.toLong + (len & 1)
       if (id == "fmt " && o + 8 + 16 <= p.length) {
         val audioFormat = le16(p, o + 8)
         if (audioFormat != 1) return None // PCM only
@@ -164,7 +168,11 @@ object Multimodal {
           }
         }
       }
-      o += 8 + len + (len & 1) // chunks are word-aligned
+      // chunks are word-aligned; a non-data chunk claiming to run past
+      // the end of the payload is corrupt — drop the file (the data
+      // branch above already tolerates a truncated final data chunk)
+      if (next > p.length) return None
+      o = next.toInt
     }
     None
   }

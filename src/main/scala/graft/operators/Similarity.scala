@@ -75,14 +75,16 @@ object Similarity {
 
   // ---------- IVF (inverted-file) ANN ----------
 
-  /** Deterministic coarse-quantizer centroids: the vectors of the
+  /** Default Lloyd iterations for the trained coarse quantizer. */
+  val IvfTrainIters = 3
+
+  /** Deterministic k-means++-free INIT centroids: the vectors of the
     * `nlist` corpus rows with the smallest murmur(vec_id) — a seeded
-    * stand-in for a trained k-means coarse quantizer (training is an
-    * offline concern; the INDEX structure — cell assignment, inverted
-    * lists, multi-cell probing — is what the operator exercises).
-    * nlist is small; the centroid table rides as a broadcast value.
+    * sample. Exposed separately so the spec can show training improves
+    * on it; `ivfCentroids` (the default every IVF entry point uses)
+    * refines these with Lloyd iterations.
     */
-  def ivfCentroids(
+  def ivfCentroidsSampled(
       corpus: DataFrame, nlist: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"
   ): Array[(Int, Array[Float])] = {
@@ -96,6 +98,70 @@ object Similarity {
       .select("v").as[Array[Float]].collect()
       .zipWithIndex.map { case (v, i) => (i, v) }
   }
+
+  /** TRAINED coarse-quantizer centroids: seeded-sample init + `iters`
+    * distributed Lloyd iterations (assign each corpus vector to its
+    * nearest centroid, recompute each cell's mean). Determinism at any
+    * parallelism: the per-cell mean is accumulated SEQUENTIALLY in
+    * id-order after a repartition-by-cell + in-partition sort — float
+    * summation order is fixed, so the centroids (and therefore the
+    * ann_ivf_cells/probes dumps each Verify query recomputes) are
+    * bit-identical run to run. Cost per iteration is one corpus pass +
+    * one int-keyed shuffle of the vectors; the collect is nlist-bounded.
+    * Empty cells keep their previous centroid.
+    */
+  def ivfCentroidsTrained(
+      corpus: DataFrame, nlist: Int, iters: Int = IvfTrainIters,
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): Array[(Int, Array[Float])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents = ivfCentroidsSampled(corpus, nlist, idCol, vecCol)
+    val base = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val sums = base
+        .map { case (id, v) => (nearestCells(v, bc.value, 1)(0), id, v) }
+        .toDF("cell", "id", "v")
+        .repartition(col("cell"))
+        .sortWithinPartitions("cell", "id")
+        .as[(Int, Long, Array[Float])]
+        .mapPartitions { rows =>
+          // all rows of one cell are co-located and id-sorted: one
+          // deterministic sequential double accumulation per cell
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[Int, (Array[Double], Long)]
+          rows.foreach { case (cell, _, v) =>
+            val (s, n) = acc.getOrElseUpdate(cell, (new Array[Double](v.length), 0L))
+            var j = 0
+            while (j < v.length) { s(j) += v(j); j += 1 }
+            acc(cell) = (s, n + 1)
+          }
+          acc.iterator.map { case (cell, (s, n)) => (cell, s, n) }
+        }.collect()
+      val byCell = sums.map { case (cell, s, n) => cell -> ((s, n)) }.toMap
+      cents = cents.map { case (cell, old) =>
+        byCell.get(cell) match {
+          case Some((s, n)) if n > 0 => (cell, s.map(x => (x / n).toFloat))
+          case _ => (cell, old)
+        }
+      }
+      bc.destroy()
+      it += 1
+    }
+    cents
+  }
+
+  /** The coarse quantizer every IVF entry point uses: trained (Lloyd)
+    * centroids. nlist is small; the table rides as a broadcast value.
+    */
+  def ivfCentroids(
+      corpus: DataFrame, nlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): Array[(Int, Array[Float])] =
+    ivfCentroidsTrained(corpus, nlist, IvfTrainIters, idCol, vecCol)
 
   private def nearestCells(v: Seq[Float], cents: Array[(Int, Array[Float])], n: Int): Array[Int] = {
     cents.map { case (cell, c) =>
@@ -149,8 +215,18 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"
+  ): DataFrame =
+    ivfTopKWithCentroids(corpus, queries, k,
+      ivfCentroids(corpus, nlist, idCol, vecCol), nProbe, idCol, vecCol)
+
+  /** `ivfTopK` against explicit centroids (lets the spec compare the
+    * trained vs sampled quantizer at equal probe budget).
+    */
+  def ivfTopKWithCentroids(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      cents: Array[(Int, Array[Float])], nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"
   ): DataFrame = {
-    val cents = ivfCentroids(corpus, nlist, idCol, vecCol)
     val c = corpus.select(col(idCol).cast("long").as("corpus_id"), col(vecCol).as("cv"))
     val assigned = ivfAssign(corpus, cents, idCol, vecCol)
       .select(col("id").as("corpus_id"), col("cell"))

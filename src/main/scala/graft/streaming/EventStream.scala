@@ -110,7 +110,12 @@ object EventStream {
                 math.max(last.lastS, iv.lastS), last.n + iv.n)
             } else merged += iv
           }
-          val (closed, open) = merged.partition(_.lastS + gapMs <= wm)
+          // STRICT inequality: batch merges when ts - prev <= gap, so
+          // an on-time event landing at exactly ts == wm == lastS + gap
+          // must still find the session pending — closing at <= would
+          // split what batch joins (the wm+1 timeout clamp tolerates a
+          // session left pending exactly at the watermark)
+          val (closed, open) = merged.partition(_.lastS + gapMs < wm)
           if (open.isEmpty) state.remove()
           else {
             state.update(SessionState(open.toList))

@@ -33,6 +33,34 @@ class CanonicalizeSpec extends AnyFunSuite {
     }
   }
 
+  test("CC converges on a high-diameter path graph (diameter 120 >> old 20-iteration cap)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 0-1-2-...-120 chained synonyms plus a second component 200-...-230:
+    // min-label propagation alone needs ~diameter iterations; the
+    // pointer-jumping loop must converge in O(log d) and must NOT
+    // silently truncate
+    val n = 121
+    val nodes = ((0 until n) ++ (200 until 231)).map(_.toLong).toDF("cid")
+    val pairs = ((0 until n - 1).map(i => (i.toLong, (i + 1).toLong)) ++
+      (200 until 230).map(i => (i.toLong, (i + 1).toLong)))
+      .toDF("cid_a", "cid_b")
+    val labels = Canonicalize.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    (0 until n).foreach(i => assert(labels(i.toLong) == 0L, s"node $i"))
+    (200 until 231).foreach(i => assert(labels(i.toLong) == 200L, s"node $i"))
+  }
+
+  test("CC fails LOUDLY when forced to stop before convergence (no silent truncation)") {
+    import spark.implicits._
+    val nodes = (0L until 40L).toDF("cid")
+    val pairs = (0 until 39).map(i => (i.toLong, (i + 1).toLong)).toDF("cid_a", "cid_b")
+    val e = intercept[IllegalArgumentException] {
+      Canonicalize.connectedComponents(nodes, pairs, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("CC converges and is idempotent (labels = min cid of component)") {
     val t1 = Canonicalize.entityTable(spark, ChemDict.entries)
       .collect().map(e => (e.cid, e.clusterId)).sortBy(_._1)

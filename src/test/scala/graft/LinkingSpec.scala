@@ -79,6 +79,25 @@ class LinkingSpec extends AnyFunSuite {
     attached.unpersist()
   }
 
+  test("attachToMentions runs the annotate subtree ONCE (fused single-pass)") {
+    import spark.implicits._
+    // instrument the annotate subtree with a row accumulator: both the
+    // A1 count and the attach join must be fed from one persisted pass,
+    // so each sentence row flows through exactly once (the pre-fuse
+    // shape ran the NER stage twice -> 2x the count)
+    val acc = spark.sparkContext.longAccumulator("annotate-rows")
+    val instrumented = annotated.map { s => acc.add(1); s }
+    val nSentences = annotated.count()
+    acc.reset()
+    val (attached, unpersist) = Linking.attachToMentionsWithHandle(
+      instrumented, Linking.dictDs(spark, ChemDict.entries))
+    try {
+      attached.collect()
+      assert(acc.value == nSentences,
+        s"annotate subtree ran ${acc.value.toDouble / nSentences}x (expected 1x)")
+    } finally unpersist()
+  }
+
   test("salted join produces identical rows to broadcast join") {
     val a = Linking.linkTriples(triples, annotated, ChemDict.entries)
     val b = Linking.linkTriplesSalted(triples, annotated, ChemDict.entries, nSalts = 4)

@@ -114,6 +114,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean1 <= mean + 1e-9)
   }
 
+  test("IVF trained quantizer beats the seeded sample at equal nProbe (Lloyd iterations pay)") {
+    import spark.implicits._
+    // SKEWED cluster sizes — the case where a seeded sample fails: one
+    // dominant cluster (240 members) plus 7 small ones (15 each). The
+    // murmur sample lands most seeds in the big cluster, so several
+    // small clusters share a cell and nProbe=1 misses them; Lloyd
+    // iterations migrate centroids to the occupied regions.
+    def h(s: String) = scala.util.hashing.MurmurHash3.stringHash(s, 13)
+    val dim = 32
+    val sizes = Seq(240, 15, 15, 15, 15, 15, 15, 15)
+    val rows = for {
+      c <- sizes.indices
+      m <- 0 until sizes(c)
+    } yield {
+      val center = Array.tabulate(dim)(j => (h(s"sc:$c:$j").toDouble / Int.MaxValue).toFloat)
+      val vec = Array.tabulate(dim)(j =>
+        center(j) + 0.05f * (h(s"sn:$c:$m:$j").toDouble / Int.MaxValue).toFloat)
+      (c * 1000L + m, vec, c)
+    }
+    val skewed = rows.toDF("vec_id", "embedding", "label").cache()
+    val sQueries = skewed.filter(col("vec_id") % 1000 < 3).cache()
+    val bf = Similarity.bruteForceTopK(skewed, sQueries, K)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(cents: Array[(Int, Array[Float])], nProbe: Int): Double = {
+      val got = Similarity.ivfTopKWithCentroids(skewed, sQueries, K, cents, nProbe)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      bf.keys.toSeq.map { q =>
+        got.getOrElse(q, Set.empty).intersect(bf(q)).size.toDouble / K
+      }.sum / bf.size
+    }
+    val sampled = Similarity.ivfCentroidsSampled(skewed, nlist = 8)
+    val trained = Similarity.ivfCentroidsTrained(skewed, nlist = 8)
+    val (rs, rt) = (recall(sampled, 1), recall(trained, 1))
+    info(f"recall@$K nProbe=1: sampled=$rs%.3f trained=$rt%.3f")
+    assert(rt > rs, f"training did not improve recall: $rt%.3f <= $rs%.3f")
+    // training is deterministic at any parallelism (sequential id-order
+    // accumulation): two runs produce bit-identical centroids
+    val again = Similarity.ivfCentroidsTrained(skewed, nlist = 8)
+    trained.zip(again).foreach { case ((c1, v1), (c2, v2)) =>
+      assert(c1 == c2 && v1.sameElements(v2), s"centroid $c1 not deterministic")
+    }
+  }
+
   test("label coherence on clustered data: 1-NN shares the label") {
     import spark.implicits._
     val labels = clustered.select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
