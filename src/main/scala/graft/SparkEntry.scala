@@ -152,8 +152,6 @@ object SparkEntry {
         .orderBy("clusterId", "cid")),
     "kg_abbreviations" -> ((s, dir) =>
       Pipeline.abbreviations(Pipeline.sentences(pages(s, dir)))
-        .toDF("url", "sent_id", "short_text", "short_start", "short_end",
-          "long_text", "long_start", "long_end")
         .orderBy("url", "sent_id", "short_start")),
     "kg_rel_sweep" -> ((s, dir) => {
       // model + random-baseline sweep (evaluate.py:71-99); integer-only
@@ -327,16 +325,31 @@ object SparkEntry {
       Multimodal.decode(Multimodal.genMedia(s, 500)).toDF()
         .orderBy("media_id")),
     "mm_frames" -> ((s, dir) =>
+      // every 4th AVI frame REALLY decoded (ImageIO JPEG); the emitted
+      // dims come from the decoded pixels, the oracle's from the
+      // container header — agreement proves each sampled frame decodes
       Multimodal.sampleFrames(Multimodal.genMedia(s, 200), 4)
         .orderBy("media_id", "frame_idx")),
-    "mm_thumbs" -> ((s, dir) =>
-      // real ImageIO resize of the genuine PNG/BMP payloads
+    "mm_thumbs" -> ((s, dir) => {
+      // real ImageIO resize of the genuine PNG/BMP payloads, projected
+      // to oracle-checkable ints: (w, h) parsed from the PNG IHDR the
+      // resize stage itself produced (8x8 iff the payload is a
+      // decodable image, null otherwise)
+      import s.implicits._
       Multimodal.withThumbnails(Multimodal.genMedia(s, 200))
-        .orderBy("media_id")),
+        .select(col("media_id"), col("modality"), col("thumb_png"))
+        .as[(Long, String, Array[Byte])]
+        .map { case (id, modality, thumb) =>
+          val dims = Option(thumb).flatMap(Multimodal.pngSize)
+          (id, modality, dims.map(_._1), dims.map(_._2))
+        }
+        .toDF("media_id", "modality", "thumb_w", "thumb_h")
+        .orderBy("media_id")
+    }),
     "mm_payloads" -> ((s, dir) =>
-      // raw media bytes (genuine PNG/BMP/WAV files + the fake video
-      // container) — oracle INPUT: DuckDB parses the real format
-      // headers out of the BLOBs to check mm_decode/mm_frames
+      // raw media bytes (genuine PNG/BMP/WAV/AVI files) — oracle INPUT:
+      // DuckDB parses the real format headers out of the BLOBs to
+      // check mm_decode/mm_frames/mm_thumbs
       Multimodal.genMedia(s, 500).toDF()
         .select("media_id", "modality", "payload")
         .orderBy("media_id")),
@@ -675,43 +688,59 @@ object SparkEntry {
       """WITH p AS (SELECT media_id, modality, hex(payload) AS h,
         |             octet_length(payload) AS nb
         |           FROM read_parquet('{OUT}/mm_payloads/*.parquet')),
-        |t AS (SELECT media_id, modality, h, nb, substr(h, 1, 8) AS magic FROM p)
+        |t AS (SELECT media_id, modality, h, nb, substr(h, 1, 8) AS magic,
+        |        substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '41564920' AS is_avi,
+        |        substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645' AS is_wav
+        |      FROM p)
         |SELECT media_id, modality,
         |  CASE
         |    WHEN magic = '89504E47' THEN ('0x' || substr(h, 33, 8))::BIGINT
         |    WHEN substr(magic,1,4) = '424D' THEN ('0x' || substr(h,43,2) || substr(h,41,2) || substr(h,39,2) || substr(h,37,2))::BIGINT
-        |    WHEN magic = '52494646' THEN ('0x' || substr(h,55,2) || substr(h,53,2) || substr(h,51,2) || substr(h,49,2))::BIGINT
-        |    ELSE ('0x' || substr(h, 11, 4))::BIGINT
+        |    WHEN is_wav THEN ('0x' || substr(h,55,2) || substr(h,53,2) || substr(h,51,2) || substr(h,49,2))::BIGINT
+        |    -- AVI: strf BITMAPINFOHEADER biWidth (LE32 at byte 176)
+        |    ELSE ('0x' || substr(h,359,2) || substr(h,357,2) || substr(h,355,2) || substr(h,353,2))::BIGINT
         |  END::INT AS width,
         |  CASE
         |    WHEN magic = '89504E47' THEN ('0x' || substr(h, 41, 8))::BIGINT
         |    WHEN substr(magic,1,4) = '424D' THEN ('0x' || substr(h,51,2) || substr(h,49,2) || substr(h,47,2) || substr(h,45,2))::BIGINT
-        |    WHEN magic = '52494646' THEN ('0x' || substr(h,47,2) || substr(h,45,2))::BIGINT
-        |    ELSE ('0x' || substr(h, 15, 4))::BIGINT
+        |    WHEN is_wav THEN ('0x' || substr(h,47,2) || substr(h,45,2))::BIGINT
+        |    -- AVI: strf biHeight (LE32 at byte 180)
+        |    ELSE ('0x' || substr(h,367,2) || substr(h,365,2) || substr(h,363,2) || substr(h,361,2))::BIGINT
         |  END::INT AS height,
         |  CASE
         |    WHEN magic = '89504E47' OR substr(magic,1,4) = '424D' THEN 1
-        |    WHEN magic = '52494646' THEN
+        |    WHEN is_wav THEN
         |      (least(('0x' || substr(h,87,2) || substr(h,85,2) || substr(h,83,2) || substr(h,81,2))::BIGINT, nb - 44)
         |       / (2 * ('0x' || substr(h,47,2) || substr(h,45,2))::BIGINT))::INT
-        |    ELSE ('0x' || substr(h, 19, 4))::BIGINT
+        |    -- AVI: avih dwTotalFrames (LE32 at byte 48)
+        |    ELSE ('0x' || substr(h,103,2) || substr(h,101,2) || substr(h,99,2) || substr(h,97,2))::BIGINT
         |  END::INT AS n_frames,
         |  CASE WHEN magic = '89504E47' THEN 'png'
         |       WHEN substr(magic,1,4) = '424D' THEN 'bmp'
-        |       WHEN magic = '52494646' THEN 'wav'
-        |       ELSE 'fakevideo' END AS format,
+        |       WHEN is_wav THEN 'wav'
+        |       ELSE 'avi' END AS format,
         |  nb::BIGINT AS n_bytes
         |FROM t ORDER BY media_id""".stripMargin,
     "mm_frames" ->
-      """WITH p AS (SELECT media_id, hex(payload) AS h, octet_length(payload) AS nb
+      """WITH p AS (SELECT media_id, hex(payload) AS h
         |           FROM read_parquet('{OUT}/mm_payloads/*.parquet') WHERE media_id < 200),
-        |vid AS (SELECT media_id, h, nb, ('0x' || substr(h,19,4))::BIGINT AS frames
-        |        FROM p WHERE substr(h,1,8) = '47524654'),
-        |fi AS (SELECT media_id, h, nb, unnest(range(0, frames, 4)) AS frame_idx FROM vid)
+        |vid AS (SELECT media_id,
+        |    ('0x' || substr(h,103,2) || substr(h,101,2) || substr(h,99,2) || substr(h,97,2))::BIGINT AS frames,
+        |    ('0x' || substr(h,359,2) || substr(h,357,2) || substr(h,355,2) || substr(h,353,2))::BIGINT AS w,
+        |    ('0x' || substr(h,367,2) || substr(h,365,2) || substr(h,363,2) || substr(h,361,2))::BIGINT AS hh
+        |  FROM p WHERE substr(h,1,8) = '52494646' AND substr(h,17,8) = '41564920'),
+        |fi AS (SELECT media_id, w, hh, unnest(range(0, frames, 4)) AS frame_idx FROM vid)
         |SELECT media_id, frame_idx::INT AS frame_idx,
-        |  CASE WHEN 12 + frame_idx <= nb
-        |    THEN ('0x' || substr(h, 2*(12+frame_idx)-1, 2))::INT ELSE 0 END AS frame_byte
+        |  w::INT AS frame_w, hh::INT AS frame_h
         |FROM fi ORDER BY media_id, frame_idx""".stripMargin,
+    "mm_thumbs" ->
+      """SELECT media_id, modality,
+        |  CASE WHEN substr(hex(payload),1,8) = '89504E47'
+        |         OR substr(hex(payload),1,4) = '424D' THEN 8 END::INT AS thumb_w,
+        |  CASE WHEN substr(hex(payload),1,8) = '89504E47'
+        |         OR substr(hex(payload),1,4) = '424D' THEN 8 END::INT AS thumb_h
+        |FROM read_parquet('{OUT}/mm_payloads/*.parquet')
+        |WHERE media_id < 200 ORDER BY media_id""".stripMargin,
     // Java 31*h+c rolling hash over the normalized text, reproduced
     // with HUGEINT arithmetic mod 2^64 then re-signed — exact because
     // the driver documents are ASCII (code units == codepoints)
@@ -779,6 +808,42 @@ object SparkEntry {
         |        ent_text AS mention FROM ents WHERE label = 'CHEM') m
         |LEFT JOIN links l USING (mention)
         |ORDER BY url, sent_id, start_char""".stripMargin,
+    // W4 Schwartz–Hearst consistency oracle: full backward-scan
+    // detection in SQL is unreasonable, but every emitted row must (a)
+    // have its short and long surface strings EXACTLY at the dumped
+    // char offsets of the kg_sentences text, and (b) belong to a
+    // definition group where some row's short form sits in parentheses
+    // right after the long form (or the long form sits in parens after
+    // the short form — the wide-interior variant). Rows failing any
+    // check are filtered out, so an inconsistent dump row-mismatches.
+    "kg_abbreviations" ->
+      """WITH d AS (SELECT * FROM read_parquet('{OUT}/kg_abbreviations/*.parquet')),
+        |s AS (SELECT url, sentId AS sent_id, text FROM read_parquet('{OUT}/kg_sentences/*.parquet')),
+        |j AS (SELECT d.*, s.text FROM d JOIN s USING (url, sent_id)),
+        |checked AS (
+        |  SELECT *,
+        |    substr(text, short_char_start + 1, short_char_end - short_char_start) = short_text AS short_ok,
+        |    substr(text, long_char_start + 1, long_char_end - long_char_start) = long_text AS long_ok,
+        |    -- definition shape (whitespace-tolerant): nearest non-space
+        |    -- char before the short form is '(' and after it is ')',
+        |    -- with the long form ending before the paren opens
+        |    (substr(rtrim(substr(text, 1, short_char_start)), -1, 1) = '('
+        |      AND substr(ltrim(substr(text, short_char_end + 1)), 1, 1) = ')'
+        |      AND long_char_end <= short_char_start) AS short_in_parens,
+        |    (substr(rtrim(substr(text, 1, long_char_start)), -1, 1) = '('
+        |      AND substr(ltrim(substr(text, long_char_end + 1)), 1, 1) = ')'
+        |      AND short_char_end <= long_char_start) AS long_in_parens
+        |  FROM j)
+        |SELECT url, sent_id, short_text, short_start, short_end,
+        |       short_char_start, short_char_end,
+        |       long_text, long_start, long_end, long_char_start, long_char_end
+        |FROM checked c
+        |WHERE short_ok AND long_ok
+        |  AND EXISTS (SELECT 1 FROM checked c2
+        |              WHERE c2.url = c.url AND c2.sent_id = c.sent_id
+        |                AND c2.long_text = c.long_text
+        |                AND (c2.short_in_parens OR c2.long_in_parens))
+        |ORDER BY url, sent_id, short_start""".stripMargin,
     "dedup_minhash_clusters" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT id_a, id_b FROM read_parquet('{OUT}/dedup_minhash_pairs/*.parquet')),

@@ -17,10 +17,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *  - audio: REAL — payloads are genuine RIFF/WAVE PCM16 files; the
   *    header parser and sample-level features are hand-rolled (no
   *    AudioSystem dependency, deterministic everywhere);
-  *  - video: STUB — no video codec exists in the JDK; payloads use the
-  *    disclosed "GRFT" fake container and frame sampling reads fake
-  *    frame bytes. Swap `decodeVideoStub` for an ffmpeg binding at
-  *    deployment; nothing else changes.
+  *  - video: REAL — payloads are genuine MJPEG-in-AVI files (the one
+  *    mainstream video format decodable with JDK primitives alone):
+  *    hand-rolled RIFF/AVI container walk — the same chunk discipline
+  *    as the WAV parser — plus ImageIO JPEG decode per frame. A
+  *    deployment wanting H.264 would swap `decodeAvi`/`aviFrame` for an
+  *    ffmpeg binding; nothing else changes.
   */
 object Multimodal {
 
@@ -36,7 +38,7 @@ object Multimodal {
     *  - image: width × height pixels, n_frames = 1
     *  - audio: width = sample rate (Hz), height = channels,
     *    n_frames = PCM sample count per channel
-    *  - video (stub): width × height, n_frames = frame count
+    *  - video: width × height pixels, n_frames = counted '00dc' chunks
     */
   final case class DecodedMeta(
       media_id: Long,
@@ -88,8 +90,9 @@ object Multimodal {
   private def isWav(p: Array[Byte]) =
     p != null && p.length > 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
       p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
-  private def isFakeVideo(p: Array[Byte]) =
-    p != null && p.length >= 11 && p(0) == 'G' && p(1) == 'R' && p(2) == 'F' && p(3) == 'T'
+  private def isAvi(p: Array[Byte]) =
+    p != null && p.length > 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
 
   /** REAL image decode via ImageIO (PNG/BMP/JPEG — all in the JDK). */
   def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
@@ -188,34 +191,133 @@ object Multimodal {
     out
   }
 
-  // ---------- video stub (no video codec in the JDK — disclosed) ----------
+  // ---------- real video codec: MJPEG-in-AVI (RIFF walk + ImageIO) ----------
 
-  /** Fake video container (generator + stub agree): bytes 0-3 magic
-    * "GRFT", byte 4 format code, bytes 5-6 width, 7-8 height,
-    * 9-10 frame count, rest = one byte per frame.
+  /** Genuine RIFF/AVI file carrying an MJPEG video stream: the standard
+    * hdrl LIST (avih main header + strl with 'vids'/'MJPG' strh and a
+    * BITMAPINFOHEADER strf) followed by a movi LIST of '00dc' chunks,
+    * each a complete JPEG. Playable by any MJPEG-capable player; the
+    * JPEGs themselves come from the same ImageIO path as the image
+    * fixtures.
     */
-  def encodeFakeMedia(format: Int, width: Int, height: Int, frames: Int, body: Array[Byte]): Array[Byte] = {
-    val out = new Array[Byte](11 + body.length)
-    out(0) = 'G'; out(1) = 'R'; out(2) = 'F'; out(3) = 'T'
-    out(4) = format.toByte
-    out(5) = (width >> 8).toByte; out(6) = width.toByte
-    out(7) = (height >> 8).toByte; out(8) = height.toByte
-    out(9) = (frames >> 8).toByte; out(10) = frames.toByte
-    System.arraycopy(body, 0, out, 11, body.length)
-    out
+  def encodeAviMjpeg(frames: Seq[Array[Byte]], width: Int, height: Int,
+      fps: Int = 10): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def fourcc(s: String): Unit = { var i = 0; while (i < 4) { bos.write(s.charAt(i)); i += 1 } }
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val moviBody = frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val moviSize = 4 + moviBody
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    fourcc("RIFF"); le32(riffSize); fourcc("AVI ")
+    fourcc("LIST"); le32(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); le32(56)
+    le32(1000000 / fps) // dwMicroSecPerFrame
+    le32(maxFrame * fps) // dwMaxBytesPerSec
+    le32(0) // dwPaddingGranularity
+    le32(0x10) // dwFlags: AVIF_HASINDEX off, AVIF_WASCAPTUREFILE-ish
+    le32(frames.length) // dwTotalFrames
+    le32(0) // dwInitialFrames
+    le32(1) // dwStreams
+    le32(maxFrame) // dwSuggestedBufferSize
+    le32(width); le32(height)
+    le32(0); le32(0); le32(0); le32(0) // dwReserved
+    fourcc("LIST"); le32(strlSize); fourcc("strl")
+    fourcc("strh"); le32(56)
+    fourcc("vids"); fourcc("MJPG")
+    le32(0); le16(0); le16(0) // dwFlags, wPriority, wLanguage
+    le32(0) // dwInitialFrames
+    le32(1); le32(fps) // dwScale / dwRate
+    le32(0); le32(frames.length) // dwStart / dwLength
+    le32(maxFrame) // dwSuggestedBufferSize
+    le32(-1) // dwQuality
+    le32(0) // dwSampleSize
+    le16(0); le16(0); le16(width); le16(height) // rcFrame
+    fourcc("strf"); le32(40)
+    le32(40) // biSize
+    le32(width); le32(height)
+    le16(1); le16(24) // biPlanes / biBitCount
+    fourcc("MJPG") // biCompression
+    le32(width * height * 3) // biSizeImage
+    le32(0); le32(0); le32(0); le32(0) // resolution / clr fields
+    fourcc("LIST"); le32(moviSize); fourcc("movi")
+    frames.foreach { f =>
+      fourcc("00dc"); le32(f.length)
+      bos.write(f, 0, f.length)
+      if ((f.length & 1) == 1) bos.write(0) // chunks are word-aligned
+    }
+    bos.toByteArray
   }
 
-  /** STUB video decode: parses the fake header. A real deployment
-    * replaces this with an ffmpeg/jcodec binding (??? marker); images
-    * and audio above already use real codecs.
+  final case class AviMeta(width: Int, height: Int, nFrames: Int,
+      frameChunks: Array[(Int, Int)]) // (offset, len) of each JPEG
+
+  /** REAL AVI parse: the same defensive RIFF chunk walk as `decodeWav`
+    * (Long-guarded offsets, corrupt lengths reject the file), descending
+    * into LIST chunks to find the strf BITMAPINFOHEADER (authoritative
+    * stream dimensions) and collecting every video-data ('##dc'/'##db')
+    * chunk in the movi LIST. Frame count is the COUNTED chunk list —
+    * cross-checked against the strh dwLength so a truncated movi body
+    * drops the file instead of under-reporting.
     */
-  def decodeVideoStub(payload: Array[Byte]): Option[(Int, Int, Int)] = {
-    if (!isFakeVideo(payload)) return None
-    // ??? real video codec goes here
-    val w = ((payload(5) & 0xff) << 8) | (payload(6) & 0xff)
-    val h = ((payload(7) & 0xff) << 8) | (payload(8) & 0xff)
-    val f = ((payload(9) & 0xff) << 8) | (payload(10) & 0xff)
-    Some((w, h, f))
+  def decodeAvi(p: Array[Byte]): Option[AviMeta] = {
+    if (p == null || p.length < 24 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' ||
+      p(3) != 'F' || p(8) != 'A' || p(9) != 'V' || p(10) != 'I' || p(11) != ' ')
+      return None
+    var width = -1; var height = -1; var declFrames = -1
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    // iterative walk with an explicit region stack (LIST bodies nest)
+    var regions = List((12, p.length))
+    while (regions.nonEmpty) {
+      var (o, end) = regions.head
+      regions = regions.tail
+      while (o + 8 <= end) {
+        val id = new String(p, o, 4, "US-ASCII")
+        val len = le32(p, o + 4)
+        if (len < 0) return None
+        val next = o.toLong + 8L + len.toLong + (len & 1)
+        if (id == "LIST" && len >= 4) {
+          val listType = new String(p, o + 8, 4, "US-ASCII")
+          val bodyEnd = math.min(o.toLong + 8L + len.toLong, end.toLong).toInt
+          if (listType == "hdrl" || listType == "strl" || listType == "movi")
+            regions = (o + 12, bodyEnd) :: regions
+        } else if (id == "strh" && len >= 36) {
+          // only the video stream header's dwLength counts
+          if (new String(p, o + 8, 4, "US-ASCII") == "vids")
+            declFrames = le32(p, o + 8 + 32)
+        } else if (id == "strf" && len >= 12 && width < 0) {
+          width = le32(p, o + 8 + 4)
+          height = le32(p, o + 8 + 8)
+        } else if (id.endsWith("dc") || id.endsWith("db")) {
+          if (o.toLong + 8L + len.toLong > p.length) return None // truncated frame
+          chunks += ((o + 8, len))
+        }
+        if (next > end) {
+          if (id == "LIST") () else return None // corrupt non-LIST chunk
+          o = end
+        } else o = next.toInt
+      }
+    }
+    if (width <= 0 || height <= 0 || chunks.isEmpty) None
+    else if (declFrames >= 0 && declFrames != chunks.length) None // truncated movi
+    else Some(AviMeta(width, height, chunks.length, chunks.toArray))
+  }
+
+  /** Decode one frame of an AVI as a BufferedImage (real ImageIO JPEG
+    * decode of the '00dc' chunk bytes).
+    */
+  def aviFrame(p: Array[Byte], meta: AviMeta, idx: Int): Option[java.awt.image.BufferedImage] = {
+    if (idx < 0 || idx >= meta.frameChunks.length) return None
+    val (off, len) = meta.frameChunks(idx)
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(p, off, len)))
+    catch { case _: java.io.IOException => None }
   }
 
   // ---------- unified decode stage ----------
@@ -231,10 +333,17 @@ object Multimodal {
     } else if (isWav(p))
       decodeWav(p).map(wm =>
         DecodedMeta(m.media_id, m.modality, wm.sampleRate, wm.channels, wm.nSamples, "wav", p.length.toLong))
-    else
-      decodeVideoStub(p).map { case (w, h, f) =>
-        DecodedMeta(m.media_id, m.modality, w, h, f, "fakevideo", p.length.toLong)
+    else if (isAvi(p))
+      // real container walk + a real ImageIO decode of frame 0: header
+      // dims must match the decoded pixels or the row drops like any
+      // other corrupt payload
+      decodeAvi(p).flatMap { am =>
+        aviFrame(p, am, 0).filter(img =>
+          img.getWidth == am.width && img.getHeight == am.height)
+          .map(_ => DecodedMeta(m.media_id, m.modality, am.width, am.height,
+            am.nFrames, "avi", p.length.toLong))
       }
+    else None
   }
 
   /** Decode stage: batched per-partition; undecodable payloads drop
@@ -251,8 +360,9 @@ object Multimodal {
 
   /** 16-bin L1-normalized feature histogram from DECODED content:
     * image = luminance histogram over real pixels; audio = |amplitude|
-    * histogram over real PCM samples; video (stub) = fake-frame-byte
-    * histogram. Fixed dim — the batch contract of an embedding stage.
+    * histogram over real PCM samples; video = luminance histogram over
+    * the decoded first frame. Fixed dim — the batch contract of an
+    * embedding stage.
     */
   def features(m: MediaRow): Array[Float] = {
     val hist = new Array[Float](16)
@@ -284,9 +394,22 @@ object Multimodal {
           i += 1
         }
       }
-    } else if (isFakeVideo(p) && p.length > 11) {
-      var i = 11
-      while (i < p.length) { hist((p(i) & 0xff) / 16) += 1f; n += 1; i += 1 }
+    } else if (isAvi(p)) {
+      // real luminance histogram over the decoded first frame
+      decodeAvi(p).flatMap(am => aviFrame(p, am, 0)).foreach { img =>
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            hist(lum / 16) += 1f
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+      }
     }
     if (n > 0) { var j = 0; while (j < 16) { hist(j) /= n; j += 1 } }
     hist
@@ -331,24 +454,31 @@ object Multimodal {
     }.toDF("media_id", "modality", "thumb_png")
   }
 
-  /** Frame sampling: video-ish payloads only (stub frames — the real
-    * version is a decoder frame seek). Keeps the explode shape of a
-    * real frame table.
+  /** Frame sampling over REAL video: every k-th '00dc' chunk of an AVI
+    * is ImageIO-JPEG-decoded and its actual pixel dimensions emitted —
+    * a decoder frame seek, exploded to the frame-table shape a
+    * training-data pipeline consumes. (frame_w, frame_h) come from the
+    * DECODED image, so the DuckDB oracle parsing the container header
+    * out of the raw payload cross-checks that every sampled frame
+    * really decodes.
     */
   def sampleFrames(media: Dataset[MediaRow], everyK: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { m =>
-      decodeVideoStub(m.payload).toSeq.flatMap { case (_, _, frames) =>
-        (0 until frames by everyK).map(fi => (m.media_id, fi,
-          if (11 + fi < m.payload.length) m.payload(11 + fi).toInt & 0xff else 0))
+      decodeAvi(m.payload).toSeq.flatMap { am =>
+        (0 until am.nFrames by everyK).flatMap { fi =>
+          aviFrame(m.payload, am, fi).map(img =>
+            (m.media_id, fi, img.getWidth, img.getHeight))
+        }
       }
-    }.toDF("media_id", "frame_idx", "frame_byte")
+    }.toDF("media_id", "frame_idx", "frame_w", "frame_h")
   }
 
   /** Deterministic media generator (keyed by id): REAL PNG or BMP bytes
-    * for images, REAL RIFF/WAVE PCM16 for audio (id-keyed sine), the
-    * disclosed fake container for video.
+    * for images, REAL RIFF/WAVE PCM16 for audio (id-keyed sine), REAL
+    * MJPEG-in-AVI for video (id-keyed gradient frames through the same
+    * ImageIO JPEG path a camera pipeline would use).
     */
   def genMedia(spark: SparkSession, n: Long): Dataset[MediaRow] = {
     import spark.implicits._
@@ -368,14 +498,25 @@ object Multimodal {
             (math.sin(2 * math.Pi * freq * j / rate) * 12000).toShort)
           encodeWavPcm16(samples, rate)
         case _ =>
-          val w = 64 + math.abs(h / 5) % 512
-          val ht = 64 + math.abs(h / 7) % 512
-          val frames = 1 + math.abs(h / 11) % 64
-          val body = Array.tabulate[Byte](64 + (math.abs(h) % 128))(j =>
-            ((h + j * 31) & 0xff).toByte)
-          encodeFakeMedia(math.abs(h) % 5, w, ht, frames, body)
+          val w = 16 + math.abs(h / 5) % 48
+          val ht = 16 + math.abs(h / 7) % 48
+          val nFrames = 1 + math.abs(h / 11) % 24
+          val frames = (0 until nFrames).map(f =>
+            encodeImage(genImage(i * 1000 + f, w, ht), "jpeg"))
+          encodeAviMjpeg(frames, w, ht)
       }
       MediaRow(i, modality, payload, f"https://synth.example/media/$i%06d")
     }
+  }
+
+  /** PNG IHDR dimensions (big-endian width/height at bytes 16/20) —
+    * used to project the thumbnail stage's output to oracle-checkable
+    * integers.
+    */
+  def pngSize(p: Array[Byte]): Option[(Int, Int)] = {
+    if (!isPng(p) || p.length < 24) return None
+    def be32(o: Int): Int =
+      ((p(o) & 0xff) << 24) | ((p(o + 1) & 0xff) << 16) | ((p(o + 2) & 0xff) << 8) | (p(o + 3) & 0xff)
+    Some((be32(16), be32(20)))
   }
 }

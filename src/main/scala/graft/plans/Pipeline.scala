@@ -122,13 +122,25 @@ object Pipeline {
     * Schwartz-Hearst abbreviation definitions + re-matched occurrences
     * per sentence. In-row work only — no shuffle.
     */
-  def abbreviations(sents: Dataset[Sentence]): Dataset[(String, Int, String, Int, Int, String, Int, Int)] = {
+  def abbreviations(sents: Dataset[Sentence]): org.apache.spark.sql.DataFrame = {
     val spark = sents.sparkSession
     import spark.implicits._
     sents.flatMap { s =>
-      Abbreviations.detect(s.tokens).map(a =>
-        (s.url, s.sentId, a.shortText, a.shortStart, a.shortEnd,
-          a.longText, a.longStart, a.longEnd))
-    }
+      Abbreviations.detect(s.tokens).map { a =>
+        // char offsets into the sentence text + the SURFACE substring at
+        // those offsets (spaCy span.text analog) — lets the DuckDB
+        // oracle check substring equality + parenthesis adjacency
+        // directly against the kg_sentences dump
+        val scs = s.tokens(a.shortStart).start
+        val sce = s.tokens(a.shortEnd - 1).end
+        val lcs = s.tokens(a.longStart).start
+        val lce = s.tokens(a.longEnd - 1).end
+        (s.url, s.sentId,
+          s.text.substring(scs, sce), a.shortStart, a.shortEnd, scs, sce,
+          s.text.substring(lcs, lce), a.longStart, a.longEnd, lcs, lce)
+      }
+    }.toDF("url", "sent_id",
+      "short_text", "short_start", "short_end", "short_char_start", "short_char_end",
+      "long_text", "long_start", "long_end", "long_char_start", "long_char_end")
   }
 }

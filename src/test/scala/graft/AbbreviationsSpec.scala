@@ -74,14 +74,17 @@ class AbbreviationsSpec extends AnyFunSuite {
   test("pipeline stage emits abbreviation rows over the synthesized pages") {
     val spark = SparkSpec.spark
     val rows = Pipeline.abbreviations(
-      Pipeline.sentences(PageGen.pages(spark, 400))).collect()
+      Pipeline.sentences(PageGen.pages(spark, 400)))
+      .select("url", "sent_id", "short_text", "long_text",
+        "short_char_start", "short_char_end").collect()
     assert(rows.nonEmpty, "template 20 must produce abbreviation rows")
     // every definition binds HDPE to the dictionary long form
-    assert(rows.forall { case (_, _, short, _, _, long, _, _) =>
-      short == "HDPE" && long == "high density polyethylene"
-    })
+    assert(rows.forall(r =>
+      r.getString(2) == "HDPE" && r.getString(3) == "high density polyethylene"))
+    // char offsets address the surface form exactly (the oracle's check)
+    assert(rows.forall(r => r.getInt(5) - r.getInt(4) == "HDPE".length))
     // the re-matched second occurrence appears for sentences of template 20
-    val bySent = rows.groupBy(r => (r._1, r._2))
-    assert(bySent.values.exists(_.length == 2))
+    val bySent = rows.groupBy(r => (r.getString(0), r.getInt(1)))
+    assert(bySent.values.exists(_.size == 2))
   }
 }

@@ -73,7 +73,49 @@ class TextStatsSpec extends AnyFunSuite {
       meta.n_frames == 1)
   }
 
-  test("multimodal: real PNG/BMP/WAV codecs round-trip; resize; video stub") {
+  test("AVI/MJPEG codec is real: container round-trip, frame decode, corrupt rejection") {
+    val w = 24; val h = 16
+    val frameImgs = (0 until 6).map(f => Multimodal.genImage(1000L + f, w, h))
+    val frames = frameImgs.map(img => Multimodal.encodeImage(img, "jpeg"))
+    val avi = Multimodal.encodeAviMjpeg(frames, w, h)
+    // container walk recovers dims + counted frames
+    val meta = Multimodal.decodeAvi(avi).get
+    assert(meta.width == w && meta.height == h && meta.nFrames == 6)
+    // every frame is a genuine JPEG that ImageIO decodes at stream dims,
+    // and (JPEG being lossy but close) pixel content tracks the source
+    (0 until 6).foreach { f =>
+      val img = Multimodal.aviFrame(avi, meta, f).get
+      assert(img.getWidth == w && img.getHeight == h)
+      var err = 0L; var n = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val a = img.getRGB(x, y); val b = frameImgs(f).getRGB(x, y)
+          err += math.abs(((a >> 16) & 0xff) - ((b >> 16) & 0xff)) +
+            math.abs(((a >> 8) & 0xff) - ((b >> 8) & 0xff)) +
+            math.abs((a & 0xff) - (b & 0xff))
+          n += 3; x += 1
+        }
+        y += 1
+      }
+      assert(err.toDouble / n < 20.0, s"frame $f mean abs channel error ${err.toDouble / n}")
+    }
+    // a truncated movi body (header declares 6 frames, file carries 3)
+    // is rejected, not under-reported
+    val short3 = Multimodal.encodeAviMjpeg(frames.take(3), w, h)
+    assert(Multimodal.decodeAvi(short3).isDefined)
+    val lying = short3.clone()
+    lying(48) = 6 // dwTotalFrames/strh mismatch vs counted chunks
+    lying(140) = 6
+    assert(Multimodal.decodeAvi(lying).isEmpty)
+    // a corrupt chunk length rejects the file instead of throwing
+    val corrupt = avi.clone()
+    corrupt(228) = -1; corrupt(229) = -1; corrupt(230) = -1; corrupt(231) = 0x7f
+    assert(Multimodal.decodeAvi(corrupt).isEmpty)
+  }
+
+  test("multimodal: real PNG/BMP/WAV/AVI codecs round-trip; resize; frame sampling") {
     import spark.implicits._
     val media = Multimodal.genMedia(spark, 200).cache()
     val decoded = Multimodal.decode(media).cache()
@@ -130,9 +172,18 @@ class TextStatsSpec extends AnyFunSuite {
     val timg = Multimodal.decodeImage(tb).get
     assert(timg.getWidth == 8 && timg.getHeight == 8)
 
-    // video frame sampling (stub codec, disclosed): stride respected
-    val frames = Multimodal.sampleFrames(media, everyK = 4)
+    // REAL video frame sampling: stride respected and every sampled
+    // frame actually decoded (dims carried from the decoded JPEG)
+    val frames = Multimodal.sampleFrames(media, everyK = 4).cache()
     val idx = frames.select("frame_idx").distinct().as[Int].collect()
     assert(idx.nonEmpty && idx.forall(_ % 4 == 0))
+    assert(frames.filter(col("frame_w") <= 0 || col("frame_h") <= 0).count() == 0)
+    // frame count per video = ceil(nFrames/4) per the decoded metadata
+    val vidMeta = decoded.filter(col("modality") === "video")
+      .select("media_id", "n_frames").as[(Long, Int)].collect().toMap
+    val perVid = frames.groupBy("media_id").count().as[(Long, Long)].collect().toMap
+    vidMeta.foreach { case (id, nf) =>
+      assert(perVid.getOrElse(id, 0L) == (nf + 3) / 4, s"media $id")
+    }
   }
 }
