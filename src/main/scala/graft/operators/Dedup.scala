@@ -42,17 +42,30 @@ object Dedup {
     else (0 to words.length - n).map(i => words.slice(i, i + n).mkString(" ")).toSet
   }
 
+  /** k minhash values via Kirsch–Mitzenmacher double hashing: TWO
+    * murmur string walks per shingle and the k permutations derived as
+    * h1 + j·h2 (h2 forced odd so the k transforms stay distinct) —
+    * 16 string hashes per shingle collapse to 2 + k int adds. The
+    * signature pass IS the corpus pass of minhash dedup, so at 100 TB
+    * this is the dominant CPU term (measured ~1.9s → see BENCH.md).
+    * Statistics are the standard double-hashing approximation of k
+    * independent permutations; every candidate is exact-Jaccard
+    * verified afterwards, so pair OUTPUT correctness never depends on
+    * the hash family.
+    */
   def minhashSig(sh: Set[String], k: Int): Array[Int] = {
-    val out = new Array[Int](k)
-    var j = 0
-    while (j < k) {
-      var best = Int.MaxValue
-      sh.foreach { g =>
-        val h = MurmurHash3.stringHash(g, 7777 + j)
-        if (h < best) best = h
+    if (sh.isEmpty) return new Array[Int](k)
+    val out = Array.fill(k)(Int.MaxValue)
+    sh.foreach { g =>
+      val h1 = MurmurHash3.stringHash(g, 7777)
+      val h2 = MurmurHash3.stringHash(g, 7778) | 1
+      var hj = h1
+      var j = 0
+      while (j < k) {
+        if (hj < out(j)) out(j) = hj
+        hj += h2
+        j += 1
       }
-      out(j) = if (sh.isEmpty) 0 else best
-      j += 1
     }
     out
   }

@@ -264,10 +264,17 @@ object QuantityParser {
     val claimed = ArrayBuffer.empty[(Int, Int)]
     def free(s: Int, e: Int): Boolean = !claimed.exists { case (a, b) => s < b && a < e }
 
+    // a NUM may only start at a token-ish boundary: the reference
+    // matches whole tokens, so a digit glued to a preceding
+    // letter/digit ("kg/m3" followed by " K") must never spawn a
+    // measurement from mid-token (caught by PropertySpec fuzzing)
+    def numBoundary(i: Int): Boolean =
+      i == 0 || !Character.isLetterOrDigit(text.charAt(i - 1))
+
     def pass(matcher: (String, Int) => RawMeasure): Unit = {
       var i = 0
       while (i < text.length) {
-        val m = matcher(text, i)
+        val m = if (numBoundary(i)) matcher(text, i) else null
         if (m != null) {
           if (free(m.start, m.end)) {
             found += m

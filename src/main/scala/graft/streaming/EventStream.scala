@@ -110,12 +110,15 @@ object EventStream {
                 math.max(last.lastS, iv.lastS), last.n + iv.n)
             } else merged += iv
           }
-          // STRICT inequality: batch merges when ts - prev <= gap, so
-          // an on-time event landing at exactly ts == wm == lastS + gap
-          // must still find the session pending — closing at <= would
-          // split what batch joins (the wm+1 timeout clamp tolerates a
-          // session left pending exactly at the watermark)
-          val (closed, open) = merged.partition(_.lastS + gapMs < wm)
+          // close at lastS + gap <= wm: this is EXACTLY the earliest
+          // safe point, because Spark's flatMapGroupsWithState with
+          // EventTimeTimeout drops input rows with ts <= wm as late
+          // (verified empirically — StreamingSpec "sessionization
+          // boundary"), so once wm >= lastS + gap no event that could
+          // merge (ts <= lastS + gap) can still arrive; a strict <
+          // would only hold state one watermark-tick longer for the
+          // same output
+          val (closed, open) = merged.partition(_.lastS + gapMs <= wm)
           if (open.isEmpty) state.remove()
           else {
             state.update(SessionState(open.toList))

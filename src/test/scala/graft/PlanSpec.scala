@@ -119,6 +119,28 @@ class PlanSpec extends AnyFunSuite {
     } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("ANN top-k plans: no embedding vector rides a shuffle exchange (rank shuffle is scalars only)") {
+    // the window-rank exchange after scoring must carry only
+    // (query_id, corpus_id, cosine) — if column pruning ever stopped
+    // reaching through the Window, every candidate row would drag its
+    // float[] payloads into the shuffle (O(candidates x dim) bytes)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.orderBy("vec_id").limit(20)
+    for ((name, df) <- Seq(
+      "bruteForceTopK" -> graft.operators.Similarity.bruteForceTopK(emb, q, 10),
+      "lshTopK" -> graft.operators.Similarity.lshTopK(emb, q, 10),
+      "ivfTopK" -> graft.operators.Similarity.ivfTopK(emb, q, 10))) {
+      df.collect() // finalize the adaptive plan
+      exchanges(df.queryExecution.executedPlan).foreach { e =>
+        e.output.foreach { attr =>
+          assert(!attr.dataType.isInstanceOf[ArrayType],
+            s"$name: exchange carries vector column ${attr.name} — " +
+              "score before the rank shuffle, never ship embeddings")
+        }
+      }
+    }
+  }
+
   test("attachToMentions (J2 strict): link table broadcasts; only the A1 count shuffles") {
     import spark.implicits._
     val ann = graft.plans.Pipeline.annotate(

@@ -1,0 +1,161 @@
+package graft
+
+import graft.model.Tok
+import graft.operators.{Abbreviations, Canonicalize, ChemGazetteer, Dedup, Ner, QuantityParser}
+import graft.functions.Normalize
+import graft.sources.ChemDict
+import org.scalacheck.{Gen, Prop, Test => SchkTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based tests (SURVEY.md §5.4): totality and structural
+  * invariants of the in-row algorithms over RANDOM inputs, not just the
+  * golden fixtures — overlap resolution yields disjoint spans, offset
+  * alignment stays in bounds, CC matches a driver-side union-find at
+  * any partitioning, hash signatures honor their algebraic contracts.
+  * Uses scalacheck's engine directly (no scalatest-plus bridge in the
+  * offline cache).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private lazy val gaz = new ChemGazetteer(ChemDict.entries.flatMap(_.synonyms))
+
+  private def check(p: Prop, minTests: Int = 200): Unit = {
+    val res = SchkTest.check(
+      SchkTest.Parameters.default.withMinSuccessfulTests(minTests), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Random token streams over a vocabulary that exercises every
+    * detector: chem names (gazetteer hits), numbers, units, property
+    * words, punctuation, parens.
+    */
+  private val word: Gen[String] = Gen.oneOf(
+    "water", "ethanol", "sodium", "chloride", "benzene", "acid",
+    "melting", "point", "density", "temperature", "enthalpy", "viscosity",
+    "12", "3.5", "0.92", "100", "-40", "1e3",
+    "K", "MPa", "kg/m3", "kJ/mol", "mPa.s", "°C", "%", "mL",
+    "the", "of", "at", "was", "measured", "sample", "showed",
+    "(", ")", ",", ";", ".", "-")
+
+  private val tokenStream: Gen[Array[Tok]] =
+    Gen.listOfN(25, word).map { ws =>
+      var off = 0
+      ws.map { w =>
+        val t = Tok(w, off)
+        off += w.length + 1
+        t
+      }.toArray
+    }
+
+  private def textOf(toks: Array[Tok]): String = {
+    if (toks.isEmpty) return ""
+    val sb = new StringBuilder
+    toks.foreach { t =>
+      while (sb.length < t.start) sb.append(' ')
+      sb.append(t.text)
+    }
+    sb.toString
+  }
+
+  test("W2 overlap resolution: spans disjoint, sorted, in bounds, text-faithful on random input") {
+    check(Prop.forAll(tokenStream) { toks =>
+      val text = textOf(toks)
+      val ents = Ner.annotate(text, toks, gaz)
+      val disjoint = ents.sliding(2).forall {
+        case Array(a, b) => a.endTok <= b.startTok
+        case _ => true
+      }
+      val inBounds = ents.forall(e =>
+        0 <= e.startTok && e.startTok < e.endTok && e.endTok <= toks.length &&
+          0 <= e.startChar && e.startChar < e.endChar && e.endChar <= text.length)
+      val faithful = ents.forall(e => e.text == text.substring(e.startChar, e.endChar))
+      disjoint && inBounds && faithful
+    })
+  }
+
+  test("F3 quantity alignment: total, in-bounds, substring-faithful on random text") {
+    check(Prop.forAll(tokenStream) { toks =>
+      val text = textOf(toks)
+      val ents = QuantityParser.findEntities(text, toks)
+      ents.forall(e =>
+        0 <= e.startChar && e.startChar < e.endChar && e.endChar <= text.length &&
+          0 <= e.startTok && e.startTok < e.endTok && e.endTok <= toks.length &&
+          e.text == text.substring(e.startChar, e.endChar) &&
+          // char span sits inside the claimed token range
+          toks(e.startTok).start <= e.startChar && e.endChar <= toks(e.endTok - 1).end)
+    })
+  }
+
+  test("W4 abbreviation detector: total and index-sound on random paren-bearing streams") {
+    check(Prop.forAll(tokenStream) { toks =>
+      val abbrevs = Abbreviations.detect(toks)
+      abbrevs.forall(a =>
+        0 <= a.shortStart && a.shortStart < a.shortEnd && a.shortEnd <= toks.length &&
+          0 <= a.longStart && a.longStart < a.longEnd && a.longEnd <= toks.length)
+    })
+  }
+
+  test("simhash is a bag-of-words signature: invariant under word permutation") {
+    val words = Gen.listOfN(12, word)
+    check(Prop.forAll(words, Gen.long) { (ws, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(ws)
+      Dedup.simhash64(ws.mkString(" ")) == Dedup.simhash64(shuffled.mkString(" "))
+    })
+  }
+
+  test("minhash signature: each lane is the min of the double-hash family over the shingle set") {
+    import scala.util.hashing.MurmurHash3
+    val shingleSet = Gen.listOfN(10, word).map(_.toSet)
+    check(Prop.forAll(shingleSet) { sh =>
+      val k = 16
+      val sig = Dedup.minhashSig(sh, k)
+      if (sh.isEmpty) sig.forall(_ == 0)
+      else (0 until k).forall { j =>
+        sig(j) == sh.map { g =>
+          MurmurHash3.stringHash(g, 7777) + j * (MurmurHash3.stringHash(g, 7778) | 1)
+        }.min
+      }
+    })
+  }
+
+  test("chem_norm is idempotent and F6-deterministic") {
+    val messy = Gen.listOfN(4, Gen.oneOf(
+      "Water", "  SODIUM  chloride ", "β-carotene", "2,4,6-Trinitrotoluene",
+      "ACID salt", "poly(ethylene)", "Éthanol", "ＮａＣｌ"))
+    check(Prop.forAll(messy) { parts =>
+      val s = parts.mkString(" ")
+      val once = Normalize.chemNorm(s)
+      Normalize.chemNorm(once) == once && Normalize.chemNorm(s) == once
+    })
+  }
+
+  test("CC equals driver-side union-find and is partition-invariant (random graphs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 1 to 5) {
+      val n = 2 + rnd.nextInt(40)
+      val nodes = (0L until n.toLong).toSeq
+      val edges = Seq.fill(rnd.nextInt(60))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(p => p._1 != p._2)
+      // driver-side union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = nodes.map(i => i -> {
+        // min of component = fully-compressed root under min-union
+        var r = i.toInt; while (parent(r) != r) r = parent(r); r.toLong
+      }).toMap
+      for (parts <- Seq(1, 7)) {
+        val nodesDf = nodes.toDF("cid").repartition(parts)
+        val pairsDf = edges.toDF("cid_a", "cid_b").repartition(parts)
+        val got = Canonicalize.connectedComponents(nodesDf, pairsDf)
+          .as[(Long, Long)].collect().toMap
+        assert(got == expected, s"n=$n parts=$parts: ${got.toSeq.diff(expected.toSeq).take(3)}")
+      }
+    }
+  }
+}

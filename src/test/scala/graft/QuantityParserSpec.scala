@@ -12,9 +12,13 @@ class QuantityParserSpec extends AnyFunSuite {
   test("non-ASCII digits do not crash the scanner (web-text robustness)") {
     // '５' (fullwidth five) and '٣' (Arabic-Indic three) pass
     // Character.isDigit but not String.toDouble — they must be treated
-    // as non-digits (old \d ASCII semantics), never parsed
+    // as non-digits (old \d ASCII semantics), never parsed. And since
+    // round 4's mid-token boundary guard, the ASCII digits GLUED to
+    // them ("５0", "٣5") spawn no measurement either — a number cannot
+    // start immediately after a letter/digit char (the reference
+    // matches whole tokens; "kg/m3 K" must not yield "3 K")
     val ents = find("temperature of ５0 K or ٣5 K, measured at 40 K exactly")
-    assert(ents.map(_.text) == Seq("0 K", "5 K", "40 K"))
+    assert(ents.map(_.text) == Seq("40 K"))
     assert(ents.forall(_.label == "TEMPERATURE"))
   }
 

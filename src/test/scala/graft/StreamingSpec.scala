@@ -130,6 +130,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionization boundary: ts == watermark is LATE to the operator; close-at-<= is safe") {
+    import spark.implicits._
+    // Investigated round-4: one might fear an on-time event at exactly
+    // ts == wm == pending.lastS + gap merges in batch but hits an
+    // already-closed stream session. It cannot: flatMapGroupsWithState
+    // with EventTimeTimeout filters input rows with ts <= wm as late
+    // (this test is the executable witness — the m=30 event below
+    // reaches neither a merge nor its own session), so once
+    // wm >= lastS + gap NO mergeable event can still arrive and
+    // closing at <= is the earliest safe emission point.
+    val dir = Files.createTempDirectory("graft-sessions-boundary").toString
+    def write(rows: Seq[(Long, Long)]): Unit = // (user_id, minute)
+      rows.toDF("user_id", "m")
+        .withColumn("ts", expr("timestamp_millis(m * 60000 + 1500000000000)"))
+        .withColumn("event_id", lit(0L)).withColumn("event_type", lit("x"))
+        .withColumn("value", lit(0.0)).withColumn("props", lit(""))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+
+    val q = EventStream.userSessions(spark, dir, gapMinutes = 30, watermark = "240 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sessions_bd").start()
+    try {
+      write(Seq((10L, 0L))) // pending [0,0]; lastS + gap = 30min
+      q.processAllAvailable()
+      write(Seq((998L, 270L))) // watermark -> exactly 30min
+      q.processAllAvailable()
+      // u10 active again while wm == lastS + gap: [0,0] closes here (<=)
+      write(Seq((10L, 100L)))
+      q.processAllAvailable()
+      // the boundary event: ts == wm == 30min — DROPPED by the
+      // operator's late filter, so it can neither merge into [0,0]
+      // nor open a session of its own
+      write(Seq((10L, 30L)))
+      q.processAllAvailable()
+      write(Seq((999L, 100000L))) // close everything
+      q.processAllAvailable()
+
+      val streamed = spark.sql(
+        "SELECT user_id, session_start_ms, session_end_ms, n_events FROM sessions_bd " +
+        "WHERE user_id = 10")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val base = 1500000000000L
+      assert(streamed == Set(
+        (base, base, 1L), // [0,0] closed at wm == lastS+gap; m=30 was late
+        (base + 100L * 60000, base + 100L * 60000, 1L)),
+        s"got $streamed")
+      // stream == batch over the NON-LATE events (the watermark
+      // contract): batch sessions over {0, 100} match exactly
+      val batch = EventStream.userSessionsBatch(
+        spark.read.parquet(dir)
+          .filter(col("user_id") === 10 &&
+            col("ts") =!= expr("timestamp_millis(30 * 60000 + 1500000000000)")),
+        gapMinutes = 30)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization: closed stream sessions == batch sessions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-sessions").toString
