@@ -252,6 +252,27 @@ object SparkEntry {
         .select("id", "bucket")
         .orderBy("id")),
 
+    "dedup_jaccard_pairs" -> ((s, dir) =>
+      // EXACT all-pairs n-gram Jaccard via prefix filtering (AllPairs/
+      // PPJoin family) — the oracle is a fully independent brute-force
+      // all-pairs recompute over the documents table itself (no dump
+      // input), the strongest check in the dedup family: candidate
+      // recall is provable, so engine == brute force exactly.
+      Dedup.jaccardPairs(docs(s, dir), threshold = 0.5).orderBy("id_a", "id_b")),
+
+    // ---------- displacy render (render.py RelRenderer) ----------
+    "kg_displacy" -> ((s, dir) =>
+      // final HTML artifact (oracle INPUT/artifact: char-exact golden
+      // specs in RenderSpec; the fragment skeleton below is the
+      // SQL-checked decomposition)
+      Render.html(annotated(s, dir)).orderBy("url", "sent_id")),
+    "kg_displacy_frags" -> ((s, dir) =>
+      // per-fragment decomposition of the renderer's sequential
+      // open-relation state machine — recomputed independently in
+      // DuckDB from the sentence/entity/relation dumps via
+      // interval-cover counting
+      Render.fragments(annotated(s, dir)).orderBy("url", "sent_id", "frag_idx")),
+
     // ---------- text analysis ----------
     "text_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -785,6 +806,92 @@ object SparkEntry {
     * SQL constant above).
     */
   private val MoreOracleSql: Map[String, String] = Map(
+    // EXACT dedup family member: brute-force all-pairs Jaccard straight
+    // off the documents table — no engine dump feeds this oracle, so it
+    // independently certifies BOTH the prefix-filter candidate recall
+    // (AllPairs theorem) and the verification arithmetic
+    "dedup_jaccard_pairs" ->
+      """WITH words AS (SELECT doc_id AS id,
+        |    list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh AS (SELECT id, CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in range(1, len(w) - 1)]) END AS s
+        |  FROM words)
+        |SELECT a.id AS id_a, b.id AS id_b
+        |FROM sh a JOIN sh b ON a.id < b.id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    // displacy fragment skeleton (render.py:336-411): fragments and
+    // their relation topology rebuilt by interval-cover counting over
+    // the entity/relation dumps. Entity order index k = start-char rank;
+    // a relation (score>=0.45) spans [lo,hi] in k-space; an entity
+    // fragment at k carries rels with lo<=k<=hi (touching + pass-through)
+    // and a text fragment after entity k carries rels open across it
+    // (lo<=k<hi). Whitespace-only inter-entity text drops (strip());
+    // the trailing fragment is unconditional — both reference quirks.
+    "kg_displacy_frags" ->
+      """WITH sents AS (SELECT url, sentId AS sent_id, text FROM read_parquet('{OUT}/kg_sentences/*.parquet')),
+        |ents AS (SELECT url, sent_id, start_char, end_char, start_tok, label,
+        |    row_number() OVER (PARTITION BY url, sent_id ORDER BY start_char, end_char) AS k,
+        |    lag(end_char, 1, 0) OVER (PARTITION BY url, sent_id ORDER BY start_char, end_char) AS prev_end
+        |  FROM read_parquet('{OUT}/kg_entities/*.parquet')),
+        |rels AS (SELECT r.url, r.sent_id, least(h.k, t.k) AS lo, greatest(h.k, t.k) AS hi,
+        |    h.k AS head_k, t.k AS tail_k
+        |  FROM read_parquet('{OUT}/kg_relations/*.parquet') r
+        |  JOIN ents h ON h.url = r.url AND h.sent_id = r.sent_id AND h.start_tok = r.head_tok
+        |  JOIN ents t ON t.url = r.url AND t.sent_id = r.sent_id AND t.start_tok = r.tail_tok
+        |  WHERE r.score >= 0.45),
+        |esc AS (SELECT url, sent_id, text,
+        |    ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12) AS ws
+        |  FROM sents),
+        |last_ent AS (SELECT url, sent_id, max(k) AS n_ents, max_by(end_char, k) AS last_end
+        |  FROM ents GROUP BY url, sent_id),
+        |cand AS (
+        |  -- inter-entity text before entity k (dropped when whitespace-only)
+        |  SELECT e.url, e.sent_id, e.k AS major, 0 AS minor, 'text' AS kind,
+        |    substr(s.text, e.prev_end + 1, e.start_char - e.prev_end) AS raw,
+        |    '' AS label, '' AS bg,
+        |    (SELECT count(*) FROM rels r WHERE r.url = e.url AND r.sent_id = e.sent_id
+        |       AND r.lo < e.k AND r.hi >= e.k) AS n_rels,
+        |    0 AS n_head, 0 AS n_tail
+        |  FROM ents e JOIN esc s ON s.url = e.url AND s.sent_id = e.sent_id
+        |  WHERE len(trim(substr(s.text, e.prev_end + 1, e.start_char - e.prev_end), s.ws)) > 0
+        |  UNION ALL
+        |  -- entity fragment k
+        |  SELECT e.url, e.sent_id, e.k, 1, 'ent',
+        |    substr(s.text, e.start_char + 1, e.end_char - e.start_char),
+        |    e.label,
+        |    CASE upper(e.label)
+        |      WHEN 'CHEM' THEN 'pink' WHEN 'PROP' THEN '#feca74'
+        |      WHEN 'FORMULA' THEN '#c887fb' WHEN 'TEMPERATURE' THEN '#7aecec'
+        |      WHEN 'DENSITY' THEN '#7aecec' WHEN 'TIME' THEN '#ddd'
+        |      WHEN 'PERCENT' THEN '#ddd' WHEN 'ENTHALPY' THEN '#7aecec'
+        |      WHEN 'MOLAR VOLUME' THEN '#7aecec' WHEN 'ABSORPTIVITY' THEN '#7aecec'
+        |      WHEN 'SOLUBILITY' THEN '#7aecec' WHEN 'ENERGY' THEN '#7aecec'
+        |      WHEN 'MAXIMUM ENERGY PRODUCT' THEN '#7aecec' WHEN 'VELOCITY' THEN '#7aecec'
+        |      WHEN 'HEAT CAPACITY' THEN '#7aecec' WHEN 'THERMAL CONDUCTIVITY' THEN '#7aecec'
+        |      WHEN 'DYNAMIC VISCOSITY' THEN '#7aecec' ELSE '#ddd' END,
+        |    (SELECT count(*) FROM rels r WHERE r.url = e.url AND r.sent_id = e.sent_id
+        |       AND r.lo <= e.k AND r.hi >= e.k),
+        |    (SELECT count(*) FROM rels r WHERE r.url = e.url AND r.sent_id = e.sent_id
+        |       AND r.head_k = e.k),
+        |    (SELECT count(*) FROM rels r WHERE r.url = e.url AND r.sent_id = e.sent_id
+        |       AND r.tail_k = e.k)
+        |  FROM ents e JOIN esc s ON s.url = e.url AND s.sent_id = e.sent_id
+        |  UNION ALL
+        |  -- unconditional trailing text fragment (render.py:410)
+        |  SELECT s.url, s.sent_id, COALESCE(le.n_ents, 0) + 1, 0, 'text',
+        |    substr(s.text, COALESCE(le.last_end, 0) + 1),
+        |    '', '', 0, 0, 0
+        |  FROM esc s LEFT JOIN last_ent le ON le.url = s.url AND le.sent_id = s.sent_id)
+        |SELECT url, sent_id,
+        |  CAST(row_number() OVER (PARTITION BY url, sent_id ORDER BY major, minor) - 1 AS INT) AS frag_idx,
+        |  kind,
+        |  replace(replace(replace(replace(raw, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;') AS frag_text,
+        |  label, bg, CAST(n_rels AS INT) AS n_rels, CAST(n_head AS INT) AS n_head, CAST(n_tail AS INT) AS n_tail
+        |FROM cand
+        |ORDER BY url, sent_id, frag_idx""".stripMargin,
     // J2 strict back-attachment: every CHEM mention row left-joined to
     // the A1-gated link table — same link derivation as kg_linked
     "kg_entities_linked" ->

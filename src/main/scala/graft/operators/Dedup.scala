@@ -255,6 +255,104 @@ object Dedup {
     labels.select(col("cid").as(idCol), col("cluster_id"))
   }
 
+  // ---------- exact n-gram Jaccard (prefix filtering) ----------
+
+  /** Per-doc word-3-gram shingle rows as 64-bit hashes with the doc's
+    * distinct-shingle count: (id, sh, set_size). Shingle TEXT never
+    * leaves the row — downstream joins exchange only longs.
+    */
+  def shingleRows(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
+      .as[(Long, String)]
+      .flatMap { case (id, txt) =>
+        val sh = wordShingles(txt, n)
+        sh.iterator.map { g =>
+          val h1 = MurmurHash3.stringHash(g, 31)
+          val h2 = MurmurHash3.stringHash(g, 37)
+          (id, (h1.toLong << 32) | (h2.toLong & 0xffffffffL), sh.size)
+        }
+      }.toDF("id", "sh", "set_size")
+  }
+
+  /** EXACT all-pairs n-gram-Jaccard similarity join via prefix filtering
+    * (the AllPairs/PPJoin family — Bayardo et al., "Scaling Up All
+    * Pairs Similarity Search", WWW'07; Xiao et al., "Efficient
+    * Similarity Joins for Near Duplicate Detection", WWW'08). Unlike
+    * `minhashPairs` (probabilistic candidate recall), every pair with
+    * word-3-gram Jaccard >= threshold is guaranteed emitted: a doc's
+    * shingles are ordered rarest-first by global document frequency and
+    * only its PREFIX of |x| - ceil(t*|x|) + 1 shingles is indexed — any
+    * two sets with J >= t must collide on at least one prefix shingle
+    * (pigeonhole on the shared total order), and candidates are then
+    * exact-verified. The length filter t*|x| <= |y| <= |x|/t prunes the
+    * index join further.
+    *
+    * Scale shape: three shuffles, all on compact keys — (sh) longs for
+    * the document-frequency count, (id) for the per-doc rank window,
+    * (sh) for the prefix self-join; raw text rides only the final
+    * candidate fetch (same broadcast/Bloom discipline as minhashPairs
+    * via fetchCandidatePayload). Exchange volume is O(total shingles)
+    * longs — intrinsically heavier than minhash's O(bands x docs), which
+    * is the price of exactness; the rarest-first prefix order is what
+    * keeps the candidate count near |true pairs| instead of
+    * quadratic (the WWW'07 result).
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.7,
+      n: Int = 3,
+      useBroadcast: Boolean = true
+  ): DataFrame =
+    jaccardPairsWithHandle(docs, idCol, textCol, threshold, n, useBroadcast)._1
+
+  /** `jaccardPairs` + release handle — same contract as
+    * `minhashPairsWithHandle` (the handle matters on the
+    * useBroadcast=false path, where the candidate subplan is persisted
+    * across the Bloom build and the pair joins).
+    */
+  def jaccardPairsWithHandle(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.7,
+      n: Int = 3,
+      useBroadcast: Boolean = true
+  ): (DataFrame, () => Unit) = {
+    import org.apache.spark.sql.expressions.Window
+    val compactDocs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
+    val sh = shingleRows(docs, idCol, textCol, n)
+    // global document frequency per shingle hash → rarest-first order
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("dfreq"))
+    val ranked = sh.join(dfreq, Seq("sh"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("dfreq"), col("sh"))))
+    // prefix length p = |x| - ceil(t*|x|) + 1
+    val prefix = ranked.filter(
+      col("rk") <= col("set_size") - ceil(lit(threshold) * col("set_size")) + 1)
+      .select(col("sh"), col("id"), col("set_size"))
+    val cand = prefix.select(col("sh"), col("id").as("id_a"), col("set_size").as("sz_a"))
+      .join(prefix.select(col("sh"), col("id").as("id_b"), col("set_size").as("sz_b")),
+        Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      // length filter: J >= t ⟹ t*|x| <= |y| <= |x|/t
+      .filter(col("sz_b") >= lit(threshold) * col("sz_a") &&
+        col("sz_a") >= lit(threshold) * col("sz_b"))
+      .select("id_a", "id_b").distinct()
+    val (candDocs, side, release) = fetchCandidatePayload(cand, compactDocs, useBroadcast)
+    val jac = udf((x: String, y: String) => ngramJaccard(x, y, n))
+    val out = cand
+      .join(side(candDocs.select(col("id").as("id_a"), col("txt").as("txt_a"))), Seq("id_a"))
+      .join(side(candDocs.select(col("id").as("id_b"), col("txt").as("txt_b"))), Seq("id_b"))
+      .filter(jac(col("txt_a"), col("txt_b")) >= threshold)
+      .select("id_a", "id_b")
+    (out, release)
+  }
+
   // ---------- simhash ----------
 
   /** 64-bit simhash over word hashes (Charikar). */

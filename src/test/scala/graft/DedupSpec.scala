@@ -50,6 +50,49 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard prefix-filter join is EXACT: equals brute-force all-pairs") {
+    import spark.implicits._
+    val texts = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().toMap
+    val ids = texts.keys.toArray.sorted
+    def brute(t: Double): Set[(Long, Long)] =
+      (for {
+        i <- ids.indices.iterator
+        j <- (i + 1) until ids.length
+        if Dedup.ngramJaccard(texts(ids(i)), texts(ids(j))) >= t
+      } yield (ids(i), ids(j))).toSet
+    for (t <- Seq(0.5, 0.8)) {
+      val got = Dedup.jaccardPairs(docs, threshold = t).as[(Long, Long)].collect().toSet
+      val want = brute(t)
+      assert(got == want,
+        s"t=$t missed=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      assert(want.nonEmpty || t > 0.5) // fixture has real near-dups at 0.5
+    }
+  }
+
+  test("jaccard prefix filter prunes: indexed rows < total shingle rows") {
+    val total = Dedup.shingleRows(docs).count()
+    // the operator's own prefix selection, reproduced for the assertion
+    val sh = Dedup.shingleRows(docs)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("dfreq"))
+    val pref = sh.join(dfreq, Seq("sh"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("dfreq"), col("sh"))))
+      .filter(col("rk") <= col("set_size") - ceil(lit(0.7) * col("set_size")) + 1)
+      .count()
+    assert(pref < total / 2, s"prefix kept $pref of $total shingle rows")
+  }
+
+  test("jaccard non-broadcast path returns identical pairs") {
+    import spark.implicits._
+    val bc = Dedup.jaccardPairs(docs, threshold = 0.5).as[(Long, Long)].collect().toSet
+    val (df, release) = Dedup.jaccardPairsWithHandle(docs, threshold = 0.5,
+      useBroadcast = false)
+    val nb = try df.as[(Long, Long)].collect().toSet finally release()
+    assert(bc == nb)
+  }
+
   test("simhash: identical text -> distance 0; pairs verified") {
     assert(Dedup.hamming64(Dedup.simhash64("the same text"), Dedup.simhash64("the same text")) == 0)
     val d = Dedup.hamming64(
