@@ -63,6 +63,17 @@ object Bench {
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         Dedup.minhashPairs(docs, threshold = 0.5).count(); ()
       }),
+      "dedup_jaccard" -> (() => {
+        // the EXACT near-dup path (prefix-filtered all-pairs) — tracked
+        // next to the probabilistic minhash path it cross-checks
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        Dedup.jaccardPairs(docs, threshold = 0.5).count(); ()
+      }),
+      "kg_render" -> (() => {
+        // displacy render: annotate + per-row HTML assembly + title lag
+        val ann = Pipeline.annotate(Pipeline.sentences(PageGen.pages(spark, nPages)), names)
+        graft.operators.Render.html(ann).count(); ()
+      }),
       "dedup_embedding" -> (() => {
         // the bucketed near-dup scale path (multi-probe sign-LSH)
         val emb = Dedup.plantNearDups(spark.read.parquet(s"$sfDir/embeddings.parquet"))

@@ -272,6 +272,20 @@ object SparkEntry {
       // DuckDB from the sentence/entity/relation dumps via
       // interval-cover counting
       Render.fragments(annotated(s, dir)).orderBy("url", "sent_id", "frag_idx")),
+    "kg_displacy_stats" -> ((s, dir) =>
+      // counts parsed out of the RENDERED HTML STRING itself (mark
+      // tags, arc slices via their height marker, arc label boxes via
+      // their radius marker, h2 titles) — the oracle recomputes them
+      // from the frags dump + the sentence dump's section lag, closing
+      // the chain: html ↔ frags ↔ independent SQL recount
+      Render.html(annotated(s, dir))
+        .select(col("url"), col("sent_id"),
+          regexp_count(col("html"), lit("<mark class=\"entity\"")).as("n_marks"),
+          (regexp_count(col("html"), lit("height: 4px;")) -
+            regexp_count(col("html"), lit("border-top-left-radius"))).as("n_slices"),
+          regexp_count(col("html"), lit("border-top-left-radius")).as("n_starts"),
+          regexp_count(col("html"), lit("<h2 ")).as("n_titles"))
+        .orderBy("url", "sent_id")),
 
     // ---------- text analysis ----------
     "text_tokens" -> ((s, dir) =>
@@ -892,6 +906,25 @@ object SparkEntry {
         |  label, bg, CAST(n_rels AS INT) AS n_rels, CAST(n_head AS INT) AS n_head, CAST(n_tail AS INT) AS n_tail
         |FROM cand
         |ORDER BY url, sent_id, frag_idx""".stripMargin,
+    // html↔frags tie: the stats are regexp-counted from the rendered
+    // HTML by the engine; the oracle recomputes them from the frags
+    // dump (itself independently recomputed above) + the section-lag
+    // title rule over the sentence dump
+    "kg_displacy_stats" ->
+      """WITH f AS (SELECT * FROM read_parquet('{OUT}/kg_displacy_frags/*.parquet')),
+        |t AS (SELECT url, sentId AS sent_id,
+        |    CASE WHEN section <> '' AND (lag(section) OVER (PARTITION BY url ORDER BY sentId)
+        |      IS DISTINCT FROM section) THEN 1 ELSE 0 END AS n_titles
+        |  FROM read_parquet('{OUT}/kg_sentences/*.parquet'))
+        |SELECT g.url, g.sent_id, g.n_marks, g.n_slices, g.n_starts,
+        |  CAST(t.n_titles AS INT) AS n_titles
+        |FROM (SELECT url, sent_id,
+        |    CAST(sum(CASE WHEN kind = 'ent' THEN 1 ELSE 0 END) AS INT) AS n_marks,
+        |    CAST(sum(n_rels) AS INT) AS n_slices,
+        |    CAST(sum(n_head) AS INT) AS n_starts
+        |  FROM f GROUP BY url, sent_id) g
+        |JOIN t ON t.url = g.url AND t.sent_id = g.sent_id
+        |ORDER BY g.url, g.sent_id""".stripMargin,
     // J2 strict back-attachment: every CHEM mention row left-joined to
     // the A1-gated link table — same link derivation as kg_linked
     "kg_entities_linked" ->

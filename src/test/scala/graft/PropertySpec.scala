@@ -158,4 +158,111 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("jaccard prefix-filter join equals brute force on random dup-heavy corpora") {
+    // tiny vocab + short docs → dense near-dup structure; exactness must
+    // hold regardless (the AllPairs prefix theorem, not sampling luck)
+    import spark.implicits._
+    val rnd = new scala.util.Random(1717)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    for (round <- 1 to 6) {
+      val docs = (0 until 30).map { i =>
+        val len = 3 + rnd.nextInt(8)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      for (t <- Seq(0.4, 0.7)) {
+        val got = Dedup.jaccardPairs(df, threshold = t)
+          .as[(Long, Long)].collect().toSet
+        val want = (for {
+          i <- docs.indices; j <- (i + 1) until docs.length
+          if Dedup.ngramJaccard(docs(i)._2, docs(j)._2) >= t
+        } yield (docs(i)._1, docs(j)._1)).toSet
+        assert(got == want, s"round=$round t=$t missed=${(want -- got).take(3)} " +
+          s"extra=${(got -- want).take(3)}")
+      }
+    }
+  }
+
+  test("renderer fragments: text-faithful, topology matches interval-cover recount") {
+    import graft.model.{Ent, RelEdge, Sentence}
+    import graft.operators.Render
+    val labels = Array("CHEM", "PROP", "TEMPERATURE", "VALUE", "UNSEEN")
+    def unescape(s: String): String =
+      s.replace("&quot;", "\"").replace("&gt;", ">").replace("&lt;", "<")
+        .replace("&amp;", "&")
+    val gen = for {
+      toks <- tokenStream
+      nEnts <- Gen.choose(0, 6)
+      starts <- Gen.pick(math.min(nEnts, toks.length), toks.indices)
+      labelPick <- Gen.listOfN(toks.length, Gen.choose(0, labels.length - 1))
+      nRels <- Gen.choose(0, 6)
+      relIdx <- Gen.listOfN(nRels, Gen.choose(0, 100))
+      scores <- Gen.listOfN(nRels, Gen.choose(0.0, 1.0))
+    } yield {
+      val text = textOf(toks)
+      val ents = starts.toArray.sorted.map { ti =>
+        val t = toks(ti)
+        Ent(ti, ti + 1, t.start, t.end, text.substring(t.start, t.end),
+          labels(labelPick(ti)), "", Double.NaN, "")
+      }
+      val rels =
+        if (ents.length < 2) Array.empty[RelEdge]
+        else relIdx.zip(scores).map { case (r, sc) =>
+          val i = r % ents.length
+          val j = (r / 7) % ents.length
+          RelEdge(ents(i).startTok, ents(if (i == j) (j + 1) % ents.length else j).startTok,
+            "has_value", sc)
+        }.toArray
+      Sentence("u", 0L, 0, "s", "t", "d", text, toks, ents, rels)
+    }
+    check(Prop.forAll(gen) { s =>
+      val (html, frags) = Render.renderSentence(s)
+      val ents = s.ents.sortBy(e => (e.startChar, e.endChar))
+      // 1. text fidelity: concat of unescaped fragment texts equals the
+      // sentence text minus the dropped whitespace-only gaps
+      val expectedText = {
+        val sb = new StringBuilder
+        var off = 0
+        ents.foreach { e =>
+          val gap = s.text.substring(off, e.startChar)
+          if (gap.trim.nonEmpty) sb.append(gap)
+          sb.append(s.text.substring(e.startChar, e.endChar))
+          off = e.endChar
+        }
+        sb.append(s.text.substring(off)); sb.toString
+      }
+      val gotText = frags.map(f => unescape(f.text)).mkString
+      // 2. entity fragments 1:1 with entities, in order
+      val entFrags = frags.filter(_.kind == "ent")
+      // 3. relation topology via independent interval-cover recount
+      //    (the DuckDB oracle's logic): rel spans [lo,hi] in entity-order
+      //    space; entity k carries lo<=k<=hi; the gap after k carries
+      //    lo<=k<hi
+      val kept = s.rels.filter(_.score >= 0.45)
+      val ord = ents.zipWithIndex.map { case (e, i) => e.startTok -> (i + 1) }.toMap
+      val spans = kept.map(r => (math.min(ord(r.headTok), ord(r.tailTok)),
+        math.max(ord(r.headTok), ord(r.tailTok)), ord(r.headTok), ord(r.tailTok)))
+      var k = 0 // entity-order index of the most recent entity fragment
+      val topologyOk = frags.forall { f =>
+        if (f.kind == "ent") {
+          k += 1
+          f.nRels == spans.count(x => x._1 <= k && k <= x._2) &&
+            f.nHead == spans.count(_._3 == k) && f.nTail == spans.count(_._4 == k)
+        } else
+          f.nRels == spans.count(x => x._1 <= k && k < x._2) &&
+            f.nHead == 0 && f.nTail == 0
+      }
+      // 4. html structurally balanced
+      def cnt(h: String, p: String) = h.sliding(p.length).count(_ == p)
+      gotText == expectedText &&
+        entFrags.length == ents.length &&
+        entFrags.map(f => unescape(f.text)).sameElements(
+          ents.map(e => s.text.substring(e.startChar, e.endChar))) &&
+        topologyOk &&
+        cnt(html, "<mark") == cnt(html, "</mark") &&
+        cnt(html, "<span") == cnt(html, "</span") &&
+        cnt(html, "<mark") == ents.length
+    }, minTests = 150)
+  }
 }
