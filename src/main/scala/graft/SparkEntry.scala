@@ -66,7 +66,10 @@ object SparkEntry {
     }),
     "kg_entities" -> ((s, dir) => {
       // start_tok included so the kg_relations oracle can recompute the
-      // M4 scorer (token-distance features) in SQL over this dump
+      // M4 scorer (token-distance features) in SQL over this dump.
+      // Consistency-oracled since round 4: every span's surface text
+      // must equal the sentence substring at its offsets, within
+      // bounds, and entities must be disjoint per sentence (W2)
       import s.implicits._
       annotated(s, dir)
         .flatMap(x => x.ents.map(e =>
@@ -242,11 +245,12 @@ object SparkEntry {
       Dedup.embeddingPairs(emb, threshold = 0.95).orderBy("id_a", "id_b")
     }),
     "dedup_emb_input" -> ((s, dir) =>
-      // blocking input dump (id, bucket) for the enlarged planted set —
-      // oracle INPUT (like dedup_simhash_sigs). Integer columns ONLY:
-      // the raw vector column broke the driver's row comparator
-      // (unhashable array) in round 3; the oracle reconstructs the
-      // planted vectors from the embeddings table instead.
+      // blocking input dump (id, bucket) for the enlarged planted set.
+      // Integer columns ONLY: the raw vector column broke the driver's
+      // row comparator (unhashable array) in round 3. Oracled since
+      // round 4: DuckDB rebuilds the planted corpus from the embeddings
+      // table and recomputes every sign bit from the ann_lsh_planes
+      // dump.
       Dedup.embeddingBuckets(
         Dedup.plantNearDups(s.read.parquet(s"$dir/embeddings.parquet")))
         .select("id", "bucket")
@@ -262,9 +266,11 @@ object SparkEntry {
 
     // ---------- displacy render (render.py RelRenderer) ----------
     "kg_displacy" -> ((s, dir) =>
-      // final HTML artifact (oracle INPUT/artifact: char-exact golden
-      // specs in RenderSpec; the fragment skeleton below is the
-      // SQL-checked decomposition)
+      // final HTML artifact. Char-exact golden specs in RenderSpec; the
+      // fragment skeleton below is the SQL-checked decomposition; since
+      // round 4 the artifact itself is consistency-oracled (DuckDB
+      // re-counts the mark/slice/start/title markers in the html string
+      // and requires agreement with the independently-oracled stats)
       Render.html(annotated(s, dir)).orderBy("url", "sent_id")),
     "kg_displacy_frags" -> ((s, dir) =>
       // per-fragment decomposition of the renderer's sequential
@@ -327,10 +333,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     "ann_lsh_buckets" -> ((s, dir) =>
-      // corpus sign-LSH buckets — oracle INPUT for ann_lsh_topk
+      // corpus sign-LSH buckets — oracle input for ann_lsh_topk AND
+      // itself oracled since round 4: DuckDB recomputes every sign bit
+      // from the dumped hyperplanes (float-multiply/double-add
+      // replicated exactly)
       Dedup.embeddingBuckets(s.read.parquet(s"$dir/embeddings.parquet"))
         .select("id", "bucket")
         .orderBy("id")),
+    "ann_lsh_planes" -> ((s, dir) => {
+      // the deterministic murmur-derived hyperplanes themselves —
+      // oracle INPUT (parameters, not derived data) letting DuckDB
+      // recompute ann_lsh_buckets / dedup_emb_input signatures
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+      (0 until 8).map(p => (p, Array.tabulate(dim)(j => Similarity.plane(p, j))))
+        .toDF("p", "v")
+        .select(col("p"), to_json(col("v")).as("v_json"))
+        .orderBy("p")
+    }),
     "ann_ivf_topk" -> ((s, dir) => {
       // IVF (inverted-file) ANN — the second scale path next to LSH:
       // nlist centroid cells, nProbe-cell probing, exact rank within.
@@ -342,17 +363,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     "ann_ivf_cells" -> ((s, dir) => {
-      // inverted-file assignment (id, cell) — oracle INPUT
+      // inverted-file assignment (id, cell) — oracle input for
+      // ann_ivf_topk AND itself oracled since round 4: DuckDB redoes
+      // the argmax-cosine assignment from the dumped trained centroids
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.ivfAssign(emb, Similarity.ivfCentroids(emb, 16))
         .orderBy("id")
     }),
     "ann_ivf_probes" -> ((s, dir) => {
-      // per-query probed cells (query_id, cell) — oracle INPUT
+      // per-query probed cells (query_id, cell) — oracled like
+      // ann_ivf_cells (top-nProbe centroids recomputed in SQL)
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.ivfProbes(emb.orderBy("vec_id").limit(20),
         Similarity.ivfCentroids(emb, 16), 4)
         .orderBy("query_id", "cell")
+    }),
+    "ann_ivf_centroids" -> ((s, dir) => {
+      // the Lloyd-trained coarse quantizer itself — oracle INPUT
+      // (training is iterative, not SQL-expressible; but given the
+      // centroids, cells/probes ARE — see those oracles). JSON-encoded
+      // vector: Float.toString round-trips, so DuckDB's FLOAT[] cast
+      // rebuilds bit-identical components
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfCentroids(emb, 16).toSeq.toDF("cell", "v")
+        .select(col("cell"), to_json(col("v")).as("v_json"))
+        .orderBy("cell")
     }),
 
     // ---------- multimodal plumbing ----------
@@ -382,11 +418,16 @@ object SparkEntry {
         .orderBy("media_id")
     }),
     "mm_payloads" -> ((s, dir) =>
-      // raw media bytes (genuine PNG/BMP/WAV/AVI files) — oracle INPUT:
-      // DuckDB parses the real format headers out of the BLOBs to
-      // check mm_decode/mm_frames/mm_thumbs
+      // raw media bytes (genuine PNG/BMP/WAV/AVI files) — oracle input
+      // for mm_decode/mm_frames/mm_thumbs AND itself consistency-
+      // oracled since round 4 (magic/trailer/declared-size invariants
+      // per modality, parsed from the bytes in SQL). Dumped hex-encoded:
+      // the decode oracles parse the hex string anyway, and the round
+      // driver's pandas comparator cannot hash DuckDB BLOB results
+      // (bytearray) — same failure family as round 3's array column
       Multimodal.genMedia(s, 500).toDF()
-        .select("media_id", "modality", "payload")
+        .select(col("media_id"), col("modality"),
+          hex(col("payload")).as("payload_hex"))
         .orderBy("media_id")),
 
     // ---------- relational analogs with DuckDB oracles ----------
@@ -717,11 +758,11 @@ object SparkEntry {
     // REAL-format cross-engine check: DuckDB parses the PNG (IHDR
     // big-endian), BMP (little-endian BITMAPINFOHEADER) and RIFF/WAVE
     // (fmt/data chunks) headers straight out of the dumped payload
-    // BLOBs via hex-string arithmetic and must agree with the engine's
-    // ImageIO / wav-parser decode byte for byte
+    // bytes (hex-encoded) via string arithmetic and must agree with the
+    // engine's ImageIO / wav-parser decode byte for byte
     "mm_decode" ->
-      """WITH p AS (SELECT media_id, modality, hex(payload) AS h,
-        |             octet_length(payload) AS nb
+      """WITH p AS (SELECT media_id, modality, payload_hex AS h,
+        |             length(payload_hex) // 2 AS nb
         |           FROM read_parquet('{OUT}/mm_payloads/*.parquet')),
         |t AS (SELECT media_id, modality, h, nb, substr(h, 1, 8) AS magic,
         |        substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '41564920' AS is_avi,
@@ -757,7 +798,7 @@ object SparkEntry {
         |  nb::BIGINT AS n_bytes
         |FROM t ORDER BY media_id""".stripMargin,
     "mm_frames" ->
-      """WITH p AS (SELECT media_id, hex(payload) AS h
+      """WITH p AS (SELECT media_id, payload_hex AS h
         |           FROM read_parquet('{OUT}/mm_payloads/*.parquet') WHERE media_id < 200),
         |vid AS (SELECT media_id,
         |    ('0x' || substr(h,103,2) || substr(h,101,2) || substr(h,99,2) || substr(h,97,2))::BIGINT AS frames,
@@ -770,10 +811,10 @@ object SparkEntry {
         |FROM fi ORDER BY media_id, frame_idx""".stripMargin,
     "mm_thumbs" ->
       """SELECT media_id, modality,
-        |  CASE WHEN substr(hex(payload),1,8) = '89504E47'
-        |         OR substr(hex(payload),1,4) = '424D' THEN 8 END::INT AS thumb_w,
-        |  CASE WHEN substr(hex(payload),1,8) = '89504E47'
-        |         OR substr(hex(payload),1,4) = '424D' THEN 8 END::INT AS thumb_h
+        |  CASE WHEN substr(payload_hex,1,8) = '89504E47'
+        |         OR substr(payload_hex,1,4) = '424D' THEN 8 END::INT AS thumb_w,
+        |  CASE WHEN substr(payload_hex,1,8) = '89504E47'
+        |         OR substr(payload_hex,1,4) = '424D' THEN 8 END::INT AS thumb_h
         |FROM read_parquet('{OUT}/mm_payloads/*.parquet')
         |WHERE media_id < 200 ORDER BY media_id""".stripMargin,
     // Java 31*h+c rolling hash over the normalized text, reproduced
@@ -819,7 +860,131 @@ object SparkEntry {
   /** Continuation of `oracleSql` (split around the shared kg_linked
     * SQL constant above).
     */
+  /** Shared SQL fragment: the engine's sign-LSH signature arithmetic
+    * replicated exactly in DuckDB. The engine computes, per hyperplane,
+    * `dot += v(j) * plane(p)(j)` — a FLOAT multiply (one rounding)
+    * accumulated in DOUBLE. `CAST(v[i] * w[i] AS FLOAT)::DOUBLE` is
+    * bit-identical: the double product of two floats is exact, so the
+    * FLOAT cast performs the same single rounding.
+    */
+  private val LshDotSql =
+    "list_sum([CAST(v[i] * w[i] AS FLOAT)::DOUBLE for i in range(1, len(v) + 1)])"
+
+  /** Same replication for the IVF cosine (nearestCells): float-multiply
+    * / double-add dot and norms, `dot / (sqrt(na) * sqrt(nc))`.
+    */
+  private val IvfCosSql =
+    """list_sum([CAST(v[i] * c[i] AS FLOAT)::DOUBLE for i in range(1, len(v) + 1)]) /
+      |      (sqrt(list_sum([CAST(x * x AS FLOAT)::DOUBLE for x in v])) * cn)""".stripMargin
+
+  private val IvfCentsSql =
+    """cents AS (SELECT cell, CAST(v_json AS FLOAT[]) AS c,
+      |    sqrt(list_sum([CAST(x * x AS FLOAT)::DOUBLE for x in CAST(v_json AS FLOAT[])])) AS cn
+      |  FROM read_parquet('{OUT}/ann_ivf_centroids/*.parquet'))""".stripMargin
+
   private val MoreOracleSql: Map[String, String] = Map(
+    // sign-LSH bucket recompute from the dumped hyperplanes: every one
+    // of the 8 sign bits re-derived in SQL with the engine's exact
+    // float arithmetic (see LshDotSql)
+    "ann_lsh_buckets" ->
+      s"""WITH planes AS (SELECT p, CAST(v_json AS FLOAT[]) AS w
+        |  FROM read_parquet('{OUT}/ann_lsh_planes/*.parquet')),
+        |e AS (SELECT vec_id::BIGINT AS id, embedding AS v FROM embeddings),
+        |dots AS (SELECT id, p, $LshDotSql AS dot FROM e CROSS JOIN planes)
+        |SELECT id, sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END)::INT AS bucket
+        |FROM dots GROUP BY id ORDER BY id""".stripMargin,
+    // same recompute over the PLANTED corpus (Dedup.plantNearDups
+    // rebuilt from the embeddings table, as in dedup_embedding_pairs)
+    "dedup_emb_input" ->
+      s"""WITH planes AS (SELECT p, CAST(v_json AS FLOAT[]) AS w
+        |  FROM read_parquet('{OUT}/ann_lsh_planes/*.parquet')),
+        |vecs AS (
+        |  SELECT vec_id::BIGINT AS id, embedding AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 2000000,
+        |         list_prepend(CAST(embedding[1] + 0.25 AS FLOAT), embedding[2:])
+        |  FROM embeddings WHERE vec_id % 50 = 25),
+        |dots AS (SELECT id, p, $LshDotSql AS dot FROM vecs CROSS JOIN planes)
+        |SELECT id, sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END)::INT AS bucket
+        |FROM dots GROUP BY id ORDER BY id""".stripMargin,
+    // IVF assignment recompute: argmax cosine over the dumped trained
+    // centroids, tie-break by cell (the engine's sortBy (-cos, cell))
+    "ann_ivf_cells" ->
+      s"""WITH $IvfCentsSql,
+        |e AS (SELECT vec_id::BIGINT AS id, embedding AS v FROM embeddings),
+        |scored AS (SELECT e.id, cents.cell, $IvfCosSql AS cos
+        |  FROM e CROSS JOIN cents)
+        |SELECT id, cell FROM (
+        |  SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cell) AS rn
+        |  FROM scored) WHERE rn = 1 ORDER BY id""".stripMargin,
+    "ann_ivf_probes" ->
+      s"""WITH $IvfCentsSql,
+        |q AS (SELECT vec_id::BIGINT AS query_id, embedding AS v
+        |      FROM embeddings ORDER BY vec_id LIMIT 20),
+        |scored AS (SELECT q.query_id, cents.cell, $IvfCosSql AS cos
+        |  FROM q CROSS JOIN cents)
+        |SELECT query_id, cell FROM (
+        |  SELECT query_id, cell,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cell) AS rn
+        |  FROM scored) WHERE rn <= 4 ORDER BY query_id, cell""".stripMargin,
+    // kg_entities consistency oracle: each span's surface text equals
+    // the sentence substring at its offsets, offsets in bounds, spans
+    // disjoint per sentence (W2 first-writer-wins output invariant)
+    "kg_entities" ->
+      """WITH d AS (SELECT * FROM read_parquet('{OUT}/kg_entities/*.parquet')),
+        |s AS (SELECT url, sentId AS sent_id, text AS sent_text
+        |      FROM read_parquet('{OUT}/kg_sentences/*.parquet')),
+        |j AS (SELECT d.*, s.sent_text FROM d JOIN s USING (url, sent_id)),
+        |checked AS (SELECT *,
+        |    substr(sent_text, start_char + 1, end_char - start_char) = ent_text AS surface_ok,
+        |    start_char >= 0 AND end_char > start_char AND end_char <= len(sent_text) AS bounds_ok,
+        |    COALESCE(lag(end_char) OVER (PARTITION BY url, sent_id ORDER BY start_char), 0)
+        |      <= start_char AS disjoint_ok
+        |  FROM j)
+        |SELECT url, sent_id, start_char, end_char, start_tok, ent_text,
+        |       label, ent_id, value, unit
+        |FROM checked WHERE surface_ok AND bounds_ok AND disjoint_ok
+        |ORDER BY url, sent_id, start_char""".stripMargin,
+    // raw-payload consistency oracle: the real file-format invariants
+    // per modality — magic bytes, RIFF declared size, BMP declared
+    // size, PNG IEND trailer — parsed from the BLOB in SQL
+    "mm_payloads" ->
+      """WITH p AS (SELECT media_id, modality, payload_hex, payload_hex AS h,
+        |             length(payload_hex) // 2 AS nb
+        |           FROM read_parquet('{OUT}/mm_payloads/*.parquet'))
+        |SELECT media_id, modality, payload_hex FROM p
+        |WHERE CASE
+        |    WHEN modality = 'image' AND substr(h, 1, 8) = '89504E47'
+        |      THEN substr(h, length(h) - 15, 16) = '49454E44AE426082'
+        |    WHEN modality = 'image' AND substr(h, 1, 4) = '424D'
+        |      THEN ('0x' || substr(h,11,2) || substr(h,9,2) || substr(h,7,2) || substr(h,5,2))::BIGINT = nb
+        |    WHEN modality = 'audio'
+        |      THEN substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
+        |       AND ('0x' || substr(h,15,2) || substr(h,13,2) || substr(h,11,2) || substr(h,9,2))::BIGINT = nb - 8
+        |    WHEN modality = 'video'
+        |      THEN substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '41564920'
+        |       AND ('0x' || substr(h,15,2) || substr(h,13,2) || substr(h,11,2) || substr(h,9,2))::BIGINT = nb - 8
+        |    ELSE FALSE END
+        |ORDER BY media_id""".stripMargin,
+    // displacy html consistency oracle: DuckDB independently re-counts
+    // the structural markers in the html string and requires agreement
+    // with kg_displacy_stats (whose own oracle rebuilds the counts from
+    // the frags dump) — closing the html ↔ stats ↔ frags chain
+    "kg_displacy" ->
+      """WITH d AS (SELECT * FROM read_parquet('{OUT}/kg_displacy/*.parquet')),
+        |st AS (SELECT * FROM read_parquet('{OUT}/kg_displacy_stats/*.parquet')),
+        |j AS (SELECT d.url, d.sent_id, d.title, d.html,
+        |             st.n_marks, st.n_slices, st.n_starts, st.n_titles
+        |      FROM d JOIN st USING (url, sent_id))
+        |SELECT url, sent_id, title, html FROM j
+        |WHERE len(regexp_extract_all(html, '<mark class="entity"')) = n_marks
+        |  AND len(regexp_extract_all(html, 'height: 4px;'))
+        |      - len(regexp_extract_all(html, 'border-top-left-radius')) = n_slices
+        |  AND len(regexp_extract_all(html, 'border-top-left-radius')) = n_starts
+        |  AND len(regexp_extract_all(html, '<h2 ')) = n_titles
+        |ORDER BY url, sent_id""".stripMargin,
     // EXACT dedup family member: brute-force all-pairs Jaccard straight
     // off the documents table — no engine dump feeds this oracle, so it
     // independently certifies BOTH the prefix-filter candidate recall

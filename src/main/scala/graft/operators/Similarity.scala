@@ -25,7 +25,7 @@ object Similarity {
   /** Deterministic random hyperplanes: component j of plane p =
     * murmur-derived value in [-1, 1) — seed-free, reproducible anywhere.
     */
-  private def plane(p: Int, j: Int): Float = {
+  private[graft] def plane(p: Int, j: Int): Float = {
     val h = MurmurHash3.stringHash(s"plane:$p:$j", 31337)
     (h.toDouble / Int.MaxValue).toFloat
   }
