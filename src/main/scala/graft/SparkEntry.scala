@@ -132,9 +132,25 @@ object SparkEntry {
         .orderBy("cid_a", "cid_b")),
     "kg_canon_bands" -> ((s, dir) =>
       // J5 blocking dump (band, band_hash, cid, chemNorm'd name) —
-      // oracle INPUT for kg_canon_pairs
+      // oracle input for kg_canon_pairs AND itself oracled since round
+      // 4: DuckDB re-shingles every canonical name, rebuilds all 8
+      // single-lane minhash values from the dumped per-shingle murmur
+      // parameters, and re-derives the 1-element Arrays.hashCode band
       Canonicalize.bandedNames(Linking.dictDs(s, ChemDict.entries))
         .orderBy("band", "band_hash", "cid")),
+    "kg_canon_names" -> ((s, dir) =>
+      // (cid, chemNorm'd canonical name) — oracle INPUT for the
+      // kg_canon_bands recompute; its own oracle checks agreement with
+      // the name column of the bands dump
+      Canonicalize.canonNames(Linking.dictDs(s, ChemDict.entries))
+        .orderBy("cid")),
+    "kg_canon_shingle_hashes" -> ((s, dir) =>
+      // per-(shingle, lane) seeded-murmur parameters of the name
+      // blocking minhash — oracle INPUT for the kg_canon_bands
+      // recompute; its own oracle re-derives the (shingle, lane) key
+      // set from kg_canon_names
+      Canonicalize.shingleHashes(Linking.dictDs(s, ChemDict.entries))
+        .orderBy("shingle", "lane")),
     "kg_linked" -> ((s, dir) =>
       // fused single-pass path: annotated feeds BOTH the triple assembly
       // and the A1 mention count; only compact (mention|triple) rows are
@@ -223,15 +239,34 @@ object SparkEntry {
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(docs(s, dir), threshold = 0.5).orderBy("id_a", "id_b")),
     "dedup_minhash_bands" -> ((s, dir) =>
-      // banded signature dump — oracle INPUT so the minhash-pairs
-      // bucket + jaccard-verify logic is SQL-checkable
+      // banded signature dump — oracle input for the minhash-pairs
+      // bucket + jaccard-verify logic AND itself oracled since round 4:
+      // DuckDB re-shingles every document, rebuilds all 16 double-hashed
+      // minhash lanes from the dumped per-shingle murmur parameters, and
+      // re-derives every 2-lane Arrays.hashCode band key
       Dedup.minhashBands(docs(s, dir)).orderBy("band", "bh", "id")),
+    "dedup_shingle_hashes" -> ((s, dir) =>
+      // per-shingle murmur parameters (h2 pre-OR'd with 1, exactly as
+      // minhashSig consumes them) — oracle INPUT for the
+      // dedup_minhash_bands recompute; its own oracle re-derives the
+      // shingle key set from the documents table (hash values are
+      // parameters, passed through)
+      Dedup.shingleHashes(docs(s, dir)).orderBy("shingle")),
+    "dedup_token_hashes" -> ((s, dir) =>
+      // per-token murmur parameters of the simhash walk — oracle INPUT
+      // for the dedup_simhash_sigs recompute; its own oracle re-derives
+      // the token key set from the documents table
+      Dedup.tokenHashes(docs(s, dir)).orderBy("token")),
     "dedup_minhash_clusters" -> ((s, dir) =>
       Dedup.minhashClusters(docs(s, dir), threshold = 0.5)
         .orderBy("doc_id")),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir)).orderBy("id_a", "id_b")),
     "dedup_simhash_sigs" -> ((s, dir) =>
+      // oracled since round 4: DuckDB replays the full 64-bit bit-vote
+      // from the token multiset of each document (tokens keep their
+      // repeats — every occurrence votes) using the dumped per-token
+      // murmur parameters
       Dedup.simhashSigs(docs(s, dir)).orderBy("id")),
     "dedup_embedding_pairs" -> ((s, dir) => {
       // evidence-bearing: plant exact duplicates (id+1,000,000) AND
@@ -882,7 +917,115 @@ object SparkEntry {
       |    sqrt(list_sum([CAST(x * x AS FLOAT)::DOUBLE for x in CAST(v_json AS FLOAT[])])) AS cn
       |  FROM read_parquet('{OUT}/ann_ivf_centroids/*.parquet'))""".stripMargin
 
+  /** Shared SQL fragments: the engine's tokenizer (lowercase, split on
+    * non-word runs, drop empties — Java `"\\W+"` and RE2 `\W` agree on
+    * the ASCII class) and the word-3-gram / char-3-gram shingle sets
+    * (`Dedup.wordShingles` / `Normalize.shingles` replicated exactly,
+    * including the <= n whole-string degenerate case).
+    */
+  private val WordsSql =
+    "list_filter(regexp_split_to_array(lower(text), '\\W+'), w -> w <> '')"
+
+  private val WordShinglesSql =
+    """CASE WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')]
+      |         ELSE [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)] END""".stripMargin
+
+  private val CharShinglesSql =
+    """CASE WHEN len(name) <= 3 THEN [name]
+      |         ELSE [substr(name, i, 3) for i in range(1, len(name) - 1)] END""".stripMargin
+
+  /** 32-bit wrap-around of a BIGINT expression — Java int overflow
+    * arithmetic (minhash lane h1 + j*h2, Arrays.hashCode) in SQL.
+    */
+  private def wrap32(e: String): String =
+    s"(($e + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648"
+
   private val MoreOracleSql: Map[String, String] = Map(
+    // murmur-parameter dumps: hash values are parameters (murmur3 is
+    // not SQL-expressible) passed through from the dump itself, but the
+    // KEY SET is fully re-derived — a left join from the independently
+    // recomputed tokens/shingles catches both missing and extra keys
+    "dedup_token_hashes" ->
+      s"""WITH toks AS (
+        |  SELECT DISTINCT unnest(regexp_split_to_array(lower(text), '\\W+')) AS token
+        |  FROM documents),
+        |t AS (SELECT token FROM toks WHERE token <> '')
+        |SELECT t.token, d.h1, d.h2
+        |FROM t LEFT JOIN read_parquet('{OUT}/dedup_token_hashes/*.parquet') d USING (token)
+        |ORDER BY token""".stripMargin,
+    "dedup_shingle_hashes" ->
+      s"""WITH d0 AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+        |sh AS (SELECT doc_id, $WordShinglesSql AS gs FROM d0),
+        |g AS (SELECT DISTINCT unnest(gs) AS shingle FROM sh)
+        |SELECT g.shingle, d.h1, d.h2
+        |FROM g LEFT JOIN read_parquet('{OUT}/dedup_shingle_hashes/*.parquet') d USING (shingle)
+        |ORDER BY shingle""".stripMargin,
+    "kg_canon_shingle_hashes" ->
+      s"""WITH n AS (SELECT name FROM read_parquet('{OUT}/kg_canon_names/*.parquet')),
+        |g AS (SELECT DISTINCT unnest($CharShinglesSql) AS shingle FROM n),
+        |l AS (SELECT g.shingle, unnest(range(8)) AS lane FROM g)
+        |SELECT l.shingle, l.lane::INT AS lane, d.h
+        |FROM l LEFT JOIN read_parquet('{OUT}/kg_canon_shingle_hashes/*.parquet') d
+        |  ON l.shingle = d.shingle AND l.lane = d.lane
+        |ORDER BY l.shingle, l.lane""".stripMargin,
+    // consistency closure: the (cid, chemNorm'd name) input dump must
+    // agree with the name column the bands dump carries
+    "kg_canon_names" ->
+      """SELECT DISTINCT cid, name
+        |FROM read_parquet('{OUT}/kg_canon_bands/*.parquet')
+        |ORDER BY cid""".stripMargin,
+    // simhash full recompute: every document's 64-bit bit-vote replayed
+    // from the token MULTISET (each occurrence votes, like simhash64's
+    // un-deduped walk) using the dumped murmur parameters; the two
+    // unsigned 32-bit halves avoid DuckDB's no-shift-of-negatives rule
+    "dedup_simhash_sigs" ->
+      s"""WITH d0 AS (SELECT doc_id::BIGINT AS id, $WordsSql AS ws FROM documents),
+        |occ AS (SELECT id, unnest(ws) AS token FROM d0),
+        |h AS (SELECT occ.id, t.h1::BIGINT & 4294967295 AS u1, t.h2::BIGINT & 4294967295 AS u2
+        |  FROM occ JOIN read_parquet('{OUT}/dedup_token_hashes/*.parquet') t USING (token)),
+        |votes AS (SELECT id, b.bit,
+        |    sum(CASE WHEN (CASE WHEN b.bit < 32 THEN (u2 >> b.bit)
+        |                        ELSE (u1 >> (b.bit - 32)) END & 1) = 1
+        |        THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+        |  GROUP BY id, b.bit),
+        |sig AS (SELECT id,
+        |    sum(CASE WHEN v > 0 THEN
+        |        CASE WHEN bit = 63 THEN -9223372036854775808 ELSE (1::BIGINT << bit) END
+        |      ELSE 0 END)::BIGINT AS sig
+        |  FROM votes GROUP BY id)
+        |SELECT id, sig FROM sig ORDER BY id""".stripMargin,
+    // minhash bands full recompute: 16 Kirsch–Mitzenmacher lanes
+    // (h1 + j*h2 in wrapping 32-bit arithmetic) minimized per doc, then
+    // the 2-lane Arrays.hashCode band key (961 + 31a + b, wrapped)
+    "dedup_minhash_bands" ->
+      s"""WITH d0 AS (SELECT doc_id::BIGINT AS id, $WordsSql AS ws FROM documents),
+        |sh AS (SELECT id, $WordShinglesSql AS gs FROM d0),
+        |g AS (SELECT DISTINCT id, unnest(gs) AS shingle FROM sh),
+        |lanes AS (SELECT g.id, j.lane,
+        |    min(${wrap32("p.h1::BIGINT + j.lane * p.h2::BIGINT")}) AS mh
+        |  FROM g JOIN read_parquet('{OUT}/dedup_shingle_hashes/*.parquet') p USING (shingle)
+        |  CROSS JOIN (SELECT unnest(range(16)) AS lane) j
+        |  GROUP BY g.id, j.lane),
+        |bands AS (SELECT id, lane // 2 AS band,
+        |    ${wrap32("961 + 31 * max(CASE WHEN lane % 2 = 0 THEN mh END) + max(CASE WHEN lane % 2 = 1 THEN mh END)")} AS bh
+        |  FROM lanes GROUP BY id, lane // 2)
+        |SELECT band::INT AS band, bh::INT AS bh, id FROM bands
+        |ORDER BY band, bh, id""".stripMargin,
+    // J5 blocking recompute: char-3-gram shingles of every chemNorm'd
+    // canonical name, 8 single-lane seeded-murmur minima, 1-element
+    // Arrays.hashCode (31 + x, wrapped) band keys
+    "kg_canon_bands" ->
+      s"""WITH n AS (SELECT cid, name FROM read_parquet('{OUT}/kg_canon_names/*.parquet')),
+        |g AS (SELECT DISTINCT cid, name, unnest($CharShinglesSql) AS shingle FROM n),
+        |lanes AS (SELECT g.cid, g.name, p.lane, min(p.h) AS mh
+        |  FROM g JOIN read_parquet('{OUT}/kg_canon_shingle_hashes/*.parquet') p USING (shingle)
+        |  GROUP BY g.cid, g.name, p.lane),
+        |bands AS (SELECT cid, name, lane AS band,
+        |    ${wrap32("31 + mh::BIGINT")} AS bh
+        |  FROM lanes)
+        |SELECT band::INT AS band, bh::INT AS band_hash, cid, name
+        |FROM bands ORDER BY band, band_hash, cid""".stripMargin,
     // sign-LSH bucket recompute from the dumped hyperplanes: every one
     // of the 8 sign bits re-derived in SQL with the engine's exact
     // float arithmetic (see LshDotSql)

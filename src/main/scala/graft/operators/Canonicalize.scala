@@ -47,6 +47,34 @@ object Canonicalize {
     * chemNorm'd) — exposed so the driver can dump them and the
     * bucket/pair/Jaccard-verify logic becomes SQL-oracle-checkable.
     */
+  /** Distinct (shingle, lane, h) seeded-murmur values of the
+    * name-blocking minhash — oracle INPUT: given these, the
+    * kg_canon_bands oracle rebuilds every band row (char-3-gram
+    * shingling, per-lane min, single-element Arrays.hashCode) in SQL.
+    */
+  def shingleHashes(dict: Dataset[ChemDictEntry]): DataFrame = {
+    val spark = dict.sparkSession
+    import spark.implicits._
+    dict.map(e => Normalize.chemNorm(e.canonicalName))
+      .flatMap(n => Normalize.shingles(n).toSeq)
+      .distinct()
+      .flatMap(g => (0 until MinhashK).map(j =>
+        (g, j, scala.util.hashing.MurmurHash3.stringHash(g, 1000 + j))))
+      .toDF("shingle", "lane", "h")
+  }
+
+  /** (cid, chemNorm'd canonical name) — the name side of the blocking
+    * input, dumped so the kg_canon_bands oracle can re-shingle and
+    * re-minhash every name in SQL without re-deriving chemNorm (which
+    * is engine arithmetic, same dump pattern as kg_mention_norms).
+    */
+  def canonNames(dict: Dataset[ChemDictEntry]): DataFrame = {
+    val spark = dict.sparkSession
+    import spark.implicits._
+    dict.map(e => (e.cid, Normalize.chemNorm(e.canonicalName)))
+      .toDF("cid", "name")
+  }
+
   def bandedNames(dict: Dataset[ChemDictEntry]): DataFrame = {
     val spark = dict.sparkSession
     import spark.implicits._

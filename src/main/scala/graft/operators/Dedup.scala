@@ -422,6 +422,36 @@ object Dedup {
   /** Per-doc 64-bit simhash signatures (id, sig) — also dumped by the
     * driver so the banding+Hamming pair logic is SQL-oracle-checkable.
     */
+  /** Distinct (token, h1, h2) murmur values of the simhash token walk —
+    * oracle INPUT (parameters, not derived data): murmur3 is not
+    * SQL-expressible, but GIVEN these per-token hashes the entire
+    * 64-bit bit-vote signature IS — the dedup_simhash_sigs oracle
+    * rebuilds every signature from the documents table in DuckDB.
+    */
+  def tokenHashes(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(textCol)).as[String]
+      .flatMap(t => t.toLowerCase.split("\\W+").filter(_.nonEmpty).distinct.toSeq)
+      .distinct()
+      .map(w => (w, MurmurHash3.stringHash(w, 11), MurmurHash3.stringHash(w, 12)))
+      .toDF("token", "h1", "h2")
+  }
+
+  /** Distinct (shingle, h1, h2) double-hashing parameters of the
+    * minhash signature pass (h2 pre-OR'd with 1, exactly as consumed) —
+    * oracle INPUT for the dedup_minhash_bands full-signature recompute.
+    */
+  def shingleHashes(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(textCol)).as[String]
+      .flatMap(t => wordShingles(t).toSeq)
+      .distinct()
+      .map(g => (g, MurmurHash3.stringHash(g, 7777), MurmurHash3.stringHash(g, 7778) | 1))
+      .toDF("shingle", "h1", "h2")
+  }
+
   def simhashSigs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
