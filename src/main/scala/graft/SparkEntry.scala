@@ -941,6 +941,82 @@ object SparkEntry {
     s"(($e + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648"
 
   private val MoreOracleSql: Map[String, String] = Map(
+    // ---------- consistency oracles for the remaining input dumps ----
+    // (structural invariants + cross-dump referential checks; value
+    // columns that are engine parameters pass through, but every
+    // predicate violation or key-set divergence drops a row and fails
+    // the row-count/hash compare)
+    "kg_sentences" ->
+      """WITH d AS (SELECT *, row_number() OVER (PARTITION BY url ORDER BY sentId) - 1 AS rn,
+        |    count(DISTINCT title) OVER (PARTITION BY url) AS nt,
+        |    count(DISTINCT doi) OVER (PARTITION BY url) AS nd,
+        |    count(DISTINCT authors) OVER (PARTITION BY url) AS na,
+        |    count(DISTINCT pubDate) OVER (PARTITION BY url) AS np
+        |  FROM read_parquet('{OUT}/kg_sentences/*.parquet'))
+        |SELECT url, sentId, section, is_abstract, title, doi, authors, pubDate, text
+        |FROM d WHERE rn = sentId AND len(text) > 0 AND nt = 1 AND nd = 1 AND na = 1 AND np = 1
+        |ORDER BY url, sentId""".stripMargin,
+    "kg_tables" ->
+      """WITH d AS (SELECT *,
+        |    count(DISTINCT heading) OVER (PARTITION BY url, table_idx) AS nh,
+        |    count(*) OVER (PARTITION BY url, table_idx, row_idx, cell_key) AS dup
+        |  FROM read_parquet('{OUT}/kg_tables/*.parquet'))
+        |SELECT url, table_idx, heading, row_idx, cell_key, cell_value
+        |FROM d WHERE nh = 1 AND dup = 1 AND row_idx >= 0 AND cell_key LIKE 'c_%'
+        |ORDER BY url, table_idx, row_idx, cell_key""".stripMargin,
+    // dict names: key uniqueness (the groupBy-min contract), every cid
+    // resolvable in the props table, and — via kg_canon_names — every
+    // canonical name's norm present with the min-cid-wins property
+    // checked by the kg_canon_names join in kg_dict_props below
+    "kg_dict_names" ->
+      """WITH d AS (SELECT *, count(*) OVER (PARTITION BY name_norm) AS dup
+        |  FROM read_parquet('{OUT}/kg_dict_names/*.parquet')),
+        |p AS (SELECT cid FROM read_parquet('{OUT}/kg_dict_props/*.parquet'))
+        |SELECT d.name_norm, d.cid FROM d JOIN p USING (cid)
+        |WHERE dup = 1 AND len(name_norm) > 0 AND name_norm = lower(name_norm)
+        |ORDER BY name_norm""".stripMargin,
+    "kg_dict_props" ->
+      """WITH d AS (SELECT *, count(*) OVER (PARTITION BY cid) AS dup
+        |  FROM read_parquet('{OUT}/kg_dict_props/*.parquet'))
+        |SELECT cid, canonical_name, molecular_formula, molecular_weight, canonical_smiles, iupac_name
+        |FROM d JOIN read_parquet('{OUT}/kg_canon_names/*.parquet') n USING (cid)
+        |WHERE dup = 1 AND molecular_weight > 0 AND len(canonical_name) > 0
+        |ORDER BY cid""".stripMargin,
+    // mention norms: the key set must be EXACTLY the distinct CHEM
+    // surfaces of kg_entities (left join catches missing and extra
+    // keys); the norm value is engine arithmetic (passed through) but
+    // must be lowercase and nonempty
+    "kg_mention_norms" ->
+      """WITH m AS (SELECT DISTINCT ent_text AS mention
+        |  FROM read_parquet('{OUT}/kg_entities/*.parquet') WHERE label = 'CHEM')
+        |SELECT m.mention, d.name_norm
+        |FROM m LEFT JOIN read_parquet('{OUT}/kg_mention_norms/*.parquet') d USING (mention)
+        |WHERE d.name_norm = lower(d.name_norm) AND len(d.name_norm) > 0
+        |ORDER BY mention""".stripMargin,
+    // gold edges are hand-authored parameters; the referential check —
+    // every edge's (url, sent_id) names a real sentence — is what CAN
+    // be verified
+    "kg_gold_edges" ->
+      """WITH s AS (SELECT DISTINCT url, sentId AS sent_id
+        |  FROM read_parquet('{OUT}/kg_sentences/*.parquet'))
+        |SELECT d.url, d.sent_id, d.head_tok, d.tail_tok, d.rel_label, d.score
+        |FROM read_parquet('{OUT}/kg_gold_edges/*.parquet') d JOIN s USING (url, sent_id)
+        |WHERE head_tok >= 0 AND tail_tok >= 0 AND score = 1.0
+        |ORDER BY url, sent_id, head_tok, tail_tok""".stripMargin,
+    // hyperplane / centroid parameter dumps: shape checks — index range
+    // dense, vector parses to FLOAT[dim] matching the embeddings table,
+    // plane components inside the murmur-derived [-1, 1) interval
+    "ann_lsh_planes" ->
+      """WITH dim AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1)
+        |SELECT p, v_json FROM read_parquet('{OUT}/ann_lsh_planes/*.parquet'), dim
+        |WHERE p BETWEEN 0 AND 7 AND len(CAST(v_json AS FLOAT[])) = dim.d
+        |  AND len([x for x in CAST(v_json AS FLOAT[]) if x < -1.0 OR x >= 1.0]) = 0
+        |ORDER BY p""".stripMargin,
+    "ann_ivf_centroids" ->
+      """WITH dim AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1)
+        |SELECT cell, v_json FROM read_parquet('{OUT}/ann_ivf_centroids/*.parquet'), dim
+        |WHERE cell BETWEEN 0 AND 15 AND len(CAST(v_json AS FLOAT[])) = dim.d
+        |ORDER BY cell""".stripMargin,
     // murmur-parameter dumps: hash values are parameters (murmur3 is
     // not SQL-expressible) passed through from the dump itself, but the
     // KEY SET is fully re-derived — a left join from the independently
