@@ -109,8 +109,18 @@ object ScalingBench {
       Seq("-cp", cp, "graft.ScalingBench", "--child", mode, nExec.toString,
         coresPerExec.toString, nPages.toString)
     val out = new StringBuilder
-    val code = Process(cmd).!(ProcessLogger(l => out.append(l).append('\n'), _ => ()))
-    require(code == 0, s"child (mode=$mode exec=$nExec) failed:\n$out")
+    // keep the last ~200 stderr lines so a child crash is diagnosable
+    // (Spark logs to stderr; unbounded capture would hold the whole log)
+    val err = new java.util.ArrayDeque[String](256)
+    // local-cluster workers launch executors through Spark's command
+    // builder, which needs the Scala version when SPARK_HOME is a
+    // release layout without build dirs — set it so the bench does not
+    // depend on the caller remembering the env var
+    val code = Process(cmd, None, "SPARK_SCALA_VERSION" -> "2.13").!(ProcessLogger(
+      l => out.append(l).append('\n'),
+      l => { if (err.size >= 200) err.removeFirst(); err.addLast(l) }))
+    require(code == 0, s"child (mode=$mode exec=$nExec) failed:\n$out\n--- stderr tail ---\n" +
+      String.join("\n", err))
     val line = out.toString.linesIterator.find(_.startsWith("CHILD ")).get
     val sec = """"sec":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1).toDouble
     val n = """"triples":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong

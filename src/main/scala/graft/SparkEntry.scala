@@ -966,14 +966,20 @@ object SparkEntry {
         |ORDER BY url, table_idx, row_idx, cell_key""".stripMargin,
     // dict names: key uniqueness (the groupBy-min contract), every cid
     // resolvable in the props table, and — via kg_canon_names — every
-    // canonical name's norm present with the min-cid-wins property
-    // checked by the kg_canon_names join in kg_dict_props below
+    // canonical name's norm present and mapped to a cid <= its own
+    // (the min-cid-wins collision rule); the `ok` guard is global, so
+    // one violation empties the oracle side and fails the row count
     "kg_dict_names" ->
       """WITH d AS (SELECT *, count(*) OVER (PARTITION BY name_norm) AS dup
         |  FROM read_parquet('{OUT}/kg_dict_names/*.parquet')),
-        |p AS (SELECT cid FROM read_parquet('{OUT}/kg_dict_props/*.parquet'))
-        |SELECT d.name_norm, d.cid FROM d JOIN p USING (cid)
-        |WHERE dup = 1 AND len(name_norm) > 0 AND name_norm = lower(name_norm)
+        |p AS (SELECT cid FROM read_parquet('{OUT}/kg_dict_props/*.parquet')),
+        |ok AS (SELECT count(*) = 0 AS v
+        |  FROM read_parquet('{OUT}/kg_canon_names/*.parquet') n
+        |  LEFT JOIN read_parquet('{OUT}/kg_dict_names/*.parquet') d2
+        |    ON n.name = d2.name_norm
+        |  WHERE d2.cid IS NULL OR d2.cid > n.cid)
+        |SELECT d.name_norm, d.cid FROM d JOIN p USING (cid), ok
+        |WHERE ok.v AND dup = 1 AND len(name_norm) > 0 AND name_norm = lower(name_norm)
         |ORDER BY name_norm""".stripMargin,
     "kg_dict_props" ->
       """WITH d AS (SELECT *, count(*) OVER (PARTITION BY cid) AS dup

@@ -70,6 +70,7 @@ class PlanSpec extends AnyFunSuite {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     for ((name, df) <- Seq(
       "minhashPairs" -> graft.operators.Dedup.minhashPairs(docs, threshold = 0.5),
+      "jaccardPairs" -> graft.operators.Dedup.jaccardPairs(docs, threshold = 0.5),
       "simhashPairs" -> graft.operators.Dedup.simhashPairs(docs),
       "embeddingPairs" -> graft.operators.Dedup.embeddingPairs(emb, threshold = 0.95))) {
       df.collect() // finalize the adaptive plan
@@ -99,6 +100,9 @@ class PlanSpec extends AnyFunSuite {
       for ((name, df, allowed) <- Seq(
         ("minhashPairs",
           graft.operators.Dedup.minhashPairs(docs, threshold = 0.5, useBroadcast = false),
+          Set("txt", "txt_a", "txt_b")),
+        ("jaccardPairs",
+          graft.operators.Dedup.jaccardPairs(docs, threshold = 0.5, useBroadcast = false),
           Set("txt", "txt_a", "txt_b")),
         ("embeddingPairs",
           graft.operators.Dedup.embeddingPairs(emb, threshold = 0.95, useBroadcast = false),

@@ -265,4 +265,106 @@ class PropertySpec extends AnyFunSuite {
         cnt(html, "<mark") == ents.length
     }, minTests = 150)
   }
+
+  // ---------- HTML extractor fuzz (S4/P1: the one operator that faces
+  // raw web bytes at 10^12 rows) ----------
+
+  import graft.functions.Html
+  import graft.functions.Html.{ExtractedDoc, Section, Table, TableRow}
+
+  /** Alphanumeric+space text — avoids the escape set and the two F1
+    * normalization digraphs, whose handling the golden fixtures already
+    * pin; here we fuzz STRUCTURE (random section/paragraph/table/author
+    * counts, ragged colspans).
+    */
+  private val safeWord: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(12))
+  private val safeText: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, safeWord)).map(_.mkString(" "))
+
+  private val tableGen: Gen[Table] = for {
+    heading <- safeText
+    nd <- Gen.chooseNum(0, 2)
+    desc <- Gen.listOfN(nd, safeText)
+    nr <- Gen.chooseNum(0, 4)
+    rows <- Gen.listOfN(nr, for {
+      nc <- Gen.chooseNum(1, 5)
+      cells <- Gen.listOfN(nc, safeText)
+      spans <- Gen.listOfN(nc, Gen.chooseNum(1, 3))
+    } yield {
+      // keys from cumulative colspan advance, first cell at c_0 (the
+      // render/extract key contract; a row starting past c_0 is not
+      // representable in html and not produced by extract)
+      var idx = 0
+      TableRow(cells.zip(spans).map { case (c, sp) =>
+        val k = s"c_$idx"; idx += sp; k -> c
+      }.toMap)
+    })
+  } yield Table(heading, desc.toArray, rows.toArray)
+
+  private val docGen: Gen[ExtractedDoc] = for {
+    title <- safeText; doi <- safeWord
+    na <- Gen.chooseNum(0, 3); authors <- Gen.listOfN(na, safeText)
+    pubDate <- Gen.oneOf("", "2021-04-01", "1999-12-31")
+    nAbs <- Gen.chooseNum(0, 2); abs <- Gen.listOfN(nAbs, safeText)
+    ns <- Gen.chooseNum(0, 4)
+    secs <- Gen.listOfN(ns, for {
+      h <- safeText; np <- Gen.chooseNum(0, 3); ps <- Gen.listOfN(np, safeText)
+    } yield Section(h, ps.toArray))
+    nt <- Gen.chooseNum(0, 2); tbls <- Gen.listOfN(nt, tableGen)
+  } yield ExtractedDoc(title, doi, secs.toArray, authors.toArray, pubDate,
+    tbls.toArray, abs.toArray)
+
+  test("P1/S4 roundtrip: extract(render(doc)) recovers every field on random documents") {
+    check(Prop.forAll(docGen) { d =>
+      val e = Html.extract(Html.render(d))
+      e.title == d.title && e.doi == d.doi && e.pubDate == d.pubDate &&
+        e.authors.toSeq == d.authors.toSeq &&
+        e.abstractParas.toSeq == d.abstractParas.toSeq &&
+        e.sections.toSeq.map(s => (s.heading, s.paragraphs.toSeq)) ==
+          d.sections.toSeq.map(s => (s.heading, s.paragraphs.toSeq)) &&
+        e.tables.toSeq.map(t => (t.heading, t.description.toSeq, t.rows.toSeq.map(_.cells))) ==
+          d.tables.toSeq.map(t => (t.heading, t.description.toSeq, t.rows.toSeq.map(_.cells))) &&
+        e.text == d.text
+    })
+  }
+
+  test("P1/S4 totality: extract never throws on tag soup or corrupted renders") {
+    val frag: Gen[String] = Gen.oneOf(
+      "<section>", "<section data-field=\"abstract\">", "</section>",
+      "<h2>", "</h2>", "<h3>", "</h3>", "<p>", "</p>",
+      "<figure data-type=\"table\">", "</figure>", "<figcaption>", "</figcaption>",
+      "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>",
+      "<td colspan=\"999999999999\">", "<td colspan=\"\">",
+      "<title>", "</title>", "data-doi=\"", "\"",
+      "name=\"citation_author\" content=\"", "name=\"citation_date\" content=\"",
+      "&lt;", "&amp;", "&quot;", "&#x;", "&", ";", "<", ">",
+      " À", " ¼", " ", "é£✓", "plain text", "  ")
+    val soup: Gen[String] = Gen.listOf(frag).map(_.mkString)
+    // corruption of a VALID page: truncation at any byte, a random byte
+    // flip, or splicing soup into the middle — the failure shapes of
+    // real crawls (cut-off responses, encoding damage, injected markup)
+    val corrupted: Gen[Array[Byte]] = for {
+      d <- docGen
+      s <- soup
+      mode <- Gen.chooseNum(0, 2)
+      at <- Gen.chooseNum(0, 4096)
+      b <- Gen.chooseNum(0, 255)
+    } yield {
+      val bytes = Html.render(d)
+      mode match {
+        case 0 => bytes.take(at % (bytes.length + 1))
+        case 1 => val c = bytes.clone(); c(at % c.length) = b.toByte; c
+        case _ =>
+          val cut = at % (bytes.length + 1)
+          bytes.take(cut) ++ s.getBytes("UTF-8") ++ bytes.drop(cut)
+      }
+    }
+    check(Prop.forAll(Gen.oneOf(soup.map(_.getBytes("UTF-8")), corrupted)) { b =>
+      val d1 = Html.extract(b)
+      val d2 = Html.extract(b) // deterministic, and .text total
+      d1.text == d2.text && d1.text != null &&
+        d1.tables.forall(t => t.rows.forall(r => Html.rowCellsInOrder(r) != null))
+    }, minTests = 300)
+  }
 }
