@@ -27,6 +27,38 @@ import scala.sys.process._
   */
 object ScalingBench {
 
+  /** Calibrated host-health probe: total work completed by `threads`
+    * spin loops in `ms` wall-clock, in arbitrary-but-stable ops. This
+    * sandbox is a shared VM whose hypervisor occasionally caps the
+    * guest's deliverable CPU far below its 32 advertised cores for tens
+    * of minutes (measured: an 8-thread spinner achieving 2.2 effective
+    * cores while /proc/stat showed only 5% steal — the cap shows up as
+    * inflated system time, not steal). Such an epoch crushes the WIDE
+    * level of this bench specifically while leaving the narrow level
+    * untouched, silently faking a scaling regression. Sampling the
+    * probe around every child and embedding the values in the artifact
+    * makes a throttled epoch visible in the JSON itself: per-level
+    * numbers are trustworthy iff their surrounding probes agree.
+    */
+  private def spinOps(threads: Int, ms: Long): Long = {
+    val end = System.currentTimeMillis() + ms
+    val cnt = new java.util.concurrent.atomic.AtomicLong
+    val ts = (0 until threads).map { k =>
+      val t = new Thread(() => {
+        var c = 0L
+        while (System.currentTimeMillis() < end) {
+          var j = 0
+          while (j < 10000) { c += j * 31 + k; j += 1 }
+        }
+        cnt.addAndGet(c / 10000) // per-batch units keep the sum in Long range
+        ()
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    cnt.get()
+  }
+
   private def jarPath: String = {
     val p = sys.env.getOrElse("SPARK_GRAFT_JAR",
       "target/scala-2.13/cprexspark_2.13-0.1.0.jar")
@@ -155,19 +187,30 @@ object ScalingBench {
     prep.stop()
 
     // interleave levels (L,H,H,L) and take the per-level min so a slow
-    // host epoch cannot bias one level
-    val (tLow1, triples) = runChild(mode, nLow, coresPerExec, nPages)
-    val (tHigh1, _) = runChild(mode, nHigh, coresPerExec, nPages)
-    val (tHigh2, _) = runChild(mode, nHigh, coresPerExec, nPages)
-    val (tLow2, _) = runChild(mode, nLow, coresPerExec, nPages)
+    // host epoch cannot bias one level; bracket every child with the
+    // host probe so a throttled epoch is visible in the artifact
+    val probeThreads = nHigh * coresPerExec
+    spinOps(probeThreads, 500) // JIT the probe loop before measuring
+    val probes = scala.collection.mutable.ArrayBuffer(spinOps(probeThreads, 2000))
+    def probed(level: => (Double, Long)): (Double, Long) = {
+      val r = level; probes += spinOps(probeThreads, 2000); r
+    }
+    val (tLow1, triples) = probed(runChild(mode, nLow, coresPerExec, nPages))
+    val (tHigh1, _) = probed(runChild(mode, nHigh, coresPerExec, nPages))
+    val (tHigh2, _) = probed(runChild(mode, nHigh, coresPerExec, nPages))
+    val (tLow2, _) = probed(runChild(mode, nLow, coresPerExec, nPages))
     val tLow = math.min(tLow1, tLow2)
     val tHigh = math.min(tHigh1, tHigh2)
     val thrLow = triples / tLow
     val thrHigh = triples / tHigh
     val eff = (thrHigh / thrLow) / 4.0
+    // health = worst probe / best probe; < ~0.7 means some child ran
+    // during a throttled epoch and the run should be repeated
+    val health = probes.min.toDouble / probes.max
     println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio",""" +
       s""""mode":"$mode","pages":$nPages,"triples":$triples,""" +
       s""""executors_low":$nLow,"cores_low":${nLow * coresPerExec},"sec_low":$tLow,"triples_per_sec_low":$thrLow,""" +
-      s""""executors_high":$nHigh,"cores_high":${nHigh * coresPerExec},"sec_high":$tHigh,"triples_per_sec_high":$thrHigh}""")
+      s""""executors_high":$nHigh,"cores_high":${nHigh * coresPerExec},"sec_high":$tHigh,"triples_per_sec_high":$thrHigh,""" +
+      s""""host_probe_ops":[${probes.mkString(",")}],"host_health":$health}""")
   }
 }
