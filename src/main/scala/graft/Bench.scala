@@ -141,7 +141,19 @@ object Bench {
     // JIT/codegen warmup on a small slice so timings measure steady state
     Pipeline.run(PageGen.pages(spark, 100)).count()
 
+    // bracket the measured rounds with the calibrated host probe
+    // (ScalingBench.spinOps): min/median/spread expose a TRANSIENT
+    // noisy epoch, but a hypervisor cap sustained across the whole run
+    // inflates every sample uniformly with a small spread — only an
+    // absolute throughput reference distinguishes that from a slow
+    // engine. health = worst/best probe; compare probe ops across
+    // artifacts to spot a capped run.
+    val probeThreads = cpus.toInt
+    ScalingBench.spinOps(probeThreads, 500) // JIT the probe loop
+    val probe0 = ScalingBench.spinOps(probeThreads, 2000)
     val r = run(spark, sfDir)
+    val probe1 = ScalingBench.spinOps(probeThreads, 2000)
+    val health = math.min(probe0, probe1).toDouble / math.max(probe0, probe1)
     val total = r.best.values.sum
     val tps = r.nTriples / r.best("kg_pipeline")
     val dps = r.nPages / r.best("kg_pipeline")
@@ -151,7 +163,8 @@ object Bench {
       s""""sf":"$sfDir","triples":${r.nTriples},"pages":${r.nPages},""" +
       s""""triples_per_sec":$tps,"docs_per_sec":$dps,"cpus":$cpus,""" +
       s""""method":"warm+best-of-${Bench.Rounds}-interleaved",""" +
-      s""""median":${jmap(r.median)},"spread":${jmap(r.spread)}}""")
+      s""""median":${jmap(r.median)},"spread":${jmap(r.spread)},""" +
+      s""""host_probe_ops":[$probe0,$probe1],"host_health":$health}""")
     spark.stop()
   }
 }

@@ -40,7 +40,7 @@ object ScalingBench {
     * makes a throttled epoch visible in the JSON itself: per-level
     * numbers are trustworthy iff their surrounding probes agree.
     */
-  private def spinOps(threads: Int, ms: Long): Long = {
+  private[graft] def spinOps(threads: Int, ms: Long): Long = {
     val end = System.currentTimeMillis() + ms
     val cnt = new java.util.concurrent.atomic.AtomicLong
     val ts = (0 until threads).map { k =>
