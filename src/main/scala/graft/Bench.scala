@@ -70,9 +70,10 @@ object Bench {
         Dedup.jaccardPairs(docs, threshold = 0.5).count(); ()
       }),
       "kg_render" -> (() => {
-        // displacy render: annotate + per-row HTML assembly + title lag
+        // displacy render: annotate + per-row HTML assembly + the
+        // zero-shuffle contiguous title lag (pipeline layout)
         val ann = Pipeline.annotate(Pipeline.sentences(PageGen.pages(spark, nPages)), names)
-        graft.operators.Render.html(ann).count(); ()
+        graft.operators.Render.htmlContiguous(ann).count(); ()
       }),
       "dedup_embedding" -> (() => {
         // the bucketed near-dup scale path (multi-probe sign-LSH)

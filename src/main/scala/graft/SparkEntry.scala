@@ -306,7 +306,7 @@ object SparkEntry {
       // round 4 the artifact itself is consistency-oracled (DuckDB
       // re-counts the mark/slice/start/title markers in the html string
       // and requires agreement with the independently-oracled stats)
-      Render.html(annotated(s, dir)).orderBy("url", "sent_id")),
+      Render.htmlContiguous(annotated(s, dir)).orderBy("url", "sent_id")),
     "kg_displacy_frags" -> ((s, dir) =>
       // per-fragment decomposition of the renderer's sequential
       // open-relation state machine — recomputed independently in
@@ -319,7 +319,7 @@ object SparkEntry {
       // their radius marker, h2 titles) — the oracle recomputes them
       // from the frags dump + the sentence dump's section lag, closing
       // the chain: html ↔ frags ↔ independent SQL recount
-      Render.html(annotated(s, dir))
+      Render.htmlContiguous(annotated(s, dir))
         .select(col("url"), col("sent_id"),
           regexp_count(col("html"), lit("<mark class=\"entity\"")).as("n_marks"),
           (regexp_count(col("html"), lit("height: 4px;")) -

@@ -304,12 +304,60 @@ object Render {
   /** Per-sentence rendered markup: (url, sent_id, title, html) — one
     * `render_spans` output per row; page-level assembly is a
     * string_agg away and deliberately left to the consumer.
+    *
+    * This generic form is safe under ANY partitioning of `annotated`:
+    * the title rule's lag rides a `Window.partitionBy(url)`, which
+    * costs one url-keyed exchange of the full annotated rows (nested
+    * token/ent/rel arrays). For pipeline-layout input — the only shape
+    * the engine itself produces — use [[htmlContiguous]], which
+    * computes the same titles with zero shuffle.
     */
   def html(annotated: Dataset[Sentence], threshold: Double = DefaultThreshold): DataFrame = {
     val spark = annotated.sparkSession
     import spark.implicits._
     withTitle(annotated).map { case (s, title) =>
       (s.url, s.sentId, title, renderSentence(s, threshold, Option(title))._1)
+    }.toDF("url", "sent_id", "title", "html")
+  }
+
+  /** Zero-shuffle variant of [[html]] for pipeline-layout input.
+    *
+    * Precondition (what `Pipeline.sentences`/`annotate` produce by
+    * construction): every url's sentences are contiguous and
+    * sentId-ordered within one partition, because a page is ONE input
+    * row and its sentences are emitted by one flatMap call — a url can
+    * never span partitions or interleave with another. Under that
+    * layout the title lag is a per-partition scan, so the corpus never
+    * rides an exchange (at 10^12 pages the windowed form's url-keyed
+    * shuffle of nested token arrays IS the cost of the query).
+    *
+    * The in-partition half of the precondition is guarded loudly: a
+    * url recurring after another url fails the task rather than
+    * mis-titling. (A url *split across* partitions — impossible for
+    * pipeline output, possible after an external repartition — is not
+    * detectable partition-locally; use [[html]] for arbitrary layouts.)
+    */
+  def htmlContiguous(annotated: Dataset[Sentence],
+      threshold: Double = DefaultThreshold): DataFrame = {
+    val spark = annotated.sparkSession
+    import spark.implicits._
+    annotated.mapPartitions { it =>
+      val seen = mutable.HashSet.empty[String]
+      var prevUrl: String = null
+      var prevSection: String = null
+      it.map { s =>
+        if (s.url != prevUrl) {
+          require(seen.add(s.url),
+            s"pipeline-layout precondition violated: url ${s.url} recurs " +
+              "after another url in this partition — use Render.html " +
+              "(windowed) for arbitrary layouts")
+          prevSection = null
+        }
+        val title = if (s.section != prevSection && s.section != "") s.section else null
+        prevUrl = s.url
+        prevSection = s.section
+        (s.url, s.sentId, title, renderSentence(s, threshold, Option(title))._1)
+      }
     }.toDF("url", "sent_id", "title", "html")
   }
 

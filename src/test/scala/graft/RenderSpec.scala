@@ -187,6 +187,33 @@ class RenderSpec extends AnyFunSuite {
     assert(out(2)._2.startsWith("\n<h2 style=\"margin: 0\">Results</h2>\n"))
   }
 
+  test("htmlContiguous: identical to windowed html on pipeline layout, zero exchange, loud on violation") {
+    import spark.implicits._
+    val annotated = Pipeline.annotate(
+      Pipeline.sentences(PageGen.pages(spark, 40)),
+      ChemDict.entries.flatMap(_.synonyms)).cache()
+    try {
+      val windowed = Render.html(annotated).collect().map(_.toSeq).toSet
+      val contiguous = Render.htmlContiguous(annotated).collect().map(_.toSeq).toSet
+      assert(windowed == contiguous)
+      assert(contiguous.nonEmpty)
+      // the whole point: the corpus never rides an exchange
+      val plan = Render.htmlContiguous(annotated).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"contiguous render plan shuffles:\n$plan")
+      assert(Render.html(annotated).queryExecution.executedPlan.toString
+        .contains("Exchange")) // and the generic path does (sanity of the assertion)
+    } finally { annotated.unpersist(); () }
+    // interleaved urls in one partition: refuse loudly, don't mis-title
+    val bad = Seq(
+      sent("a b", Array.empty, Array.empty),
+      sent("c d", Array.empty, Array.empty).copy(url = "u2"),
+      sent("e f", Array.empty, Array.empty).copy(sentId = 1))
+    val ex = intercept[Exception] {
+      Render.htmlContiguous(spark.createDataset(bad).coalesce(1)).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("e2e over generated pages: mark count == entity count; partition-invariant") {
     import spark.implicits._
     val annotated = Pipeline.annotate(
