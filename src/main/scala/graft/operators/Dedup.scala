@@ -138,8 +138,8 @@ object Dedup {
       maxBucket: Int = 128,
       useBroadcast: Boolean = true
   ): DataFrame =
-    minhashPairsWithHandle(docs, idCol, textCol, k, bands, threshold, maxBucket,
-      useBroadcast)._1
+    minhashPairsImpl(docs, idCol, textCol, k, bands, threshold, maxBucket,
+      useBroadcast, persistCand = false)._1
 
   /** Like `minhashPairs` but also returns a release handle the caller
     * should invoke after its action completes: on the useBroadcast=false
@@ -159,6 +159,20 @@ object Dedup {
       threshold: Double = 0.7,
       maxBucket: Int = 128,
       useBroadcast: Boolean = true
+  ): (DataFrame, () => Unit) =
+    minhashPairsImpl(docs, idCol, textCol, k, bands, threshold, maxBucket,
+      useBroadcast, persistCand = true)
+
+  private def minhashPairsImpl(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucket: Int,
+      useBroadcast: Boolean,
+      persistCand: Boolean
   ): (DataFrame, () => Unit) = {
     val compactDocs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
     // (band, band_hash, id) — the ONLY rows that ever shuffle
@@ -175,7 +189,8 @@ object Dedup {
 
     // verification: fetch candidate texts by id (see fetchCandidatePayload
     // for the broadcast vs dup-heavy-corpus exchange discipline)
-    val (candDocs, side, release) = fetchCandidatePayload(cand, compactDocs, useBroadcast)
+    val (candDocs, side, release) =
+      fetchCandidatePayload(cand, compactDocs, useBroadcast, persistCand)
     val jac = udf((x: String, y: String) => ngramJaccardMemo(x, y))
     val out = cand
       .join(side(candDocs.select(col("id").as("id_a"), col("txt").as("txt_a"))),
@@ -245,7 +260,8 @@ object Dedup {
   private def fetchCandidatePayload(
       cand: DataFrame,
       payload: DataFrame,
-      useBroadcast: Boolean
+      useBroadcast: Boolean,
+      persistCand: Boolean
   ): (DataFrame, DataFrame => DataFrame, () => Unit) = {
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     if (useBroadcast)
@@ -254,14 +270,24 @@ object Dedup {
     else {
       val spark = payload.sparkSession
       // cand feeds the count/bloom driver actions here AND the caller's
-      // final plan — persist across both; released by the handle
-      cand.persist()
-      val n = math.max(candIds.count(), 1024L)
-      val bf = candIds.stat.bloomFilter("id", n, 0.01)
+      // final plan. The *WithHandle callers persist it across both and
+      // release via the returned handle; the convenience wrappers (no
+      // handle to hand back) trade one candidate-subplan recompute in
+      // the final plan for never leaking a cached DataFrame.
+      if (persistCand) cand.persist()
+      // candIds itself feeds TWO eager driver actions (count + bloom
+      // build) — persist across exactly those and release in-call,
+      // so the distinct-aggregation runs once, not twice
+      candIds.persist()
+      val bf =
+        try {
+          val n = math.max(candIds.count(), 1024L)
+          candIds.stat.bloomFilter("id", n, 0.01)
+        } finally candIds.unpersist()
       val bfB = spark.sparkContext.broadcast(bf)
       val mightContain = udf((id: Long) => bfB.value.mightContain(id))
       (payload.filter(mightContain(col("id"))), df => df.hint("shuffle_hash"),
-        () => { cand.unpersist(); () })
+        () => { if (persistCand) cand.unpersist(); () })
     }
   }
 
@@ -336,7 +362,8 @@ object Dedup {
       n: Int = 3,
       useBroadcast: Boolean = true
   ): DataFrame =
-    jaccardPairsWithHandle(docs, idCol, textCol, threshold, n, useBroadcast)._1
+    jaccardPairsImpl(docs, idCol, textCol, threshold, n, useBroadcast,
+      persistCand = false)._1
 
   /** `jaccardPairs` + release handle — same contract as
     * `minhashPairsWithHandle` (the handle matters on the
@@ -350,6 +377,18 @@ object Dedup {
       threshold: Double = 0.7,
       n: Int = 3,
       useBroadcast: Boolean = true
+  ): (DataFrame, () => Unit) =
+    jaccardPairsImpl(docs, idCol, textCol, threshold, n, useBroadcast,
+      persistCand = true)
+
+  private def jaccardPairsImpl(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      n: Int,
+      useBroadcast: Boolean,
+      persistCand: Boolean
   ): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     val compactDocs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
@@ -359,9 +398,19 @@ object Dedup {
     val ranked = sh.join(dfreq, Seq("sh"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("dfreq"), col("sh"))))
+    // All candidate-stage bounds get an EPS slack before ceil/compare:
+    // the bounds are exact rationals (t·|x|, t/(1+t)·(|x|+|y|)) compared
+    // against integers, and double rounding can land a hair ABOVE the
+    // exact value (e.g. double(0.8)·5 = 4.0000000000000004, ceil → 5
+    // instead of 4), silently pruning a true pair with J exactly at the
+    // threshold. Set sizes are ≤ ~1e5 shingles so the representation
+    // error is < 1e-10; relaxing by 1e-9 admits only exact-boundary
+    // candidates, and the final exact jaccard verify keeps the output
+    // precise. Exactness contract > a vanishing amount of extra work.
+    val Eps = 1e-9
     // prefix length p = |x| - ceil(t*|x|) + 1
     val prefix = ranked.filter(
-      col("rk") <= col("set_size") - ceil(lit(threshold) * col("set_size")) + 1)
+      col("rk") <= col("set_size") - ceil(lit(threshold) * col("set_size") - Eps) + 1)
       .select(col("sh"), col("id"), col("set_size"), col("rk"))
     val cand = prefix.select(col("sh"), col("id").as("id_a"),
       col("set_size").as("sz_a"), col("rk").as("rk_a"))
@@ -369,8 +418,8 @@ object Dedup {
         col("set_size").as("sz_b"), col("rk").as("rk_b")), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
       // length filter: J >= t ⟹ t*|x| <= |y| <= |x|/t
-      .filter(col("sz_b") >= lit(threshold) * col("sz_a") &&
-        col("sz_a") >= lit(threshold) * col("sz_b"))
+      .filter(col("sz_b") >= lit(threshold) * col("sz_a") - Eps &&
+        col("sz_a") >= lit(threshold) * col("sz_b") - Eps)
       // PPJoin positional filter: at the FIRST common prefix token
       // (positions rk_a, rk_b) every common element sits at or after it
       // in both sets, so |x∩y| <= min(|x|-rk_a, |y|-rk_b) + 1, while
@@ -379,9 +428,10 @@ object Dedup {
       // pair always survives via its first common token, where the
       // bound is valid (Xiao et al. WWW'08 §3.2).
       .filter(least(col("sz_a") - col("rk_a"), col("sz_b") - col("rk_b")) + 1 >=
-        ceil(lit(threshold / (1.0 + threshold)) * (col("sz_a") + col("sz_b"))))
+        ceil(lit(threshold / (1.0 + threshold)) * (col("sz_a") + col("sz_b")) - Eps))
       .select("id_a", "id_b").distinct()
-    val (candDocs, side, release) = fetchCandidatePayload(cand, compactDocs, useBroadcast)
+    val (candDocs, side, release) =
+      fetchCandidatePayload(cand, compactDocs, useBroadcast, persistCand)
     val jac = udf((x: String, y: String) => ngramJaccardMemo(x, y, n))
     val out = cand
       .join(side(candDocs.select(col("id").as("id_a"), col("txt").as("txt_a"))), Seq("id_a"))
@@ -557,8 +607,8 @@ object Dedup {
       multiProbe: Boolean = true,
       useBroadcast: Boolean = true
   ): DataFrame =
-    embeddingPairsWithHandle(emb, idCol, vecCol, threshold, bits, multiProbe,
-      useBroadcast)._1
+    embeddingPairsImpl(emb, idCol, vecCol, threshold, bits, multiProbe,
+      useBroadcast, persistCand = false)._1
 
   /** `embeddingPairs` + release handle — same contract as
     * `minhashPairsWithHandle` (the handle matters on the
@@ -573,6 +623,19 @@ object Dedup {
       bits: Int = 8,
       multiProbe: Boolean = true,
       useBroadcast: Boolean = true
+  ): (DataFrame, () => Unit) =
+    embeddingPairsImpl(emb, idCol, vecCol, threshold, bits, multiProbe,
+      useBroadcast, persistCand = true)
+
+  private def embeddingPairsImpl(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int,
+      multiProbe: Boolean,
+      useBroadcast: Boolean,
+      persistCand: Boolean
   ): (DataFrame, () => Unit) = {
     val withSig = embeddingBuckets(emb, idCol, vecCol, bits)
     val banded = withSig.select("bucket", "id")
@@ -586,7 +649,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val (candVecs, side, release) =
-      fetchCandidatePayload(cand, withSig.select("id", "v"), useBroadcast)
+      fetchCandidatePayload(cand, withSig.select("id", "v"), useBroadcast, persistCand)
     val out = cand
       .join(side(candVecs.select(col("id").as("id_a"), col("v").as("v_a"))), Seq("id_a"))
       .join(side(candVecs.select(col("id").as("id_b"), col("v").as("v_b"))), Seq("id_b"))

@@ -282,16 +282,23 @@ object Multimodal {
         val len = le32(p, o + 4)
         if (len < 0) return None
         val next = o.toLong + 8L + len.toLong + (len & 1)
+        // every body read below is bounds-checked against the PHYSICAL
+        // region end first — a declared len only promises bytes, it
+        // does not make them exist; a header truncated mid-body rejects
+        // the file (None) rather than throwing in the executor
         if (id == "LIST" && len >= 4) {
+          if (o + 12 > end) return None // truncated LIST type tag
           val listType = new String(p, o + 8, 4, "US-ASCII")
           val bodyEnd = math.min(o.toLong + 8L + len.toLong, end.toLong).toInt
           if (listType == "hdrl" || listType == "strl" || listType == "movi")
             regions = (o + 12, bodyEnd) :: regions
         } else if (id == "strh" && len >= 36) {
+          if (o + 8 + 36 > end) return None // truncated stream header
           // only the video stream header's dwLength counts
           if (new String(p, o + 8, 4, "US-ASCII") == "vids")
             declFrames = le32(p, o + 8 + 32)
         } else if (id == "strf" && len >= 12 && width < 0) {
+          if (o + 8 + 12 > end) return None // truncated BITMAPINFOHEADER
           width = le32(p, o + 8 + 4)
           height = le32(p, o + 8 + 8)
         } else if (id.endsWith("dc") || id.endsWith("db")) {

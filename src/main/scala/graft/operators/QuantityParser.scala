@@ -267,9 +267,17 @@ object QuantityParser {
     // a NUM may only start at a token-ish boundary: the reference
     // matches whole tokens, so a digit glued to a preceding
     // letter/digit ("kg/m3" followed by " K") must never spawn a
-    // measurement from mid-token (caught by PropertySpec fuzzing)
-    def numBoundary(i: Int): Boolean =
-      i == 0 || !Character.isLetterOrDigit(text.charAt(i - 1))
+    // measurement from mid-token (caught by PropertySpec fuzzing).
+    // Number-glue punctuation ('.', ',', '-', '+', '/') is transparent
+    // to the check: in "v1.5" the '5' sits behind a '.', but walking
+    // the glue lands on the digit '1' — still mid-token, so no match
+    // may start there (while " -40" walks to the space and stays a
+    // valid negative-number start).
+    def numBoundary(i: Int): Boolean = {
+      var j = i - 1
+      while (j >= 0 && "+-.,/".indexOf(text.charAt(j)) >= 0) j -= 1
+      j < 0 || !Character.isLetterOrDigit(text.charAt(j))
+    }
 
     def pass(matcher: (String, Int) => RawMeasure): Unit = {
       var i = 0

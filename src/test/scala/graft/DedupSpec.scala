@@ -70,6 +70,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard boundary exactness: J exactly at threshold survives double rounding") {
+    import spark.implicits._
+    // doc 2's 4 shingles nest inside doc 1's 5: J = 4/5 = 0.8 exactly,
+    // while double(0.8)*5 = 4.000000000000000444 — without the Eps slack
+    // the candidate-stage length filter pruned this TRUE pair
+    // (sz_b >= t*sz_a read 4 >= 4.0000000000000004) even though the
+    // final exact verify would have passed it
+    val pair = Seq(
+      (1L, "a b c d e f g"), // shingles: abc bcd cde def efg (5)
+      (2L, "a b c d e f") // shingles: abc bcd cde def (4, all in doc 1)
+    ).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccard("a b c d e f g", "a b c d e f") == 0.8)
+    val got = Dedup.jaccardPairs(pair, threshold = 0.8).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("jaccard prefix filter prunes: indexed rows < total shingle rows") {
     val total = Dedup.shingleRows(docs).count()
     // the operator's own prefix selection, reproduced for the assertion

@@ -22,6 +22,18 @@ class QuantityParserSpec extends AnyFunSuite {
     assert(ents.forall(_.label == "TEMPERATURE"))
   }
 
+  test("mid-token glue: number punctuation is transparent to the boundary guard") {
+    // "v1.5" is ONE whitespace token upstream — the reference's
+    // whole-token matching emits nothing from it, so neither may the
+    // scanner spawn "5 kg" from behind the '.' (walking the glue lands
+    // on the digit '1': still mid-token). Same for "x-40".
+    assert(find("sample v1.5 kg of material at 40 K").map(_.text) == Seq("40 K"))
+    assert(find("specimen x-40 K variant at 20 K").map(_.text) == Seq("20 K"))
+    // while a space-preceded negative number stays a valid start
+    // (the glue walk ends at the space)
+    assert(find("cooled to -40 K overnight").map(_.text).exists(_.contains("40 K")))
+  }
+
   test("simple value with glued unit") {
     val Seq(e) = find("MXene is stable up to 180°C")
     assert(e.label == "TEMPERATURE")

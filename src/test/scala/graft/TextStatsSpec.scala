@@ -113,6 +113,12 @@ class TextStatsSpec extends AnyFunSuite {
     val corrupt = avi.clone()
     corrupt(228) = -1; corrupt(229) = -1; corrupt(230) = -1; corrupt(231) = 0x7f
     assert(Multimodal.decodeAvi(corrupt).isEmpty)
+    // totality: EVERY prefix truncation (including mid-strh/strf/LIST
+    // bodies, where a declared len promises bytes that don't exist)
+    // returns None or a parse — never throws in the executor
+    (0 until avi.length).foreach { n =>
+      Multimodal.decodeAvi(java.util.Arrays.copyOf(avi, n))
+    }
   }
 
   test("multimodal: real PNG/BMP/WAV/AVI codecs round-trip; resize; frame sampling") {
