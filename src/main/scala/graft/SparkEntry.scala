@@ -347,6 +347,42 @@ object SparkEntry {
         graft.functions.GraftFunctions.fingerprint64(col("text")).as("fp64"))
         .orderBy("doc_id")),
 
+    // ---------- decontamination (eval-leakage sweep) ----------
+    // bench set = every doc_id % 20 == 7 document (deterministic split
+    // of the same table — no external data); corpus = the rest. The
+    // overlap matrix is fully recomputed in DuckDB from the documents
+    // table via the dumped gram-murmur parameters; flagged/clean chain
+    // off the (itself recomputed) overlap dump
+    "decontam_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontaminate.overlap(
+        d.filter(col("doc_id") % 20 =!= 7),
+        d.filter(col("doc_id") % 20 === 7)
+          .select(col("doc_id").as("bench_id"), col("text")))
+        .orderBy("doc_id", "bench_id")
+    }),
+    "decontam_flagged" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontaminate.flagged(
+        d.filter(col("doc_id") % 20 =!= 7),
+        d.filter(col("doc_id") % 20 === 7)
+          .select(col("doc_id").as("bench_id"), col("text")))
+        .orderBy("doc_id")
+    }),
+    "decontam_clean" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontaminate.clean(
+        d.filter(col("doc_id") % 20 =!= 7),
+        d.filter(col("doc_id") % 20 === 7)
+          .select(col("doc_id").as("bench_id"), col("text")))
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "decontam_gram_hashes" -> ((s, dir) =>
+      // per-gram murmur parameters (seeds 101/103 fused to one 64-bit
+      // key) — oracle INPUT for the decontam_overlap recompute; its own
+      // oracle re-derives the gram key set from the documents table
+      Decontaminate.gramHashParams(docs(s, dir)).orderBy("gram")),
+
     // ---------- similarity search ----------
     "ann_brute_topk" -> ((s, dir) => {
       // ids+rank only: the cosine double differs in the last bit across
@@ -930,6 +966,15 @@ object SparkEntry {
     """CASE WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')]
       |         ELSE [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)] END""".stripMargin
 
+  /** Distinct word 8-grams of a pre-split token array `ws` —
+    * Decontaminate.ngrams replayed in SQL (short docs contribute their
+    * whole token run; empty docs contribute nothing).
+    */
+  private val NgramsSql =
+    """CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+      |         WHEN len(ws) <= 8 THEN [array_to_string(ws, ' ')]
+      |         ELSE [array_to_string(ws[i:i+7], ' ') for i in range(1, len(ws) - 6)] END""".stripMargin
+
   private val CharShinglesSql =
     """CASE WHEN len(name) <= 3 THEN [name]
       |         ELSE [substr(name, i, 3) for i in range(1, len(name) - 1)] END""".stripMargin
@@ -1027,6 +1072,48 @@ object SparkEntry {
     // not SQL-expressible) passed through from the dump itself, but the
     // KEY SET is fully re-derived — a left join from the independently
     // recomputed tokens/shingles catches both missing and extra keys
+    // decontamination: gram key set fully re-derived (murmur values are
+    // parameters, passed through — same contract as the other hash dumps)
+    "decontam_gram_hashes" ->
+      s"""WITH d0 AS (SELECT $WordsSql AS ws FROM documents),
+        |g0 AS (SELECT $NgramsSql AS gs FROM d0),
+        |g AS (SELECT DISTINCT unnest(gs) AS gram FROM g0)
+        |SELECT g.gram, d.gh
+        |FROM g LEFT JOIN read_parquet('{OUT}/decontam_gram_hashes/*.parquet') d USING (gram)
+        |ORDER BY gram""".stripMargin,
+    // full overlap-matrix recompute: every document's distinct 8-gram
+    // set rebuilt from the documents table, mapped to the engine's
+    // 64-bit keys via the dumped parameters, and the (corpus x bench)
+    // shared-gram counts + IEEE fraction divisions replayed bit-exactly
+    "decontam_overlap" ->
+      s"""WITH d0 AS (SELECT doc_id::BIGINT AS id, $WordsSql AS ws FROM documents),
+        |gs AS (SELECT id, $NgramsSql AS gs FROM d0),
+        |dg AS (SELECT DISTINCT id, unnest(gs) AS gram FROM gs),
+        |h AS (SELECT dg.id, p.gh
+        |  FROM dg JOIN read_parquet('{OUT}/decontam_gram_hashes/*.parquet') p USING (gram)),
+        |sz AS (SELECT id, count(*) AS n FROM h GROUP BY id),
+        |m AS (SELECT cor.id AS doc_id, ben.id AS bench_id, count(*) AS n_shared
+        |  FROM (SELECT * FROM h WHERE id % 20 <> 7) cor
+        |  JOIN (SELECT * FROM h WHERE id % 20 = 7) ben USING (gh)
+        |  GROUP BY 1, 2)
+        |SELECT m.doc_id, m.bench_id, m.n_shared,
+        |  sc.n::INT AS n_doc_grams, sb.n::INT AS n_bench_grams,
+        |  m.n_shared / sc.n AS frac_doc,
+        |  m.n_shared / sb.n AS frac_bench
+        |FROM m JOIN sz sc ON sc.id = m.doc_id JOIN sz sb ON sb.id = m.bench_id
+        |ORDER BY doc_id, bench_id""".stripMargin,
+    // doc-level flags chain off the (itself fully recomputed) overlap dump
+    "decontam_flagged" ->
+      """SELECT doc_id, count(*) AS n_bench_hits, max(frac_bench) AS max_frac_bench
+        |FROM read_parquet('{OUT}/decontam_overlap/*.parquet')
+        |WHERE frac_bench >= 0.5
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "decontam_clean" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id % 20 <> 7 AND doc_id NOT IN (
+        |  SELECT doc_id FROM read_parquet('{OUT}/decontam_overlap/*.parquet')
+        |  WHERE frac_bench >= 0.5)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_token_hashes" ->
       s"""WITH toks AS (
         |  SELECT DISTINCT unnest(regexp_split_to_array(lower(text), '\\W+')) AS token

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** Benchmark decontamination for a training corpus: detect documents
+  * that contain n-gram runs from a held-out evaluation ("benchmark")
+  * set — the standard eval-leakage sweep an LLM training-data pipeline
+  * runs before every corpus release (exact 8-to-13-gram collision, the
+  * GPT-3/Llama-style window; here n is a parameter, default 8).
+  *
+  * Shape: the corpus flatMaps to per-document DISTINCT n-gram hashes
+  * (64-bit double-murmur — gram text never leaves the row), the bench
+  * side does the same, and contamination is a join on the gram hash
+  * followed by a (doc_id, bench_id) count. Both the per-pair matrix
+  * (with matched-gram fractions of either side) and the doc-level
+  * flag/clean splits are exposed.
+  *
+  * Scale contract (asserted in DecontaminateSpec): eval sets are tiny
+  * next to a 100 TB corpus, so by default the bench gram-hash table
+  * BROADCASTS into the join — the corpus side never shuffles its gram
+  * stream; the only wide exchange is the O(|matches|) count
+  * aggregation. When the bench side outgrows broadcast budget
+  * (useBroadcast=false), NOTHING row-sized broadcasts: a Bloom sketch
+  * of the bench gram hashes (~12 bits/gram at 1% fpp) pre-filters the
+  * corpus gram stream BEFORE any exchange and the join runs as a
+  * shuffled hash join — exchange bytes are O(|matching grams|) longs
+  * (plus the fpp sliver), never O(corpus). Bloom false positives are
+  * dropped by the inner join on the exact hash, so rows are identical
+  * to the broadcast path. In both modes every exchange carries only
+  * longs/ints — no text (same discipline as Dedup.minhashPairs).
+  */
+object Decontaminate {
+
+  val DefaultN = 8
+
+  /** Distinct word n-grams, same tokenization as the dedup family
+    * (lowercase, split on \W+, drop empties). Documents shorter than n
+    * tokens contribute their whole token run as one gram (so short
+    * bench items — a one-line answer — remain matchable); documents
+    * with no tokens contribute nothing.
+    */
+  def ngrams(text: String, n: Int = DefaultN): Set[String] = {
+    val words = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    if (words.isEmpty) Set.empty
+    else if (words.length <= n) Set(words.mkString(" "))
+    else (0 to words.length - n).map(i => words.slice(i, i + n).mkString(" ")).toSet
+  }
+
+  /** 64-bit gram hash (two murmur lanes, seeds 101/103) — the join key;
+    * gram text itself never rides an exchange.
+    */
+  def gramHash64(g: String): Long =
+    (MurmurHash3.stringHash(g, 101).toLong << 32) |
+      (MurmurHash3.stringHash(g, 103).toLong & 0xffffffffL)
+
+  /** (id, gh, n_grams) rows: each document's distinct gram hashes plus
+    * its distinct-gram count (for fraction denominators). One flatMap —
+    * no shuffle.
+    */
+  def gramRows(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = DefaultN): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
+      .as[(Long, String)]
+      .flatMap { case (id, txt) =>
+        val gs = ngrams(txt, n)
+        gs.iterator.map(g => (id, gramHash64(g), gs.size))
+      }.toDF("id", "gh", "n_grams")
+  }
+
+  /** Distinct (gram, gh) murmur parameters over a document table —
+    * oracle INPUT (murmur3 is not SQL-expressible, but GIVEN this
+    * mapping the whole overlap matrix is replayable in SQL bit-exactly;
+    * same pattern as Dedup.shingleHashes).
+    */
+  def gramHashParams(docs: DataFrame, textCol: String = "text",
+      n: Int = DefaultN): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(textCol)).as[String]
+      .flatMap(t => ngrams(t, n).toSeq)
+      .distinct()
+      .map(g => (g, gramHash64(g)))
+      .toDF("gram", "gh")
+  }
+
+  /** Contamination matrix: one row per (corpus doc, bench item) pair
+    * sharing at least one n-gram — (doc_id, bench_id, n_shared,
+    * n_doc_grams, n_bench_grams, frac_doc, frac_bench). frac_bench
+    * (share of the BENCH item's grams found in the doc) is the leakage
+    * metric: 1.0 means the document contains the whole eval item.
+    */
+  def overlap(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String = "doc_id",
+      benchIdCol: String = "bench_id",
+      textCol: String = "text",
+      n: Int = DefaultN,
+      useBroadcast: Boolean = true
+  ): DataFrame = {
+    val cg = gramRows(corpus, idCol, textCol, n)
+      .toDF("doc_id", "gh", "n_doc_grams")
+    val bg = gramRows(bench, benchIdCol, textCol, n)
+      .toDF("bench_id", "gh", "n_bench_grams")
+    val joined =
+      if (useBroadcast) cg.join(broadcast(bg), Seq("gh"))
+      else {
+        // dup-heavy/huge-bench path: Bloom-prefilter the corpus gram
+        // stream before any exchange, then shuffled hash join — only
+        // grams that (probably) match ever shuffle; false positives
+        // die in the exact-hash inner join
+        val spark = corpus.sparkSession
+        // bg feeds TWO eager driver actions (count + bloom build) —
+        // persist across exactly those and release in-call; the one
+        // bench-side flatMap recompute inside the lazy join is cheap
+        // (bench << corpus) and beats leaking a cached DataFrame
+        // (same trade as Dedup.fetchCandidatePayload's candIds)
+        bg.persist()
+        val bf =
+          try {
+            val nGrams = math.max(bg.count(), 1024L)
+            bg.stat.bloomFilter("gh", nGrams, 0.01)
+          } finally bg.unpersist()
+        val bfB = spark.sparkContext.broadcast(bf)
+        val mightContain = udf((gh: Long) => bfB.value.mightContain(gh))
+        cg.filter(mightContain(col("gh")))
+          .join(bg.hint("shuffle_hash"), Seq("gh"))
+      }
+    joined
+      .groupBy("doc_id", "bench_id", "n_doc_grams", "n_bench_grams")
+      .agg(count(lit(1)).as("n_shared"))
+      // plain IEEE division, no rounding: exactly-representable int
+      // operands make the quotient bit-identical in any engine — the
+      // DuckDB oracle reproduces these doubles exactly
+      .withColumn("frac_doc",
+        col("n_shared").cast("double") / col("n_doc_grams"))
+      .withColumn("frac_bench",
+        col("n_shared").cast("double") / col("n_bench_grams"))
+      .select("doc_id", "bench_id", "n_shared", "n_doc_grams",
+        "n_bench_grams", "frac_doc", "frac_bench")
+  }
+
+  /** Doc-level flags: corpus documents whose overlap with ANY bench
+    * item reaches minFracBench — (doc_id, n_bench_hits,
+    * max_frac_bench). Deterministic aggregation (max + count), no
+    * argmax tie-break needed.
+    */
+  def flagged(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String = "doc_id",
+      benchIdCol: String = "bench_id",
+      textCol: String = "text",
+      n: Int = DefaultN,
+      minFracBench: Double = 0.5,
+      useBroadcast: Boolean = true
+  ): DataFrame =
+    overlap(corpus, bench, idCol, benchIdCol, textCol, n, useBroadcast)
+      .filter(col("frac_bench") >= minFracBench)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bench_hits"),
+        max(col("frac_bench")).as("max_frac_bench"))
+
+  /** Survivors: the corpus minus flagged documents (left-anti on
+    * doc_id) — what actually ships to training.
+    */
+  def clean(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String = "doc_id",
+      benchIdCol: String = "bench_id",
+      textCol: String = "text",
+      n: Int = DefaultN,
+      minFracBench: Double = 0.5,
+      useBroadcast: Boolean = true
+  ): DataFrame = {
+    val bad = flagged(corpus, bench, idCol, benchIdCol, textCol, n,
+      minFracBench, useBroadcast).select(col("doc_id").as(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+}
