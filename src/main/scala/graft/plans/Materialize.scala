@@ -193,6 +193,185 @@ object Materialize {
   def readTriples(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(dataPath(outDir))
 
+  // ------------------------------------------------------------------
+  // incremental update (latest-crawl-wins upsert)
+  // ------------------------------------------------------------------
+
+  def versionsPath(outDir: String): String = s"$outDir/$StageTriples/versions"
+  private def stagingPath(outDir: String): String = s"$outDir/$StageTriples/.staging"
+
+  final case class IncrementalStats(appliedUrls: Long, staleUrls: Long,
+      affectedBuckets: Set[Int])
+
+  /** Per-url crawl versions currently recorded for the given buckets —
+    * (url, warc_ts_ms, bucket), partition-pruned to exactly those
+    * bucket directories. Empty when the table predates incremental
+    * updates (runResumable-bootstrapped tables have no versions sidecar
+    * — every incoming url then counts as newer, which is the correct
+    * default for a table whose rows all came from one crawl batch).
+    */
+  def readVersions(spark: SparkSession, outDir: String,
+      buckets: Set[Int]): DataFrame = {
+    import spark.implicits._
+    val path = new org.apache.hadoop.fs.Path(versionsPath(outDir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty[(String, Long, Int)].toDF("url", "warc_ts_ms", "bucket")
+    else spark.read.parquet(versionsPath(outDir))
+      .filter(col("bucket").isin(buckets.toSeq: _*))
+      .select(col("url"), col("warc_ts_ms"), col("bucket").cast("int").as("bucket"))
+  }
+
+  /** Incremental graph maintenance — the only operation mode that
+    * exists at 10^12 documents, where "recompute the table" is not a
+    * job you run twice. Applies a new crawl batch to an existing triple
+    * table with LATEST-CRAWL-WINS semantics per url:
+    *
+    *  - within the batch, only each url's newest warc_ts row counts;
+    *  - a batch row older-or-equal to the url's stored version (the
+    *    `versions` sidecar — Iceberg sequence-number analog) is STALE
+    *    and dropped, so out-of-order batch re-delivery is harmless;
+    *  - applied urls REPLACE their old triples; new urls append.
+    *
+    * Cost scales with the delta, not the table: touched state is the
+    * affected buckets only — the survivors read and the versions read
+    * are partition-pruned to pmod(hash(url), B) of applied urls
+    * (PartitionFilters, asserted in IncrementalSpec), the extraction
+    * pipeline runs over applied pages only, and untouched bucket
+    * directories are never opened. At B ~ 10^5 a 0.1% re-crawl batch
+    * rewrites ~0.1% of the table.
+    *
+    * Commit discipline (no Iceberg runtime in this sandbox — manifest
+    * append is the commit record, same deviation as the rest of this
+    * file): the union of survivors + new triples is staged under
+    * .staging first (you cannot overwrite a path you are reading), then
+    * dynamically overwrites exactly the affected data partitions, then
+    * versions, then the lineage append. Every pre-versions crash window
+    * is idempotent: versions still hold the OLD warc_ts, so re-running
+    * the same batch re-applies and rewrites the same partitions to the
+    * same bytes; once versions are written the data partitions are
+    * already fully updated.
+    */
+  def incrementalUpdate(
+      spark: SparkSession,
+      newPages: Dataset[Page],
+      outDir: String,
+      buckets: Int = 16
+  ): IncrementalStats = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val b = resolveBuckets(spark, outDir, buckets)
+
+    // newest row per url within the batch (a batch may carry several
+    // crawls of one url)
+    val latest = newPages.toDF()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("url").orderBy(col("warc_ts").desc)))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("warc_ts_ms",
+        (col("warc_ts").cast("double") * 1000).cast("long"))
+      .withColumn("bucket", pmod(hash(col("url")), lit(b)).cast("int"))
+
+    val stored = readVersions(spark, outDir,
+      // prune versions to the batch's own buckets (bounded-size collect:
+      // at most B values)
+      latest.select("bucket").distinct().collect().map(_.getInt(0)).toSet)
+
+    // applied = strictly newer than the stored version (or unseen url)
+    val applied = latest
+      .join(stored.select(col("url"), col("warc_ts_ms").as("stored_ms")),
+        Seq("url"), "left_outer")
+      .filter(col("stored_ms").isNull || col("warc_ts_ms") > col("stored_ms"))
+      .drop("stored_ms")
+
+    // compact key set (url, warc_ts_ms, bucket) feeds several plans —
+    // persist it, never the html payloads
+    val appliedKeys = applied.select("url", "warc_ts_ms", "bucket").persist()
+    try {
+      val affected = appliedKeys.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      val nApplied = appliedKeys.count()
+      val nStale = latest.count() - nApplied
+      if (affected.isEmpty) return IncrementalStats(0L, nStale, Set.empty)
+
+      val t0 = System.currentTimeMillis()
+      val fsData = new org.apache.hadoop.fs.Path(dataPath(outDir))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // survivors: affected buckets' current rows minus re-crawled urls
+      // (bucket predicate prunes to exactly those partition dirs);
+      // bootstrapping an empty table has no survivors
+      val survivors =
+        if (!fsData.exists(new org.apache.hadoop.fs.Path(dataPath(outDir))))
+          withBucket(spark.emptyDataset[Triple].toDF(), b)
+        else readTriples(spark, outDir)
+          .filter(col("bucket").isin(affected.toSeq: _*))
+          .join(broadcast(appliedKeys.select("url")), Seq("url"), "left_anti")
+      val fresh = withBucket(
+        Pipeline.run(applied.drop("warc_ts_ms", "bucket").as[Page]).toDF(), b)
+      val union = survivors.unionByName(fresh.select(survivors.columns.map(col): _*))
+
+      // stage → commit (cannot overwrite the path being read)
+      val staging = stagingPath(outDir)
+      union.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(s"$staging/data")
+      val newVersions = appliedKeys
+        .unionByName(stored.join(broadcast(appliedKeys.select("url")),
+          Seq("url"), "left_anti"))
+      newVersions.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(s"$staging/versions")
+
+      val prevMode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        // an all-empty union (every affected row re-crawled into zero
+        // triples) leaves no readable parquet under staging — every
+        // affected partition is then a pure delete
+        val staged =
+          try Some(spark.read.parquet(s"$staging/data").persist())
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        staged.foreach {
+          _.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+            .parquet(dataPath(outDir))
+        }
+        // dynamic overwrite only replaces partitions PRESENT in the
+        // written data — an affected bucket whose rows all belonged to
+        // re-crawled urls that now extract zero triples would keep its
+        // stale directory; drop exactly those
+        val written = staged.map(_.select("bucket").distinct().collect()
+          .map(_.get(0).toString.toInt).toSet).getOrElse(Set.empty[Int])
+        staged.foreach(_.unpersist())
+        (affected -- written).foreach { bk =>
+          fsData.delete(new org.apache.hadoop.fs.Path(
+            s"${dataPath(outDir)}/bucket=$bk"), true)
+        }
+        // versions commit: every affected bucket has >= 1 applied url,
+        // so no empty-partition hole here
+        spark.read.parquet(s"$staging/versions")
+          .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+          .parquet(versionsPath(outDir))
+        fsData.delete(new org.apache.hadoop.fs.Path(staging), true)
+      } finally spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", prevMode)
+
+      // lineage: one row per affected bucket with its post-update count
+      val t1 = System.currentTimeMillis()
+      val counts = spark.read.parquet(dataPath(outDir))
+        .select(col("bucket").cast("int").as("bucket"))
+        .filter(col("bucket").isin(affected.toSeq: _*))
+        .groupBy("bucket").agg(count(lit(1)).as("rows"))
+      affected.toSeq.sorted.toDF("bucket")
+        .join(counts, Seq("bucket"), "left_outer")
+        .withColumn("rows", coalesce(col("rows"), lit(0L)))
+        .withColumn("stage", lit(StageTriples))
+        .withColumn("startedAtMs", lit(t0))
+        .withColumn("finishedAtMs", lit(t1))
+        .select("stage", "bucket", "rows", "startedAtMs", "finishedAtMs")
+        .write.mode(SaveMode.Append).parquet(manifestPath(outDir))
+
+      IncrementalStats(nApplied, nStale, affected)
+    } finally appliedKeys.unpersist()
+  }
+
   /** J6-analog (doi→docs lookup, cprex/corpus/corpus.py:114-134): fetch
     * one url's triples via partition pruning — the bucket predicate is
     * computable from the url, so the scan touches exactly one bucket
