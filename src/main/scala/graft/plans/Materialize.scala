@@ -189,25 +189,106 @@ object Materialize {
     attempted.size
   }
 
-  /** Read the materialized triple table (all completed buckets). */
+  /** Read the materialized triple table — all completed buckets, with
+    * any outstanding merge-on-read deltas/tombstones RESOLVED (see
+    * `incrementalUpdate`): a row is live iff its crawl sequence is not
+    * superseded by a tombstone for its url. Tables with no incremental
+    * history read exactly as written.
+    */
   def readTriples(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(dataPath(outDir))
+    readTriplesWithSeq(spark, outDir).drop("seq")
+
+  /** Resolution variant that keeps the internal per-row crawl sequence
+    * (warc_ts_ms of the crawl that produced the row; 0 for rows that
+    * predate incremental updates) — the COW rewrite and `compact` need
+    * it to fold deltas into the base without losing version info.
+    */
+  private def readTriplesWithSeq(spark: SparkSession, outDir: String): DataFrame =
+    readTriplesWithSeqOpt(spark, outDir)
+      .getOrElse(sys.error(s"no triple data under $outDir"))
+
+  private def readTriplesWithSeqOpt(
+      spark: SparkSession, outDir: String): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(dataPath(outDir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def read(p: String): Option[DataFrame] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(p))) None
+      else try Some(spark.read.parquet(p))
+      catch { // dir exists but holds no readable parquet (all-empty write)
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
+    val base = read(dataPath(outDir)).map { b =>
+      if (b.columns.contains("seq")) b else b.withColumn("seq", lit(0L))
+    }
+    val delta = read(deltaPath(outDir)).map(_.drop("batch"))
+    val withDelta = (base, delta) match {
+      case (Some(b), Some(d)) => Some(b.unionByName(d, allowMissingColumns = true))
+      case (Some(b), None) => Some(b)
+      case (None, Some(d)) => Some(d)
+      case (None, None) => None
+    }
+    withDelta.map { wd =>
+      val raw = wd.withColumn("seq", coalesce(col("seq"), lit(0L)))
+      read(versionsPath(outDir)) match {
+        case None => raw
+        case Some(v) =>
+          // tombstones ARE the versions rows of un-compacted batches
+          // (batch != base): a row is live iff its seq is not below the
+          // newest applied version of its url. Volume is bounded by the
+          // deltas since the last compaction (compact()/COW consolidate
+          // into batch=base, which kills nothing — compacted rows carry
+          // seq = their version) — broadcastable by contract.
+          val dead = v.filter(col("batch") =!= lit(BaseBatch))
+            .groupBy("url").agg(max("warc_ts_ms").as("upto_ms"))
+          raw.join(broadcast(dead), Seq("url"), "left_outer")
+            .filter(col("upto_ms").isNull || col("seq") >= col("upto_ms"))
+            .drop("upto_ms")
+      }
+    }
+  }
 
   // ------------------------------------------------------------------
   // incremental update (latest-crawl-wins upsert)
   // ------------------------------------------------------------------
 
   def versionsPath(outDir: String): String = s"$outDir/$StageTriples/versions"
+  def deltaPath(outDir: String): String = s"$outDir/$StageTriples/delta"
   private def stagingPath(outDir: String): String = s"$outDir/$StageTriples/.staging"
+
+  /** Versions batch holding the consolidated (compacted) per-url
+    * versions — excluded from tombstone resolution (compacted data rows
+    * carry their version as seq, so consolidated versions kill nothing).
+    */
+  val BaseBatch = "base"
+
+  /** Per-bucket row-count accumulator: lineage counts collected DURING
+    * the delta write instead of a read-back job.
+    */
+  private class BucketCountAcc
+      extends org.apache.spark.util.AccumulatorV2[Int, Map[Int, Long]] {
+    private val m = scala.collection.mutable.Map.empty[Int, Long]
+    def isZero: Boolean = m.isEmpty
+    def copy(): BucketCountAcc = {
+      val c = new BucketCountAcc; c.m ++= m; c
+    }
+    def reset(): Unit = m.clear()
+    def add(v: Int): Unit = m(v) = m.getOrElse(v, 0L) + 1
+    def merge(o: org.apache.spark.util.AccumulatorV2[Int, Map[Int, Long]]): Unit =
+      o.value.foreach { case (k, n) => m(k) = m.getOrElse(k, 0L) + n }
+    def value: Map[Int, Long] = m.toMap
+  }
 
   final case class IncrementalStats(appliedUrls: Long, staleUrls: Long,
       affectedBuckets: Set[Int])
 
   /** Per-url crawl versions currently recorded for the given buckets —
-    * (url, warc_ts_ms, bucket), partition-pruned to exactly those
-    * bucket directories. Empty when the table predates incremental
-    * updates (runResumable-bootstrapped tables have no versions sidecar
-    * — every incoming url then counts as newer, which is the correct
+    * (url, warc_ts_ms, bucket) with warc_ts_ms RESOLVED to the max per
+    * url (merge-on-read appends version rows; max is the current
+    * version — identity for copy-on-write tables, which store one row
+    * per url). Partition-pruned to exactly those bucket directories.
+    * Empty when the table predates incremental updates
+    * (runResumable-bootstrapped tables have no versions sidecar —
+    * every incoming url then counts as newer, which is the correct
     * default for a table whose rows all came from one crawl batch).
     */
   def readVersions(spark: SparkSession, outDir: String,
@@ -218,7 +299,9 @@ object Materialize {
     if (!fs.exists(path)) Seq.empty[(String, Long, Int)].toDF("url", "warc_ts_ms", "bucket")
     else spark.read.parquet(versionsPath(outDir))
       .filter(col("bucket").isin(buckets.toSeq: _*))
-      .select(col("url"), col("warc_ts_ms"), col("bucket").cast("int").as("bucket"))
+      .groupBy(col("url"), col("bucket").cast("int").as("bucket"))
+      .agg(max("warc_ts_ms").as("warc_ts_ms"))
+      .select("url", "warc_ts_ms", "bucket")
   }
 
   /** Incremental graph maintenance — the only operation mode that
@@ -232,13 +315,48 @@ object Materialize {
     *    and dropped, so out-of-order batch re-delivery is harmless;
     *  - applied urls REPLACE their old triples; new urls append.
     *
-    * Cost scales with the delta, not the table: touched state is the
-    * affected buckets only — the survivors read and the versions read
-    * are partition-pruned to pmod(hash(url), B) of applied urls
+    * TWO write strategies, selected by `mergeOnRead` — the same trade
+    * Iceberg/Hudi/Delta expose, because hash-bucketing spreads a RANDOM
+    * re-crawl batch across ~ALL buckets (200 urls into 32 buckets
+    * touch every bucket; 10^10 urls into 10^5 buckets certainly do),
+    * so a copy-on-write upsert of a scattered delta rewrites nearly
+    * the whole table regardless of delta size (measured: 10.8s for a
+    * 1% batch vs 0.43s for the full pipeline at sf0.1):
+    *
+    *  - COPY-ON-WRITE (mergeOnRead=false): survivors of affected
+    *    buckets are rewritten alongside the new rows. Read-optimal
+    *    (the table is always plain parquet), write cost O(affected
+    *    buckets' data). Right for bucket-concentrated deltas or low
+    *    update rates. A COW pass also folds any outstanding deltas/
+    *    tombstones of its affected buckets into the base (inline
+    *    compaction), keeping the two modes freely mixable.
+    *  - MERGE-ON-READ (mergeOnRead=true): new rows land under
+    *    delta/batch=<id>/bucket=N and the batch's version rows under
+    *    versions/batch=<id>/bucket=N; NOTHING existing is rewritten —
+    *    write cost is O(delta) regardless of scatter, two write jobs
+    *    total (the versions rows double as the tombstone set: a row is
+    *    live iff seq >= the newest non-base version of its url;
+    *    non-base versions are bounded by deltas since last compaction,
+    *    so the resolution join broadcasts). `compact()` folds deltas
+    *    into the base and consolidates versions into batch=base (which
+    *    kills nothing — compacted rows carry their version as seq).
+    *    The batch id is a deterministic content hash, so a crash-replay
+    *    of the same batch dynamic-overwrites its own partitions —
+    *    idempotent, not duplicating.
+    *
+    * Cost scales with the delta, not the table: the versions read is
+    * partition-pruned to pmod(hash(url), B) of batch urls
     * (PartitionFilters, asserted in IncrementalSpec), the extraction
-    * pipeline runs over applied pages only, and untouched bucket
-    * directories are never opened. At B ~ 10^5 a 0.1% re-crawl batch
-    * rewrites ~0.1% of the table.
+    * pipeline runs over applied pages only, and under merge-on-read no
+    * existing data file is touched at all (byte-stamp-asserted).
+    *
+    * Scope: this maintains the TRIPLES stage (the base table). The
+    * linked/entity stages are DERIVED artifacts whose semantics are
+    * corpus-global (the A1 mention-count gate can flip for untouched
+    * documents when global counts move), so they follow the standard
+    * warehouse pattern: base table incrementally maintained, derived
+    * tables refreshed on their own schedule from the updated base —
+    * re-run the linked stage into a fresh stage dir when lag matters.
     *
     * Commit discipline (no Iceberg runtime in this sandbox — manifest
     * append is the commit record, same deviation as the rest of this
@@ -255,7 +373,8 @@ object Materialize {
       spark: SparkSession,
       newPages: Dataset[Page],
       outDir: String,
-      buckets: Int = 16
+      buckets: Int = 16,
+      mergeOnRead: Boolean = false
   ): IncrementalStats = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -271,105 +390,335 @@ object Materialize {
         (col("warc_ts").cast("double") * 1000).cast("long"))
       .withColumn("bucket", pmod(hash(col("url")), lit(b)).cast("int"))
 
-    val stored = readVersions(spark, outDir,
-      // prune versions to the batch's own buckets (bounded-size collect:
-      // at most B values)
-      latest.select("bucket").distinct().collect().map(_.getInt(0)).toSet)
+    def probe[A](label: String)(f: => A): A =
+      if (sys.env.contains("GRAFT_PROBE")) {
+        val t0 = System.nanoTime(); val a = f
+        println(f"[mprobe] $label%-16s ${(System.nanoTime() - t0) / 1e9}%.2f s"); a
+      } else f
 
-    // applied = strictly newer than the stored version (or unseen url)
-    val applied = latest
+    // versions pruning needs the batch's bucket set — computable from
+    // raw urls BEFORE the (heavier) per-url window (bounded-size
+    // collect: at most B values)
+    val batchBuckets = probe("bucketPrune")(newPages.toDF()
+      .select(pmod(hash(col("url")), lit(b)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSet)
+    val stored = readVersions(spark, outDir, batchBuckets)
+
+    // mark rather than filter: one cached compact table serves the
+    // applied/stale split, the stats, and the batch id — one Spark job
+    // instead of four
+    val marked = latest
       .join(stored.select(col("url"), col("warc_ts_ms").as("stored_ms")),
         Seq("url"), "left_outer")
-      .filter(col("stored_ms").isNull || col("warc_ts_ms") > col("stored_ms"))
-      .drop("stored_ms")
-
-    // compact key set (url, warc_ts_ms, bucket) feeds several plans —
-    // persist it, never the html payloads
-    val appliedKeys = applied.select("url", "warc_ts_ms", "bucket").persist()
+      .withColumn("is_applied",
+        col("stored_ms").isNull || col("warc_ts_ms") > col("stored_ms"))
+      .select("url", "warc_ts_ms", "bucket", "is_applied").persist()
     try {
-      val affected = appliedKeys.select("bucket").distinct()
-        .collect().map(_.getInt(0)).toSet
-      val nApplied = appliedKeys.count()
-      val nStale = latest.count() - nApplied
+      val stats = probe("stats")(marked.groupBy("bucket", "is_applied")
+        .agg(count(lit(1)).as("n"),
+          sum(hash(col("url"), col("warc_ts_ms")).cast("long")).as("h"),
+          max("warc_ts_ms").as("m")).collect())
+      val appliedStats = stats.filter(_.getBoolean(1))
+      val affected = appliedStats.map(_.getInt(0)).toSet
+      val nApplied = appliedStats.map(_.getLong(2)).sum
+      val nStale = stats.filterNot(_.getBoolean(1)).map(_.getLong(2)).sum
       if (affected.isEmpty) return IncrementalStats(0L, nStale, Set.empty)
+      // deterministic content-derived batch id (order-independent)
+      val batchId =
+        java.lang.Long.toHexString(appliedStats.map(_.getLong(3)).sum) + "-" +
+          java.lang.Long.toHexString(appliedStats.map(_.getLong(4)).max)
 
-      val t0 = System.currentTimeMillis()
-      val fsData = new org.apache.hadoop.fs.Path(dataPath(outDir))
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // survivors: affected buckets' current rows minus re-crawled urls
-      // (bucket predicate prunes to exactly those partition dirs);
-      // bootstrapping an empty table has no survivors
-      val survivors =
-        if (!fsData.exists(new org.apache.hadoop.fs.Path(dataPath(outDir))))
-          withBucket(spark.emptyDataset[Triple].toDF(), b)
-        else readTriples(spark, outDir)
-          .filter(col("bucket").isin(affected.toSeq: _*))
-          .join(broadcast(appliedKeys.select("url")), Seq("url"), "left_anti")
-      val fresh = withBucket(
-        Pipeline.run(applied.drop("warc_ts_ms", "bucket").as[Page]).toDF(), b)
-      val union = survivors.unionByName(fresh.select(survivors.columns.map(col): _*))
+      val appliedKeys = marked.filter(col("is_applied")).drop("is_applied")
+      // applied PAGE rows (html et al.) for the extraction pipeline:
+      // semi-join the batch against the cached applied key set
+      val appliedPages = latest
+        .join(appliedKeys.select("url"), Seq("url"), "left_semi")
+        .drop("warc_ts_ms", "bucket").as[Page]
+      // new rows carry seq = their crawl's warc_ts_ms (the per-url
+      // version order tombstones resolve against)
+      val fresh = withBucket(Pipeline.run(appliedPages).toDF(), b)
+        .join(broadcast(appliedKeys.select(col("url"),
+          col("warc_ts_ms").as("seq"))), Seq("url"))
 
-      // stage → commit (cannot overwrite the path being read)
-      val staging = stagingPath(outDir)
-      union.write.mode(SaveMode.Overwrite).partitionBy("bucket")
-        .parquet(s"$staging/data")
-      val newVersions = appliedKeys
-        .unionByName(stored.join(broadcast(appliedKeys.select("url")),
-          Seq("url"), "left_anti"))
-      newVersions.write.mode(SaveMode.Overwrite).partitionBy("bucket")
-        .parquet(s"$staging/versions")
-
-      val prevMode = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
-        // an all-empty union (every affected row re-crawled into zero
-        // triples) leaves no readable parquet under staging — every
-        // affected partition is then a pure delete
-        val staged =
-          try Some(spark.read.parquet(s"$staging/data").persist())
-          catch { case _: org.apache.spark.sql.AnalysisException => None }
-        staged.foreach {
-          _.write.mode(SaveMode.Overwrite).partitionBy("bucket")
-            .parquet(dataPath(outDir))
-        }
-        // dynamic overwrite only replaces partitions PRESENT in the
-        // written data — an affected bucket whose rows all belonged to
-        // re-crawled urls that now extract zero triples would keep its
-        // stale directory; drop exactly those
-        val written = staged.map(_.select("bucket").distinct().collect()
-          .map(_.get(0).toString.toInt).toSet).getOrElse(Set.empty[Int])
-        staged.foreach(_.unpersist())
-        (affected -- written).foreach { bk =>
-          fsData.delete(new org.apache.hadoop.fs.Path(
-            s"${dataPath(outDir)}/bucket=$bk"), true)
-        }
-        // versions commit: every affected bucket has >= 1 applied url,
-        // so no empty-partition hole here
-        spark.read.parquet(s"$staging/versions")
-          .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-          .parquet(versionsPath(outDir))
-        fsData.delete(new org.apache.hadoop.fs.Path(staging), true)
-      } finally spark.conf.set(
-        "spark.sql.sources.partitionOverwriteMode", prevMode)
-
-      // lineage: one row per affected bucket with its post-update count
-      val t1 = System.currentTimeMillis()
-      val counts = spark.read.parquet(dataPath(outDir))
-        .select(col("bucket").cast("int").as("bucket"))
-        .filter(col("bucket").isin(affected.toSeq: _*))
-        .groupBy("bucket").agg(count(lit(1)).as("rows"))
-      affected.toSeq.sorted.toDF("bucket")
-        .join(counts, Seq("bucket"), "left_outer")
-        .withColumn("rows", coalesce(col("rows"), lit(0L)))
-        .withColumn("stage", lit(StageTriples))
-        .withColumn("startedAtMs", lit(t0))
-        .withColumn("finishedAtMs", lit(t1))
-        .select("stage", "bucket", "rows", "startedAtMs", "finishedAtMs")
-        .write.mode(SaveMode.Append).parquet(manifestPath(outDir))
-
+      if (mergeOnRead)
+        probe("morCommit")(morCommit(spark, outDir, fresh, appliedKeys,
+          batchId, nApplied))
+      else
+        cowCommit(spark, outDir, b, fresh, appliedKeys, stored, affected)
       IncrementalStats(nApplied, nStale, affected)
-    } finally appliedKeys.unpersist()
+    } finally marked.unpersist()
+  }
+
+  /** Merge-on-read commit: delta + tombstones under a deterministic
+    * content-derived batch id (crash replay dynamic-overwrites the same
+    * partitions — idempotent), versions appended last (duplicates from
+    * a replay are harmless: readVersions max-resolves).
+    */
+  private def morCommit(spark: SparkSession, outDir: String,
+      fresh: DataFrame, appliedKeys: DataFrame,
+      batchId: String, nApplied: Long): Unit = {
+    import spark.implicits._
+    def probe[A](label: String)(f: => A): A =
+      if (sys.env.contains("GRAFT_PROBE")) {
+        val t0 = System.nanoTime(); val a = f
+        println(f"[mprobe] mor.$label%-12s ${(System.nanoTime() - t0) / 1e9}%.2f s"); a
+      } else f
+    val t0 = System.currentTimeMillis()
+
+    // partition-align every partitioned write or each shuffle partition
+    // writes one tiny file into every bucket dir it touches
+    // (~parallelism x buckets files per batch — the classic small-files
+    // problem). Small batches funnel through ONE post-shuffle writer
+    // task (repartition, NOT coalesce — coalesce would collapse the
+    // upstream extraction to one task too); large ones shuffle by
+    // bucket. Either way the exchange moves O(delta) rows.
+    def aligned(df: DataFrame): DataFrame =
+      if (nApplied <= 50000) df.repartition(1) else df.repartition(col("bucket"))
+
+    // lineage counts collected DURING the delta write via accumulator
+    // (write actions apply each successful task's updates exactly once)
+    // instead of a read-back job; the side-effect rides a kept data
+    // column so projection pruning cannot elide it
+    val acc = new BucketCountAcc
+    spark.sparkContext.register(acc, "delta_bucket_rows")
+    val countUdf = udf((url: String, bucket: Int) => { acc.add(bucket); url })
+
+    // write DIRECTLY into the explicit batch=<id> directory with a
+    // plain overwrite: replay-idempotent like dynamic partition
+    // overwrite (same id → same dir) without its list-and-rename
+    // commit overhead; reading the delta/versions ROOT still discovers
+    // batch= as a partition column from the directory name
+    probe("delta")(aligned(fresh)
+      .withColumn("url", countUdf(col("url"), col("bucket")))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"${deltaPath(outDir)}/batch=$batchId"))
+    // the versions batch IS the tombstone set (url, warc_ts_ms,
+    // bucket): one sidecar serves stale rejection (max over all
+    // batches) AND read resolution (non-base batches only) — one
+    // write instead of two
+    probe("versions")(aligned(appliedKeys)
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"${versionsPath(outDir)}/batch=$batchId"))
+
+    val t1 = System.currentTimeMillis()
+    probe("lineage")(acc.value.toSeq.sortBy(_._1).toDF("bucket", "rows")
+      .withColumn("stage", lit(s"${StageTriples}_delta"))
+      .withColumn("startedAtMs", lit(t0))
+      .withColumn("finishedAtMs", lit(t1))
+      .select("stage", "bucket", "rows", "startedAtMs", "finishedAtMs")
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(manifestPath(outDir)))
+  }
+
+  /** Copy-on-write commit: rewrite affected buckets (survivors keep
+    * their seq; outstanding deltas/tombstones of those buckets fold in
+    * — inline compaction), staged first, versions last so every
+    * pre-versions crash window replays idempotently.
+    */
+  private def cowCommit(spark: SparkSession, outDir: String, b: Int,
+      fresh: DataFrame, appliedKeys: DataFrame, stored: DataFrame,
+      affected: Set[Int]): Unit = {
+    import spark.implicits._
+    val t0 = System.currentTimeMillis()
+    val fsData = new org.apache.hadoop.fs.Path(dataPath(outDir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // survivors: affected buckets' current LIVE rows minus re-crawled
+    // urls (bucket predicate prunes to those partition dirs);
+    // bootstrapping an empty table has no survivors
+    val survivors = readTriplesWithSeqOpt(spark, outDir) match {
+      case Some(cur) => cur
+        .filter(col("bucket").isin(affected.toSeq: _*))
+        .join(broadcast(appliedKeys.select("url")), Seq("url"), "left_anti")
+      case None =>
+        withBucket(spark.emptyDataset[Triple].toDF(), b)
+          .withColumn("seq", lit(0L))
+    }
+    val union = survivors.unionByName(fresh.select(survivors.columns.map(col): _*))
+
+    // stage → commit (cannot overwrite the path being read)
+    val staging = stagingPath(outDir)
+    union.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$staging/data")
+    val newVersions = appliedKeys
+      .unionByName(stored.join(broadcast(appliedKeys.select("url")),
+        Seq("url"), "left_anti"))
+      .withColumn("batch", lit(BaseBatch))
+    newVersions.repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch", "bucket")
+      .parquet(s"$staging/versions")
+
+    val prevMode = spark.conf.get(
+      "spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // an all-empty union (every affected row re-crawled into zero
+      // triples) leaves no readable parquet under staging — every
+      // affected partition is then a pure delete
+      val staged =
+        try Some(spark.read.parquet(s"$staging/data").persist())
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      staged.foreach {
+        _.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+          .parquet(dataPath(outDir))
+      }
+      // dynamic overwrite only replaces partitions PRESENT in the
+      // written data — an affected bucket whose rows all belonged to
+      // re-crawled urls that now extract zero triples would keep its
+      // stale directory; drop exactly those
+      val written = staged.map(_.select("bucket").distinct().collect()
+        .map(_.get(0).toString.toInt).toSet).getOrElse(Set.empty[Int])
+      staged.foreach(_.unpersist())
+      (affected -- written).foreach { bk =>
+        fsData.delete(new org.apache.hadoop.fs.Path(
+          s"${dataPath(outDir)}/bucket=$bk"), true)
+      }
+      // inline compaction: the rewrite folded any outstanding deltas of
+      // the affected buckets into the base — drop them
+      dropBucketDirsUnderBatches(spark, deltaPath(outDir), affected)
+      // versions commit: consolidated rows land in batch=base, then the
+      // affected buckets' un-compacted batch rows (now folded) drop.
+      // Every affected bucket has >= 1 applied url, so no
+      // empty-partition hole here
+      spark.read.parquet(s"$staging/versions")
+        .write.mode(SaveMode.Overwrite).partitionBy("batch", "bucket")
+        .parquet(versionsPath(outDir))
+      dropBucketDirsUnderBatches(spark, versionsPath(outDir), affected,
+        excludeBatch = Set(BaseBatch))
+      fsData.delete(new org.apache.hadoop.fs.Path(staging), true)
+    } finally spark.conf.set(
+      "spark.sql.sources.partitionOverwriteMode", prevMode)
+
+    // lineage: one row per affected bucket with its post-update count
+    val t1 = System.currentTimeMillis()
+    val counts = spark.read.parquet(dataPath(outDir))
+      .select(col("bucket").cast("int").as("bucket"))
+      .filter(col("bucket").isin(affected.toSeq: _*))
+      .groupBy("bucket").agg(count(lit(1)).as("rows"))
+    affected.toSeq.sorted.toDF("bucket")
+      .join(counts, Seq("bucket"), "left_outer")
+      .withColumn("rows", coalesce(col("rows"), lit(0L)))
+      .withColumn("stage", lit(StageTriples))
+      .withColumn("startedAtMs", lit(t0))
+      .withColumn("finishedAtMs", lit(t1))
+      .select("stage", "bucket", "rows", "startedAtMs", "finishedAtMs")
+      .write.mode(SaveMode.Append).parquet(manifestPath(outDir))
+  }
+
+  /** Delete `bucket=<bk>` subdirectories for the given buckets under
+    * every `batch=<id>` directory of a delta/deletes root, then prune
+    * batch dirs (and the root) that became empty.
+    */
+  private def dropBucketDirsUnderBatches(spark: SparkSession, root: String,
+      buckets: Set[Int], excludeBatch: Set[String] = Set.empty): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return
+    fs.listStatus(rootPath).filter(_.isDirectory)
+      .filterNot(d => excludeBatch.contains(
+        d.getPath.getName.stripPrefix("batch=")))
+      .foreach { batchDir =>
+        buckets.foreach { bk =>
+          val p = new org.apache.hadoop.fs.Path(batchDir.getPath, s"bucket=$bk")
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        if (fs.listStatus(batchDir.getPath)
+          .forall(s => !s.isDirectory)) // only stray markers left
+          fs.delete(batchDir.getPath, true)
+      }
+    if (fs.listStatus(rootPath).isEmpty) fs.delete(rootPath, true)
+  }
+
+  /** Fold all outstanding merge-on-read deltas and tombstones into the
+    * base table — the periodic maintenance job that keeps the MoR read
+    * path cheap (the tombstone broadcast is bounded by deltas since the
+    * last compaction). Rewrites only buckets that have outstanding
+    * delta/tombstone state; exact-duplicate rows (possible only from a
+    * crash-replayed half-commit) are healed here via dropDuplicates —
+    * a full-row shuffle, disclosed and bounded to the affected buckets;
+    * a crash inside compact() itself is healed by re-running it.
+    * Returns the compacted bucket set.
+    */
+  def compact(spark: SparkSession, outDir: String): Set[Int] = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dataPath(outDir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bucketsUnder(root: String, excludeBatch: Set[String]): Set[Int] = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).filter(_.isDirectory)
+        .filterNot(d => excludeBatch.contains(
+          d.getPath.getName.stripPrefix("batch=")))
+        .flatMap(batchDir =>
+          fs.listStatus(batchDir.getPath).map(_.getPath.getName)
+            .filter(_.startsWith("bucket="))
+            .map(_.stripPrefix("bucket=").toInt)).toSet
+    }
+    val affected = bucketsUnder(deltaPath(outDir), Set.empty) ++
+      bucketsUnder(versionsPath(outDir), Set(BaseBatch))
+    if (affected.isEmpty) return Set.empty
+    val t0 = System.currentTimeMillis()
+
+    // repartition by bucket: compaction's whole point is few large
+    // files per bucket — one output partition per bucket (B is sized so
+    // a bucket fits a task)
+    val resolved = readTriplesWithSeq(spark, outDir)
+      .filter(col("bucket").isin(affected.toSeq: _*))
+      .dropDuplicates()
+      .repartition(col("bucket"))
+    val staging = stagingPath(outDir)
+    resolved.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$staging/data")
+    readVersions(spark, outDir, affected)
+      .withColumn("batch", lit(BaseBatch))
+      .repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch", "bucket")
+      .parquet(s"$staging/versions")
+
+    val prevMode = spark.conf.get(
+      "spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val staged =
+        try Some(spark.read.parquet(s"$staging/data").persist())
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      staged.foreach {
+        _.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+          .parquet(dataPath(outDir))
+      }
+      val written = staged.map(_.select("bucket").distinct().collect()
+        .map(_.get(0).toString.toInt).toSet).getOrElse(Set.empty[Int])
+      staged.foreach(_.unpersist())
+      (affected -- written).foreach { bk =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${dataPath(outDir)}/bucket=$bk"), true)
+      }
+      dropBucketDirsUnderBatches(spark, deltaPath(outDir), affected)
+      // versions may be legitimately absent (deltas written, crash
+      // before the versions write) — nothing to consolidate then
+      try spark.read.parquet(s"$staging/versions")
+        .write.mode(SaveMode.Overwrite).partitionBy("batch", "bucket")
+        .parquet(versionsPath(outDir))
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+      dropBucketDirsUnderBatches(spark, versionsPath(outDir), affected,
+        excludeBatch = Set(BaseBatch))
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    } finally spark.conf.set(
+      "spark.sql.sources.partitionOverwriteMode", prevMode)
+
+    val t1 = System.currentTimeMillis()
+    val counts = spark.read.parquet(dataPath(outDir))
+      .select(col("bucket").cast("int").as("bucket"))
+      .filter(col("bucket").isin(affected.toSeq: _*))
+      .groupBy("bucket").agg(count(lit(1)).as("rows"))
+    affected.toSeq.sorted.toDF("bucket")
+      .join(counts, Seq("bucket"), "left_outer")
+      .withColumn("rows", coalesce(col("rows"), lit(0L)))
+      .withColumn("stage", lit("compact"))
+      .withColumn("startedAtMs", lit(t0))
+      .withColumn("finishedAtMs", lit(t1))
+      .select("stage", "bucket", "rows", "startedAtMs", "finishedAtMs")
+      .write.mode(SaveMode.Append).parquet(manifestPath(outDir))
+    affected
   }
 
   /** J6-analog (doi→docs lookup, cprex/corpus/corpus.py:114-134): fetch

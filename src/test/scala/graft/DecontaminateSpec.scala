@@ -81,6 +81,33 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(bcast.nonEmpty, "sf0.001 split should contain planted contamination")
   }
 
+  test("property: overlap matrix == driver-side brute force on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SchkTest}
+    // tiny vocabulary + short docs force heavy gram collisions
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val doc = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val n = 3
+    val prop = Prop.forAll(Gen.listOfN(5, doc), Gen.listOfN(3, doc)) { (cs, bs) =>
+      val expected = (for {
+        (c, i) <- cs.zipWithIndex
+        (b, j) <- bs.zipWithIndex
+        gc = Decontaminate.ngrams(c, n)
+        gb = Decontaminate.ngrams(b, n)
+        shared = gc.intersect(gb).size if shared > 0
+      } yield (i.toLong, (100 + j).toLong, shared.toLong, gc.size, gb.size)).toSet
+      val got = Decontaminate.overlap(
+        df(cs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, "doc_id"),
+        df(bs.zipWithIndex.map { case (t, j) => ((100 + j).toLong, t) }, "bench_id"),
+        n = n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getInt(4))).toSet
+      got == expected
+    }
+    val res = SchkTest.check(
+      SchkTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("no exchange carries a string column, either path") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

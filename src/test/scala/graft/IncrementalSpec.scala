@@ -122,6 +122,117 @@ class IncrementalSpec extends AnyFunSuite {
       s"expected bucket partition pruning in versions scan:\n$scan")
   }
 
+  test("merge-on-read: same final table as COW and as full recompute; NO existing data file touched") {
+    val dirC = Files.createTempDirectory("graft-incr-cow").toString
+    val dirM = Files.createTempDirectory("graft-incr-mor").toString
+    val base = (0L until 40L).map(PageGen.genPage(_).page)
+    val recrawled = (10L until 15L).map(i => recrawl(i, i + 500, tsPlusDays = 30))
+    val brandNew = (40L until 45L).map(PageGen.genPage(_).page)
+    for (d <- Seq(dirC, dirM)) Materialize.runResumable(spark, ds(base), d, B)
+
+    def allStamps(d: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(Materialize.dataPath(d)))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = allStamps(dirM)
+    Materialize.incrementalUpdate(spark, ds(recrawled ++ brandNew), dirC, B)
+    val sM = Materialize.incrementalUpdate(spark, ds(recrawled ++ brandNew), dirM, B,
+      mergeOnRead = true)
+    assert(sM.appliedUrls == 10)
+    assert(allStamps(dirM) == before,
+      "merge-on-read must not touch any existing base data file")
+
+    val world = base.filterNot(p => recrawled.exists(_.url == p.url)) ++
+      recrawled ++ brandNew
+    val expect = tripleKeys(Pipeline.run(ds(world)).toDF())
+    assert(tripleKeys(Materialize.readTriples(spark, dirM)) == expect)
+    assert(tripleKeys(Materialize.readTriples(spark, dirC)) == expect)
+
+    // stale/out-of-order rejection works identically under MoR
+    val s2 = Materialize.incrementalUpdate(spark,
+      ds(Seq(PageGen.genPage(12).page)), dirM, B, mergeOnRead = true)
+    assert(s2.appliedUrls == 0 && s2.staleUrls == 1)
+
+    // compact folds deltas into the base and consolidates versions into
+    // batch=base: same rows, delta dir gone, no un-compacted batches left
+    val compacted = Materialize.compact(spark, dirM)
+    assert(compacted == sM.affectedBuckets)
+    assert(tripleKeys(Materialize.readTriples(spark, dirM)) == expect)
+    assert(!new java.io.File(Materialize.deltaPath(dirM)).exists())
+    val vBatches = new java.io.File(Materialize.versionsPath(dirM))
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(vBatches == Set(s"batch=${Materialize.BaseBatch}"),
+      s"expected only the consolidated versions batch, got $vBatches")
+    assert(Materialize.compact(spark, dirM).isEmpty) // idempotent no-op
+
+    // a later MoR batch after compaction still resolves
+    val s3 = Materialize.incrementalUpdate(spark,
+      ds(Seq(recrawl(12, 712, tsPlusDays = 60))), dirM, B, mergeOnRead = true)
+    assert(s3.appliedUrls == 1)
+    val world2 = world.filterNot(_.url == PageGen.genPage(12).page.url) :+
+      recrawl(12, 712, tsPlusDays = 60)
+    assert(tripleKeys(Materialize.readTriples(spark, dirM)) ==
+      tripleKeys(Pipeline.run(ds(world2)).toDF()))
+  }
+
+  test("MoR crash replay is idempotent: wiping versions and re-applying the same batch changes nothing") {
+    val dir = Files.createTempDirectory("graft-incr-replay").toString
+    val base = (0L until 20L).map(PageGen.genPage(_).page)
+    Materialize.runResumable(spark, ds(base), dir, B)
+    val batch = Seq(recrawl(4, 504, tsPlusDays = 30), PageGen.genPage(20).page)
+    Materialize.incrementalUpdate(spark, ds(batch), dir, B, mergeOnRead = true)
+    val keys = tripleKeys(Materialize.readTriples(spark, dir))
+    // simulate a crash that committed delta+tombstones but lost the
+    // versions append: the replayed batch must land on the SAME batch id
+    // and dynamic-overwrite its own partitions, not duplicate them
+    def rmRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRec); f.delete(); ()
+    }
+    rmRec(new java.io.File(Materialize.versionsPath(dir)))
+    val s = Materialize.incrementalUpdate(spark, ds(batch), dir, B, mergeOnRead = true)
+    assert(s.appliedUrls == 2) // versions gone → batch re-applies
+    assert(tripleKeys(Materialize.readTriples(spark, dir)) == keys)
+    // and row MULTIPLICITY is unchanged too (no duplicate delta rows)
+    assert(Materialize.readTriples(spark, dir).count() ==
+      Materialize.readTriples(spark, dir).distinct().count())
+  }
+
+  test("mixed modes: COW after MoR inline-compacts the buckets it rewrites") {
+    val dir = Files.createTempDirectory("graft-incr-mixed").toString
+    val base = (0L until 20L).map(PageGen.genPage(_).page)
+    Materialize.runResumable(spark, ds(base), dir, B)
+    Materialize.incrementalUpdate(spark,
+      ds(Seq(recrawl(3, 503, tsPlusDays = 10))), dir, B, mergeOnRead = true)
+    // a COW batch over (likely) overlapping buckets
+    val s = Materialize.incrementalUpdate(spark,
+      ds(Seq(recrawl(3, 603, tsPlusDays = 20), recrawl(9, 509, tsPlusDays = 20))),
+      dir, B, mergeOnRead = false)
+    assert(s.appliedUrls == 2)
+    val world = base.filterNot(p =>
+      p.url == PageGen.genPage(3).page.url || p.url == PageGen.genPage(9).page.url) ++
+      Seq(recrawl(3, 603, tsPlusDays = 20), recrawl(9, 509, tsPlusDays = 20))
+    assert(tripleKeys(Materialize.readTriples(spark, dir)) ==
+      tripleKeys(Pipeline.run(ds(world)).toDF()))
+    // the COW-rewritten buckets carry no outstanding delta or
+    // un-compacted versions-batch dirs
+    for (bk <- s.affectedBuckets) {
+      def noBucketDir(root: String, excludeBase: Boolean) = {
+        val r = new java.io.File(root)
+        !r.exists() || r.listFiles().filter(_.isDirectory)
+          .filterNot(bd => excludeBase &&
+            bd.getName == s"batch=${Materialize.BaseBatch}")
+          .forall(bd => !new java.io.File(bd, s"bucket=$bk").exists())
+      }
+      assert(noBucketDir(Materialize.deltaPath(dir), excludeBase = false),
+        s"delta leftover for bucket $bk")
+      assert(noBucketDir(Materialize.versionsPath(dir), excludeBase = true),
+        s"un-compacted versions leftover for bucket $bk")
+    }
+  }
+
   test("a re-crawl that extracts zero triples erases the url's rows (incl. a whole-bucket delete)") {
     val dir = Files.createTempDirectory("graft-incr-zero").toString
     // find a url alone in its bucket so the zero-triple re-crawl
