@@ -101,13 +101,33 @@ object Decontaminate {
       textCol: String = "text",
       n: Int = DefaultN,
       useBroadcast: Boolean = true
-  ): DataFrame = {
+  ): DataFrame =
+    overlapWithHandle(corpus, bench, idCol, benchIdCol, textCol, n,
+      useBroadcast)._1
+
+  /** [[overlap]] plus a release handle for the Bloom-sketch broadcast
+    * the useBroadcast=false path ships (no-op otherwise). Without the
+    * handle the sketch is reclaimed only when the returned plan becomes
+    * driver-GC-unreachable (ContextCleaner) — nondeterministic in a
+    * long-lived session running repeated sweeps; call the handle after
+    * the result's last action for deterministic release (same pattern
+    * as Linking.linkTriplesFusedWithHandle).
+    */
+  def overlapWithHandle(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String = "doc_id",
+      benchIdCol: String = "bench_id",
+      textCol: String = "text",
+      n: Int = DefaultN,
+      useBroadcast: Boolean = true
+  ): (DataFrame, () => Unit) = {
     val cg = gramRows(corpus, idCol, textCol, n)
       .toDF("doc_id", "gh", "n_doc_grams")
     val bg = gramRows(bench, benchIdCol, textCol, n)
       .toDF("bench_id", "gh", "n_bench_grams")
-    val joined =
-      if (useBroadcast) cg.join(broadcast(bg), Seq("gh"))
+    val (joined, release) =
+      if (useBroadcast) (cg.join(broadcast(bg), Seq("gh")), () => ())
       else {
         // dup-heavy/huge-bench path: Bloom-prefilter the corpus gram
         // stream before any exchange, then shuffled hash join — only
@@ -127,9 +147,14 @@ object Decontaminate {
           } finally bg.unpersist()
         val bfB = spark.sparkContext.broadcast(bf)
         val mightContain = udf((gh: Long) => bfB.value.mightContain(gh))
-        cg.filter(mightContain(col("gh")))
-          .join(bg.hint("shuffle_hash"), Seq("gh"))
+        (cg.filter(mightContain(col("gh")))
+          .join(bg.hint("shuffle_hash"), Seq("gh")),
+          () => bfB.destroy())
       }
+    (finishOverlap(joined), release)
+  }
+
+  private def finishOverlap(joined: DataFrame): DataFrame =
     joined
       .groupBy("doc_id", "bench_id", "n_doc_grams", "n_bench_grams")
       .agg(count(lit(1)).as("n_shared"))
@@ -142,7 +167,6 @@ object Decontaminate {
         col("n_shared").cast("double") / col("n_bench_grams"))
       .select("doc_id", "bench_id", "n_shared", "n_doc_grams",
         "n_bench_grams", "frac_doc", "frac_bench")
-  }
 
   /** Doc-level flags: corpus documents whose overlap with ANY bench
     * item reaches minFracBench — (doc_id, n_bench_hits,

@@ -106,13 +106,24 @@ object Materialize {
 
   /** Buckets already completed in a previous run (empty on first run). */
   def completedBuckets(spark: SparkSession, outDir: String): Set[Int] =
-    completedBucketsAt(spark, manifestPath(outDir))
+    completedBucketsAt(spark, manifestPath(outDir), StageTriples)
 
-  private def completedBucketsAt(spark: SparkSession, manifest: String): Set[Int] = {
+  /** The manifest is an append-only lineage LOG shared by every job
+    * that touches the stage (bootstrap, incremental upserts, deltas,
+    * compactions), so resume decisions must filter to the BOOTSTRAP
+    * stage rows: an incremental update landing in a never-bootstrapped
+    * bucket records `triples_upsert`/`triples_delta` lineage for it,
+    * and counting that as "bootstrapped" would make a resumed bootstrap
+    * skip the bucket forever — silent loss of every base-crawl page
+    * hashing there.
+    */
+  private def completedBucketsAt(spark: SparkSession, manifest: String,
+      stage: String): Set[Int] = {
     val path = new org.apache.hadoop.fs.Path(manifest)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) Set.empty
     else spark.read.parquet(manifest)
+      .filter(col("stage") === stage)
       .select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
   }
@@ -208,6 +219,14 @@ object Materialize {
       .getOrElse(sys.error(s"no triple data under $outDir"))
 
   private def readTriplesWithSeqOpt(
+      spark: SparkSession, outDir: String): Option[DataFrame] =
+    readTriplesWithSeqOriginOpt(spark, outDir).map(_.drop("origin"))
+
+  /** Like [[readTriplesWithSeqOpt]] but rows carry an `origin` column
+    * (`b` = base table, `d` = un-compacted delta) — the crash-heal fold
+    * in compact/COW needs to distinguish the two storages.
+    */
+  private def readTriplesWithSeqOriginOpt(
       spark: SparkSession, outDir: String): Option[DataFrame] = {
     val fs = new org.apache.hadoop.fs.Path(dataPath(outDir))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -217,10 +236,23 @@ object Materialize {
       catch { // dir exists but holds no readable parquet (all-empty write)
         case _: org.apache.spark.sql.AnalysisException => None
       }
-    val base = read(dataPath(outDir)).map { b =>
-      if (b.columns.contains("seq")) b else b.withColumn("seq", lit(0L))
+    val base = read(dataPath(outDir)).map { b0 =>
+      val b = if (b0.columns.contains("seq")) b0 else b0.withColumn("seq", lit(0L))
+      b.withColumn("origin", lit("b"))
     }
-    val delta = read(deltaPath(outDir)).map(_.drop("batch"))
+    // COMMIT GATE: a delta batch is visible only once its versions
+    // batch exists — morCommit writes delta first, versions second, so
+    // the versions write is the commit point. A crash in between leaves
+    // an invisible (uncommitted) delta dir: without this gate its rows
+    // would be live with no tombstone killing the old rows of the same
+    // urls, permanently violating latest-crawl-wins if the batch is
+    // never redelivered. Uncommitted dirs are replay-overwritten by
+    // redelivery (same content-derived id) or GC'd by compact().
+    val committed = batchIdsUnder(spark, versionsPath(outDir))
+    val delta = read(deltaPath(outDir)).map { d =>
+      d.filter(col("batch").isin(committed.toSeq: _*)).drop("batch")
+        .withColumn("origin", lit("d"))
+    }
     val withDelta = (base, delta) match {
       case (Some(b), Some(d)) => Some(b.unionByName(d, allowMissingColumns = true))
       case (Some(b), None) => Some(b)
@@ -255,11 +287,138 @@ object Materialize {
   def deltaPath(outDir: String): String = s"$outDir/$StageTriples/delta"
   private def stagingPath(outDir: String): String = s"$outDir/$StageTriples/.staging"
 
+  /** Crash-heal fold: collapse the double-count a crashed half-commit
+    * leaves behind WITHOUT erasing legitimate duplicate rows. A
+    * fold-into-base (compact, or COW inline compaction) that crashed
+    * after the base overwrite but before the delta-dir drop leaves
+    * every row of the folded batch live TWICE — once in base, once in
+    * delta — and ONLY then can a live base row equal a live delta row
+    * including `seq` (a re-crawled url's old base rows sit below the
+    * delta's tombstone; folded rows carry their version as seq). So the
+    * correct multiplicity per identical-row group is max(base copies,
+    * delta copies): k legitimate duplicates (a sentence stating the
+    * same fact twice) live in one origin are (k,0)/(0,k) → k, a
+    * half-committed fold is (k,k) → k. A plain dropDuplicates would
+    * turn every legitimate k into 1, silently changing row multiplicity
+    * vs a full recompute.
+    */
+  private[graft] def healFold(df: DataFrame): DataFrame = {
+    val dataCols = df.columns.filter(_ != "origin").map(col)
+    df.groupBy(dataCols: _*)
+      .agg(sum(when(col("origin") === "b", 1L).otherwise(0L)).as("cb"),
+        sum(when(col("origin") === "d", 1L).otherwise(0L)).as("cd"))
+      .withColumn("copy_n", explode(expr("sequence(1, greatest(cb, cd))")))
+      .drop("cb", "cd", "copy_n")
+  }
+
+  /** Names of the `batch=<id>` directories under a delta/versions root. */
+  private def batchIdsUnder(spark: SparkSession, root: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName.stripPrefix("batch=")).toSet
+  }
+
   /** Versions batch holding the consolidated (compacted) per-url
     * versions — excluded from tombstone resolution (compacted data rows
     * carry their version as seq, so consolidated versions kill nothing).
     */
   val BaseBatch = "base"
+
+  /** Lineage stage name for COW upsert rewrites — distinct from the
+    * bootstrap stage so `completedBuckets` never mistakes an upserted
+    * bucket for a bootstrapped one.
+    */
+  val StageTriplesUpsert = "triples_upsert"
+
+  private def probed[A](label: String)(f: => A): A =
+    if (sys.env.contains("GRAFT_PROBE")) {
+      val t0 = System.nanoTime(); val a = f
+      println(f"[mprobe] $label%-16s ${(System.nanoTime() - t0) / 1e9}%.2f s"); a
+    } else f
+
+  /** Post-commit lineage append: one row per affected bucket with its
+    * current count. Guards the all-buckets-emptied case (no readable
+    * parquet left under data/) the same way the bootstrap path does —
+    * the commit has already succeeded at that point and must not throw.
+    */
+  private def appendLineage(spark: SparkSession, outDir: String,
+      stage: String, affected: Set[Int], t0: Long, t1: Long): Unit = {
+    import spark.implicits._
+    val counts =
+      try spark.read.parquet(dataPath(outDir))
+        .select(col("bucket").cast("int").as("bucket"))
+        .filter(col("bucket").isin(affected.toSeq: _*))
+        .groupBy("bucket").agg(count(lit(1)).as("rows"))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          Seq.empty[(Int, Long)].toDF("bucket", "rows")
+      }
+    affected.toSeq.sorted.toDF("bucket")
+      .join(counts, Seq("bucket"), "left_outer")
+      .withColumn("rows", coalesce(col("rows"), lit(0L)))
+      .withColumn("stage", lit(stage))
+      .withColumn("startedAtMs", lit(t0))
+      .withColumn("finishedAtMs", lit(t1))
+      .select("stage", "bucket", "rows", "startedAtMs", "finishedAtMs")
+      .write.mode(SaveMode.Append).parquet(manifestPath(outDir))
+  }
+
+  /** Commit a staged bucket rewrite — the shared protocol of cowCommit
+    * and compact (one implementation, one place to fix): dynamically
+    * overwrite the staged data partitions into the base, drop affected
+    * bucket dirs the staged data did not mention (pure deletes), fold
+    * away the affected buckets' outstanding delta dirs, consolidate
+    * staged versions into batch=base and drop those buckets'
+    * un-compacted version dirs, then remove staging.
+    */
+  private def commitStaged(spark: SparkSession, outDir: String,
+      affected: Set[Int]): Unit = {
+    val staging = stagingPath(outDir)
+    val fsData = new org.apache.hadoop.fs.Path(dataPath(outDir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prevMode = spark.conf.get(
+      "spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // an all-empty staged union (every affected row re-crawled into
+      // zero triples) leaves no readable parquet under staging — every
+      // affected partition is then a pure delete
+      val staged =
+        try Some(spark.read.parquet(s"$staging/data").persist())
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      staged.foreach {
+        _.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+          .parquet(dataPath(outDir))
+      }
+      // dynamic overwrite only replaces partitions PRESENT in the
+      // written data — an affected bucket whose rows all belonged to
+      // re-crawled urls that now extract zero triples would keep its
+      // stale directory; drop exactly those
+      val written = staged.map(_.select("bucket").distinct().collect()
+        .map(_.get(0).toString.toInt).toSet).getOrElse(Set.empty[Int])
+      staged.foreach(_.unpersist())
+      (affected -- written).foreach { bk =>
+        fsData.delete(new org.apache.hadoop.fs.Path(
+          s"${dataPath(outDir)}/bucket=$bk"), true)
+      }
+      // the rewrite folded the affected buckets' outstanding deltas
+      // into the base — drop them
+      dropBucketDirsUnderBatches(spark, deltaPath(outDir), affected)
+      // versions: consolidated rows land in batch=base, then the
+      // affected buckets' un-compacted batch rows (now folded) drop.
+      // Staged versions may be legitimately absent.
+      try spark.read.parquet(s"$staging/versions")
+        .write.mode(SaveMode.Overwrite).partitionBy("batch", "bucket")
+        .parquet(versionsPath(outDir))
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+      dropBucketDirsUnderBatches(spark, versionsPath(outDir), affected,
+        excludeBatch = Set(BaseBatch))
+      fsData.delete(new org.apache.hadoop.fs.Path(staging), true)
+    } finally spark.conf.set(
+      "spark.sql.sources.partitionOverwriteMode", prevMode)
+  }
 
   /** Per-bucket row-count accumulator: lineage counts collected DURING
     * the delta write instead of a read-back job.
@@ -381,20 +540,24 @@ object Materialize {
     val b = resolveBuckets(spark, outDir, buckets)
 
     // newest row per url within the batch (a batch may carry several
-    // crawls of one url)
+    // crawls of one url); equal-ts ties break on content hash so a
+    // crash REPLAY picks the same winner — the batch id hashes only
+    // (url, warc_ts), and a nondeterministic winner would commit
+    // DIFFERENT content under the SAME id. Persisted (O(delta) by
+    // contract): it feeds both the version-marking join and the
+    // applied-page extraction, and without the persist the per-url
+    // window would re-read and re-shuffle the whole batch source twice.
     val latest = newPages.toDF()
       .withColumn("rn", row_number().over(
-        Window.partitionBy("url").orderBy(col("warc_ts").desc)))
+        Window.partitionBy("url").orderBy(col("warc_ts").desc,
+          xxhash64(col("html")).desc, xxhash64(col("text"), col("lang")).desc)))
       .filter(col("rn") === 1).drop("rn")
       .withColumn("warc_ts_ms",
         (col("warc_ts").cast("double") * 1000).cast("long"))
       .withColumn("bucket", pmod(hash(col("url")), lit(b)).cast("int"))
+      .persist()
 
-    def probe[A](label: String)(f: => A): A =
-      if (sys.env.contains("GRAFT_PROBE")) {
-        val t0 = System.nanoTime(); val a = f
-        println(f"[mprobe] $label%-16s ${(System.nanoTime() - t0) / 1e9}%.2f s"); a
-      } else f
+    def probe[A](label: String)(f: => A): A = probed(label)(f)
 
     // versions pruning needs the batch's bucket set — computable from
     // raw urls BEFORE the (heavier) per-url window (bounded-size
@@ -417,28 +580,40 @@ object Materialize {
       val stats = probe("stats")(marked.groupBy("bucket", "is_applied")
         .agg(count(lit(1)).as("n"),
           sum(hash(col("url"), col("warc_ts_ms")).cast("long")).as("h"),
-          max("warc_ts_ms").as("m")).collect())
+          max("warc_ts_ms").as("m"),
+          sum(xxhash64(col("url"), col("warc_ts_ms"))).as("h2")).collect())
       val appliedStats = stats.filter(_.getBoolean(1))
       val affected = appliedStats.map(_.getInt(0)).toSet
       val nApplied = appliedStats.map(_.getLong(2)).sum
       val nStale = stats.filterNot(_.getBoolean(1)).map(_.getLong(2)).sum
       if (affected.isEmpty) return IncrementalStats(0L, nStale, Set.empty)
-      // deterministic content-derived batch id (order-independent)
+      // deterministic content-derived batch id (order-independent).
+      // TWO independent hash-family sums (32-bit murmur + xxhash64) plus
+      // max ts and row count: a collision must defeat all four at once —
+      // a single 32-bit sum is not collision-resistant across the
+      // continuous batch stream this mode targets, and an id collision
+      // with an un-compacted earlier batch would silently Overwrite
+      // that batch's delta dir while its tombstones stay live.
       val batchId =
-        java.lang.Long.toHexString(appliedStats.map(_.getLong(3)).sum) + "-" +
-          java.lang.Long.toHexString(appliedStats.map(_.getLong(4)).max)
+        java.lang.Long.toHexString(appliedStats.map(_.getLong(3)).sum) +
+          java.lang.Long.toHexString(appliedStats.map(_.getLong(5)).sum) + "-" +
+          java.lang.Long.toHexString(appliedStats.map(_.getLong(4)).max) + "-" +
+          java.lang.Long.toHexString(nApplied)
 
       val appliedKeys = marked.filter(col("is_applied")).drop("is_applied")
       // applied PAGE rows (html et al.) for the extraction pipeline:
-      // semi-join the batch against the cached applied key set
+      // semi-join the (persisted) batch against the cached applied keys
       val appliedPages = latest
         .join(appliedKeys.select("url"), Seq("url"), "left_semi")
         .drop("warc_ts_ms", "bucket").as[Page]
       // new rows carry seq = their crawl's warc_ts_ms (the per-url
-      // version order tombstones resolve against)
+      // version order tombstones resolve against). No broadcast hint:
+      // appliedKeys is O(delta) — 10^8 urls for a 1% batch at the
+      // 10^10-url scale this mode targets, far past any broadcast
+      // limit; AQE upgrades small deltas to broadcast at runtime.
       val fresh = withBucket(Pipeline.run(appliedPages).toDF(), b)
-        .join(broadcast(appliedKeys.select(col("url"),
-          col("warc_ts_ms").as("seq"))), Seq("url"))
+        .join(appliedKeys.select(col("url"),
+          col("warc_ts_ms").as("seq")), Seq("url"))
 
       if (mergeOnRead)
         probe("morCommit")(morCommit(spark, outDir, fresh, appliedKeys,
@@ -446,7 +621,7 @@ object Materialize {
       else
         cowCommit(spark, outDir, b, fresh, appliedKeys, stored, affected)
       IncrementalStats(nApplied, nStale, affected)
-    } finally marked.unpersist()
+    } finally { marked.unpersist(); latest.unpersist(); () }
   }
 
   /** Merge-on-read commit: delta + tombstones under a deterministic
@@ -458,11 +633,7 @@ object Materialize {
       fresh: DataFrame, appliedKeys: DataFrame,
       batchId: String, nApplied: Long): Unit = {
     import spark.implicits._
-    def probe[A](label: String)(f: => A): A =
-      if (sys.env.contains("GRAFT_PROBE")) {
-        val t0 = System.nanoTime(); val a = f
-        println(f"[mprobe] mor.$label%-12s ${(System.nanoTime() - t0) / 1e9}%.2f s"); a
-      } else f
+    def probe[A](label: String)(f: => A): A = probed(s"mor.$label")(f)
     val t0 = System.currentTimeMillis()
 
     // partition-align every partitioned write or each shuffle partition
@@ -520,15 +691,18 @@ object Materialize {
       affected: Set[Int]): Unit = {
     import spark.implicits._
     val t0 = System.currentTimeMillis()
-    val fsData = new org.apache.hadoop.fs.Path(dataPath(outDir))
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // survivors: affected buckets' current LIVE rows minus re-crawled
     // urls (bucket predicate prunes to those partition dirs);
-    // bootstrapping an empty table has no survivors
-    val survivors = readTriplesWithSeqOpt(spark, outDir) match {
-      case Some(cur) => cur
-        .filter(col("bucket").isin(affected.toSeq: _*))
-        .join(broadcast(appliedKeys.select("url")), Seq("url"), "left_anti")
+    // bootstrapping an empty table has no survivors. healFold only when
+    // outstanding deltas exist (its groupBy is pure cost on a clean
+    // table). No broadcast hint on the O(delta) key set — 10^8 urls for
+    // a 1% batch at target scale; AQE upgrades small deltas at runtime.
+    val hasDeltas = batchIdsUnder(spark, deltaPath(outDir)).nonEmpty
+    val survivors = readTriplesWithSeqOriginOpt(spark, outDir) match {
+      case Some(cur) =>
+        val live = cur.filter(col("bucket").isin(affected.toSeq: _*))
+        val healed = if (hasDeltas) healFold(live) else live.drop("origin")
+        healed.join(appliedKeys.select("url"), Seq("url"), "left_anti")
       case None =>
         withBucket(spark.emptyDataset[Triple].toDF(), b)
           .withColumn("seq", lit(0L))
@@ -540,68 +714,16 @@ object Materialize {
     union.write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$staging/data")
     val newVersions = appliedKeys
-      .unionByName(stored.join(broadcast(appliedKeys.select("url")),
+      .unionByName(stored.join(appliedKeys.select("url"),
         Seq("url"), "left_anti"))
       .withColumn("batch", lit(BaseBatch))
     newVersions.repartition(col("bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("batch", "bucket")
       .parquet(s"$staging/versions")
 
-    val prevMode = spark.conf.get(
-      "spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      // an all-empty union (every affected row re-crawled into zero
-      // triples) leaves no readable parquet under staging — every
-      // affected partition is then a pure delete
-      val staged =
-        try Some(spark.read.parquet(s"$staging/data").persist())
-        catch { case _: org.apache.spark.sql.AnalysisException => None }
-      staged.foreach {
-        _.write.mode(SaveMode.Overwrite).partitionBy("bucket")
-          .parquet(dataPath(outDir))
-      }
-      // dynamic overwrite only replaces partitions PRESENT in the
-      // written data — an affected bucket whose rows all belonged to
-      // re-crawled urls that now extract zero triples would keep its
-      // stale directory; drop exactly those
-      val written = staged.map(_.select("bucket").distinct().collect()
-        .map(_.get(0).toString.toInt).toSet).getOrElse(Set.empty[Int])
-      staged.foreach(_.unpersist())
-      (affected -- written).foreach { bk =>
-        fsData.delete(new org.apache.hadoop.fs.Path(
-          s"${dataPath(outDir)}/bucket=$bk"), true)
-      }
-      // inline compaction: the rewrite folded any outstanding deltas of
-      // the affected buckets into the base — drop them
-      dropBucketDirsUnderBatches(spark, deltaPath(outDir), affected)
-      // versions commit: consolidated rows land in batch=base, then the
-      // affected buckets' un-compacted batch rows (now folded) drop.
-      // Every affected bucket has >= 1 applied url, so no
-      // empty-partition hole here
-      spark.read.parquet(s"$staging/versions")
-        .write.mode(SaveMode.Overwrite).partitionBy("batch", "bucket")
-        .parquet(versionsPath(outDir))
-      dropBucketDirsUnderBatches(spark, versionsPath(outDir), affected,
-        excludeBatch = Set(BaseBatch))
-      fsData.delete(new org.apache.hadoop.fs.Path(staging), true)
-    } finally spark.conf.set(
-      "spark.sql.sources.partitionOverwriteMode", prevMode)
-
-    // lineage: one row per affected bucket with its post-update count
-    val t1 = System.currentTimeMillis()
-    val counts = spark.read.parquet(dataPath(outDir))
-      .select(col("bucket").cast("int").as("bucket"))
-      .filter(col("bucket").isin(affected.toSeq: _*))
-      .groupBy("bucket").agg(count(lit(1)).as("rows"))
-    affected.toSeq.sorted.toDF("bucket")
-      .join(counts, Seq("bucket"), "left_outer")
-      .withColumn("rows", coalesce(col("rows"), lit(0L)))
-      .withColumn("stage", lit(StageTriples))
-      .withColumn("startedAtMs", lit(t0))
-      .withColumn("finishedAtMs", lit(t1))
-      .select("stage", "bucket", "rows", "startedAtMs", "finishedAtMs")
-      .write.mode(SaveMode.Append).parquet(manifestPath(outDir))
+    commitStaged(spark, outDir, affected)
+    appendLineage(spark, outDir, StageTriplesUpsert, affected, t0,
+      System.currentTimeMillis())
   }
 
   /** Delete `bucket=<bk>` subdirectories for the given buckets under
@@ -639,7 +761,6 @@ object Materialize {
     * Returns the compacted bucket set.
     */
   def compact(spark: SparkSession, outDir: String): Set[Int] = {
-    import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(dataPath(outDir))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def bucketsUnder(root: String, excludeBatch: Set[String]): Set[Int] = {
@@ -653,6 +774,19 @@ object Materialize {
             .filter(_.startsWith("bucket="))
             .map(_.stripPrefix("bucket=").toInt)).toSet
     }
+    // GC uncommitted delta batches first (crash window between the
+    // delta and versions writes): the commit gate hides them from every
+    // reader, their tombstones do not exist, and a redelivery rewrites
+    // the same dir — folding them would resurrect an uncommitted batch.
+    val committed = batchIdsUnder(spark, versionsPath(outDir))
+    (batchIdsUnder(spark, deltaPath(outDir)) -- committed).foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${deltaPath(outDir)}/batch=$id"), true)
+    }
+    val deltaRoot = new org.apache.hadoop.fs.Path(deltaPath(outDir))
+    if (fs.exists(deltaRoot) && fs.listStatus(deltaRoot).isEmpty)
+      fs.delete(deltaRoot, true)
+
     val affected = bucketsUnder(deltaPath(outDir), Set.empty) ++
       bucketsUnder(versionsPath(outDir), Set(BaseBatch))
     if (affected.isEmpty) return Set.empty
@@ -660,10 +794,13 @@ object Materialize {
 
     // repartition by bucket: compaction's whole point is few large
     // files per bucket — one output partition per bucket (B is sized so
-    // a bucket fits a task)
-    val resolved = readTriplesWithSeq(spark, outDir)
-      .filter(col("bucket").isin(affected.toSeq: _*))
-      .dropDuplicates()
+    // a bucket fits a task). healFold (not dropDuplicates) collapses
+    // crash-half-commit double counts while preserving legitimate
+    // duplicate-row multiplicity.
+    val resolved = healFold(
+      readTriplesWithSeqOriginOpt(spark, outDir)
+        .getOrElse(sys.error(s"no triple data under $outDir"))
+        .filter(col("bucket").isin(affected.toSeq: _*)))
       .repartition(col("bucket"))
     val staging = stagingPath(outDir)
     resolved.write.mode(SaveMode.Overwrite).partitionBy("bucket")
@@ -674,50 +811,9 @@ object Materialize {
       .write.mode(SaveMode.Overwrite).partitionBy("batch", "bucket")
       .parquet(s"$staging/versions")
 
-    val prevMode = spark.conf.get(
-      "spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      val staged =
-        try Some(spark.read.parquet(s"$staging/data").persist())
-        catch { case _: org.apache.spark.sql.AnalysisException => None }
-      staged.foreach {
-        _.write.mode(SaveMode.Overwrite).partitionBy("bucket")
-          .parquet(dataPath(outDir))
-      }
-      val written = staged.map(_.select("bucket").distinct().collect()
-        .map(_.get(0).toString.toInt).toSet).getOrElse(Set.empty[Int])
-      staged.foreach(_.unpersist())
-      (affected -- written).foreach { bk =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"${dataPath(outDir)}/bucket=$bk"), true)
-      }
-      dropBucketDirsUnderBatches(spark, deltaPath(outDir), affected)
-      // versions may be legitimately absent (deltas written, crash
-      // before the versions write) — nothing to consolidate then
-      try spark.read.parquet(s"$staging/versions")
-        .write.mode(SaveMode.Overwrite).partitionBy("batch", "bucket")
-        .parquet(versionsPath(outDir))
-      catch { case _: org.apache.spark.sql.AnalysisException => () }
-      dropBucketDirsUnderBatches(spark, versionsPath(outDir), affected,
-        excludeBatch = Set(BaseBatch))
-      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    } finally spark.conf.set(
-      "spark.sql.sources.partitionOverwriteMode", prevMode)
-
-    val t1 = System.currentTimeMillis()
-    val counts = spark.read.parquet(dataPath(outDir))
-      .select(col("bucket").cast("int").as("bucket"))
-      .filter(col("bucket").isin(affected.toSeq: _*))
-      .groupBy("bucket").agg(count(lit(1)).as("rows"))
-    affected.toSeq.sorted.toDF("bucket")
-      .join(counts, Seq("bucket"), "left_outer")
-      .withColumn("rows", coalesce(col("rows"), lit(0L)))
-      .withColumn("stage", lit("compact"))
-      .withColumn("startedAtMs", lit(t0))
-      .withColumn("finishedAtMs", lit(t1))
-      .select("stage", "bucket", "rows", "startedAtMs", "finishedAtMs")
-      .write.mode(SaveMode.Append).parquet(manifestPath(outDir))
+    commitStaged(spark, outDir, affected)
+    appendLineage(spark, outDir, "compact", affected, t0,
+      System.currentTimeMillis())
     affected
   }
 
@@ -795,7 +891,8 @@ object Materialize {
     import spark.implicits._
     val b = resolveBuckets(spark, outDir, buckets)
     val doneT = completedBuckets(spark, outDir)
-    val doneL = completedBucketsAt(spark, s"$outDir/$StageLinked/manifest")
+    val doneL = completedBucketsAt(spark, s"$outDir/$StageLinked/manifest",
+      StageLinked)
     val dHash = dictHash(ChemDict.entries)
     val entitiesDone = entitiesUpToDate(spark, outDir, dHash)
     val only: Set[Int] = onlyBuckets.getOrElse((0 until b).toSet)

@@ -233,6 +233,135 @@ class IncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("an incremental update into a never-bootstrapped bucket does not poison bootstrap resume") {
+    // the manifest is a shared lineage log: upsert lineage rows landing
+    // in a bucket the bootstrap never finished must NOT make resume
+    // skip it (stage-filtered completedBuckets) — silent loss of every
+    // base page hashing there otherwise
+    val dir = Files.createTempDirectory("graft-incr-resume").toString
+    val base = (0L until 40L).map(PageGen.genPage(_).page)
+    import org.apache.spark.sql.functions._
+    val firstHalf = (0 until B / 2).toSet
+    Materialize.runResumable(spark, ds(base), dir, B,
+      onlyBuckets = Some(firstHalf)) // simulated bootstrap crash
+    // a new-url batch landing in a NOT-yet-bootstrapped bucket
+    val brandNew = (100L until 110L).map(PageGen.genPage(_).page)
+      .find(p => {
+        val bk = ds(Seq(p)).toDF()
+          .select(pmod(hash(col("url")), lit(B)).cast("int")).collect()(0).getInt(0)
+        !firstHalf.contains(bk)
+      })
+    assume(brandNew.isDefined)
+    Materialize.incrementalUpdate(spark, ds(Seq(brandNew.get)), dir, B)
+    // resume the bootstrap: the upserted bucket must still be attempted
+    Materialize.runResumable(spark, ds(base), dir, B)
+    assert(tripleKeys(Materialize.readTriples(spark, dir)) ==
+      tripleKeys(Pipeline.run(ds(base :+ brandNew.get)).toDF()))
+    // and row multiplicity matches the full recompute too
+    assert(Materialize.readTriples(spark, dir).count() ==
+      Pipeline.run(ds(base :+ brandNew.get)).count())
+  }
+
+  test("MoR commit gate: a delta batch without its versions write is invisible and GC'd, not half-applied") {
+    val dir = Files.createTempDirectory("graft-incr-gate").toString
+    val base = (0L until 20L).map(PageGen.genPage(_).page)
+    Materialize.runResumable(spark, ds(base), dir, B)
+    val keys0 = tripleKeys(Materialize.readTriples(spark, dir))
+    val batch = Seq(recrawl(4, 504, tsPlusDays = 30), PageGen.genPage(20).page)
+    Materialize.incrementalUpdate(spark, ds(batch), dir, B, mergeOnRead = true)
+    // crash window: delta committed, versions write lost
+    def rmRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRec); f.delete(); ()
+    }
+    rmRec(new java.io.File(Materialize.versionsPath(dir)))
+    // the uncommitted delta must be INVISIBLE: without the gate the new
+    // rows would be live with no tombstone killing url 4's old rows —
+    // both crawls of url 4 returned at once
+    assert(tripleKeys(Materialize.readTriples(spark, dir)) == keys0,
+      "uncommitted delta rows leaked into the read path")
+    // compact GCs the uncommitted dir instead of folding it
+    assert(Materialize.compact(spark, dir).isEmpty)
+    assert(!new java.io.File(Materialize.deltaPath(dir)).exists(),
+      "compact must GC uncommitted delta batches")
+    assert(tripleKeys(Materialize.readTriples(spark, dir)) == keys0)
+    // redelivery then applies cleanly
+    val s = Materialize.incrementalUpdate(spark, ds(batch), dir, B, mergeOnRead = true)
+    assert(s.appliedUrls == 2)
+    val world = base.filterNot(_.url == batch.head.url) ++ batch
+    assert(tripleKeys(Materialize.readTriples(spark, dir)) ==
+      tripleKeys(Pipeline.run(ds(world)).toDF()))
+  }
+
+  test("healFold preserves legitimate duplicate multiplicity while healing half-commit double counts") {
+    import spark.implicits._
+    // k copies in ONE origin are legitimate → k survive; equal copies
+    // in BOTH origins exist only via a half-committed fold → k, not 2k
+    // and not 1 (dropDuplicates would give 1)
+    val rows = Seq(
+      ("u1", 10L, "b"), ("u1", 10L, "b"),             // 2 legit base copies
+      ("u2", 20L, "d"), ("u2", 20L, "d"), ("u2", 20L, "d"), // 3 legit delta copies
+      ("u3", 30L, "b"), ("u3", 30L, "d"),             // folded once: (1,1) → 1
+      ("u4", 40L, "b"), ("u4", 40L, "b"), ("u4", 40L, "d"), ("u4", 40L, "d") // folded pair: (2,2) → 2
+    ).toDF("url", "seq", "origin")
+    val healed = Materialize.healFold(rows)
+      .groupBy("url").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(healed == Map("u1" -> 2L, "u2" -> 3L, "u3" -> 1L, "u4" -> 2L))
+  }
+
+  test("compact heals a crashed half-commit (folded base + undropped delta) without changing multiplicity") {
+    val dir = Files.createTempDirectory("graft-incr-heal").toString
+    val base = (0L until 20L).map(PageGen.genPage(_).page)
+    Materialize.runResumable(spark, ds(base), dir, B)
+    val batch = Seq(recrawl(4, 504, tsPlusDays = 30), PageGen.genPage(20).page)
+    Materialize.incrementalUpdate(spark, ds(batch), dir, B, mergeOnRead = true)
+    val world = base.filterNot(_.url == batch.head.url) ++ batch
+    val expectKeys = tripleKeys(Pipeline.run(ds(world)).toDF())
+    val expectCount = Pipeline.run(ds(world)).count()
+
+    // snapshot the un-compacted delta + versions state
+    def copyRec(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs(); src.listFiles().foreach(f => copyRec(f, new java.io.File(dst, f.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    val tmp = Files.createTempDirectory("graft-heal-snap").toFile
+    copyRec(new java.io.File(Materialize.deltaPath(dir)), new java.io.File(tmp, "delta"))
+    copyRec(new java.io.File(Materialize.versionsPath(dir)), new java.io.File(tmp, "versions"))
+
+    Materialize.compact(spark, dir)
+    // recreate the crash state: base already holds the folded rows, but
+    // the delta + un-compacted versions dirs were never dropped
+    copyRec(new java.io.File(tmp, "delta"), new java.io.File(Materialize.deltaPath(dir)))
+    def rmRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRec); f.delete(); ()
+    }
+    rmRec(new java.io.File(Materialize.versionsPath(dir)))
+    copyRec(new java.io.File(tmp, "versions"), new java.io.File(Materialize.versionsPath(dir)))
+    // re-running compact (the documented healing step) restores exact
+    // keys AND multiplicity
+    assert(Materialize.compact(spark, dir).nonEmpty)
+    assert(tripleKeys(Materialize.readTriples(spark, dir)) == expectKeys)
+    assert(Materialize.readTriples(spark, dir).count() == expectCount)
+  }
+
+  test("equal-ts ties within a batch break deterministically (replay commits identical content)") {
+    val dirs = Seq("graft-incr-tie-a", "graft-incr-tie-b")
+      .map(Files.createTempDirectory(_).toString)
+    val base = (0L until 10L).map(PageGen.genPage(_).page)
+    val orig = PageGen.genPage(3).page
+    val ts = new Timestamp(orig.warc_ts.getTime + 86400000L)
+    // two crawls of url 3 with the SAME ts but different content —
+    // delivered in opposite orders
+    val a = PageGen.genPage(503).page.copy(url = orig.url, warc_ts = ts)
+    val bb = PageGen.genPage(603).page.copy(url = orig.url, warc_ts = ts)
+    for (d <- dirs) Materialize.runResumable(spark, ds(base), d, B)
+    Materialize.incrementalUpdate(spark, ds(Seq(a, bb)), dirs.head, B)
+    Materialize.incrementalUpdate(spark, ds(Seq(bb, a)), dirs(1), B)
+    assert(tripleKeys(Materialize.readTriples(spark, dirs.head)) ==
+      tripleKeys(Materialize.readTriples(spark, dirs(1))))
+  }
+
   test("a re-crawl that extracts zero triples erases the url's rows (incl. a whole-bucket delete)") {
     val dir = Files.createTempDirectory("graft-incr-zero").toString
     // find a url alone in its bucket so the zero-triple re-crawl
