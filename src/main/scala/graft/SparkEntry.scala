@@ -346,6 +346,15 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         graft.functions.GraftFunctions.fingerprint64(col("text")).as("fp64"))
         .orderBy("doc_id")),
+    // Gopher-style intra-document repetition signals: integer counts +
+    // IEEE fractions of them, recomputed bit-exactly in DuckDB
+    "text_repetition" -> ((s, dir) =>
+      TextStats.withRepetitionSignals(docs(s, dir))
+        .select("doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+          "dup_para_frac", "n_2grams", "top_2gram_frac", "dup_5gram_frac")
+        .orderBy("doc_id")),
+    "text_repetition_keep" -> ((s, dir) =>
+      TextStats.repetitionKeep(docs(s, dir)).select("doc_id").orderBy("doc_id")),
 
     // ---------- decontamination (eval-leakage sweep) ----------
     // bench set = every doc_id % 20 == 7 document (deterministic split
@@ -1108,6 +1117,12 @@ object SparkEntry {
         |FROM read_parquet('{OUT}/decontam_overlap/*.parquet')
         |WHERE frac_bench >= 0.5
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // survivor set chains off the (itself fully recomputed) signal dump
+    "text_repetition_keep" ->
+      """SELECT doc_id FROM read_parquet('{OUT}/text_repetition/*.parquet')
+        |WHERE dup_line_frac <= 0.30 AND top_2gram_frac <= 0.20
+        |  AND dup_5gram_frac <= 0.15
+        |ORDER BY doc_id""".stripMargin,
     "decontam_clean" ->
       """SELECT doc_id FROM documents
         |WHERE doc_id % 20 <> 7 AND doc_id NOT IN (
@@ -1655,6 +1670,46 @@ object SparkEntry {
         | length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
         | length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
         | FROM documents ORDER BY doc_id""".stripMargin,
+    // full recompute of the Gopher-style repetition signals: same line/
+    // paragraph/word splits, duplicate shares as IEEE divisions of the
+    // identical integer counts (bit-exact), top-2-gram share via a
+    // grouped count instead of the engine's sorted-run fold
+    "text_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\n'), x -> x <> '') AS ls,
+        |    list_filter(regexp_split_to_array(text, '\n\n'), x -> x <> '') AS ps,
+        |    list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS ws
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, ls, ps,
+        |    CASE WHEN len(ws) >= 2
+        |      THEN [array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]
+        |      ELSE []::VARCHAR[] END AS g2,
+        |    CASE WHEN len(ws) >= 5
+        |      THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+        |      ELSE []::VARCHAR[] END AS g5
+        |  FROM base
+        |), top2 AS (
+        |  SELECT doc_id, max(c) AS topc FROM (
+        |    SELECT doc_id, ge, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(g2) AS ge FROM g) GROUP BY 1, 2)
+        |  GROUP BY 1
+        |)
+        |SELECT g.doc_id,
+        |  len(ls) AS n_lines,
+        |  CASE WHEN len(ls) > 0 THEN (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls)::DOUBLE ELSE 0.0 END AS dup_line_frac,
+        |  CASE WHEN coalesce(list_aggregate(list_transform(ls, x -> length(x)), 'sum'), 0) > 0
+        |    THEN (coalesce(list_aggregate(list_transform(ls, x -> length(x)), 'sum'), 0)
+        |        - coalesce(list_aggregate(list_transform(list_distinct(ls), x -> length(x)), 'sum'), 0))::DOUBLE
+        |       / coalesce(list_aggregate(list_transform(ls, x -> length(x)), 'sum'), 0)::DOUBLE
+        |    ELSE 0.0 END AS dup_line_char_frac,
+        |  CASE WHEN len(ps) > 0 THEN (len(ps) - len(list_distinct(ps)))::DOUBLE / len(ps)::DOUBLE ELSE 0.0 END AS dup_para_frac,
+        |  len(g2) AS n_2grams,
+        |  CASE WHEN len(g2) > 0 THEN coalesce(topc, 0)::DOUBLE / len(g2)::DOUBLE ELSE 0.0 END AS top_2gram_frac,
+        |  CASE WHEN len(g5) > 0 THEN (len(g5) - len(list_distinct(g5)))::DOUBLE / len(g5)::DOUBLE ELSE 0.0 END AS dup_5gram_frac
+        |FROM g LEFT JOIN top2 ON g.doc_id = top2.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | count(*) AS n_rows

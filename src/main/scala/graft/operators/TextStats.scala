@@ -95,6 +95,102 @@ object TextStats {
         round((col("len_score") + col("punct_score") + col("stop_score")) / 3.0, 6))
   }
 
+  // ---------- intra-document repetition (Gopher-style) ----------
+
+  private def nonEmptyArr(arr: Column): Column = filter(arr, x => x =!= lit(""))
+
+  /** IEEE division of two exact integer counts (bit-identical in any
+    * engine — the decontam-fraction precedent); 0.0 on an empty
+    * denominator.
+    */
+  private def safeFrac(num: Column, den: Column): Column =
+    when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+
+  private def charLen(arr: Column): Column =
+    aggregate(arr, lit(0L), (acc, x) => acc + length(x))
+
+  /** Word n-grams of the lowercased \W+ tokenization as a Column
+    * expression (same tokenization as the dedup/decontam family).
+    * Guarded: sequence(1, k) with k < 1 would generate DESCENDING.
+    */
+  private def wordNgrams(words: Column, n: Int): Column =
+    when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(words, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Occurrence count of the most frequent element — the longest run in
+    * the sorted array (O(n log n), a built-in array expression —
+    * higher-order functions evaluate interpreted but shuffle-free and
+    * UDF-free; a per-element recount would be O(n²) per row).
+    */
+  private def topRunCount(arr: Column): Column =
+    coalesce(
+      aggregate(
+        array_sort(arr),
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+          lit(0L).as("best")),
+        (st, x) => {
+          val run = when(st.getField("prev").isNotNull &&
+            st.getField("prev") === x, st.getField("run") + 1L)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(st.getField("best"), run).as("best"))
+        },
+        st => st.getField("best")),
+      lit(0L))
+
+  /** Gopher-style repetition signals (Rae et al. 2021, Table A1
+    * analogs) — the quality dimension the length/punct/stopword family
+    * cannot see: boilerplate-heavy and loop-generated pages repeat
+    * lines and n-grams. Every fraction is an IEEE division of exact
+    * integer counts, so a SQL engine reproduces the doubles
+    * bit-exactly:
+    *  - dup_line_frac / dup_line_char_frac — share of non-empty line
+    *    instances (resp. their characters) beyond each line's first
+    *    occurrence;
+    *  - dup_para_frac — the same at \n\n paragraph granularity;
+    *  - top_2gram_frac — occurrence share of the most frequent word
+    *    2-gram (occurrence-fraction variant of Gopher's char fraction);
+    *  - dup_5gram_frac — share of word-5-gram occurrences beyond each
+    *    gram's first occurrence.
+    * One projection over the text column — no shuffle, no UDF
+    * (plan-asserted in TextStatsSpec).
+    */
+  def withRepetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val lines = nonEmptyArr(split(t, "\n"))
+    val paras = nonEmptyArr(split(t, "\n\n"))
+    val words = nonEmptyArr(split(lower(t), "\\W+"))
+    val g2 = wordNgrams(words, 2)
+    val g5 = wordNgrams(words, 5)
+    docs
+      .withColumn("n_lines", size(lines))
+      .withColumn("dup_line_frac",
+        safeFrac(size(lines) - size(array_distinct(lines)), size(lines)))
+      .withColumn("dup_line_char_frac",
+        safeFrac(charLen(lines) - charLen(array_distinct(lines)), charLen(lines)))
+      .withColumn("dup_para_frac",
+        safeFrac(size(paras) - size(array_distinct(paras)), size(paras)))
+      .withColumn("n_2grams", size(g2))
+      .withColumn("top_2gram_frac", safeFrac(topRunCount(g2), size(g2)))
+      .withColumn("dup_5gram_frac",
+        safeFrac(size(g5) - size(array_distinct(g5)), size(g5)))
+  }
+
+  /** Repetition keep-filter with Gopher-flavored default thresholds —
+    * the survivor set a corpus release would train on.
+    */
+  def repetitionKeep(docs: DataFrame, textCol: String = "text",
+      maxDupLineFrac: Double = 0.30,
+      maxTop2GramFrac: Double = 0.20,
+      maxDup5GramFrac: Double = 0.15): DataFrame =
+    withRepetitionSignals(docs, textCol)
+      .filter(col("dup_line_frac") <= maxDupLineFrac &&
+        col("top_2gram_frac") <= maxTop2GramFrac &&
+        col("dup_5gram_frac") <= maxDup5GramFrac)
+      .select(docs.columns.map(col): _*)
+
   // ---------- document fingerprinting ----------
 
   /** 64-bit rolling (Rabin-Karp-style) content fingerprint over the

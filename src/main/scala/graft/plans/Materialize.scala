@@ -577,11 +577,17 @@ object Materialize {
         col("stored_ms").isNull || col("warc_ts_ms") > col("stored_ms"))
       .select("url", "warc_ts_ms", "bucket", "is_applied").persist()
     try {
+      // the second hash lane sums the xxhash64 HALVES separately: a
+      // direct sum of 64-bit hashes overflows long (ANSI error in
+      // Spark 4) after ~2^31 magnitude; each half-sum is bounded by
+      // n*2^32 and stays order-independent
+      val xx = xxhash64(col("url"), col("warc_ts_ms"))
       val stats = probe("stats")(marked.groupBy("bucket", "is_applied")
         .agg(count(lit(1)).as("n"),
           sum(hash(col("url"), col("warc_ts_ms")).cast("long")).as("h"),
           max("warc_ts_ms").as("m"),
-          sum(xxhash64(col("url"), col("warc_ts_ms"))).as("h2")).collect())
+          sum(shiftright(xx, 32)).as("h2hi"),
+          sum(xx.bitwiseAND(lit(0xffffffffL))).as("h2lo")).collect())
       val appliedStats = stats.filter(_.getBoolean(1))
       val affected = appliedStats.map(_.getInt(0)).toSet
       val nApplied = appliedStats.map(_.getLong(2)).sum
@@ -594,9 +600,11 @@ object Materialize {
       // continuous batch stream this mode targets, and an id collision
       // with an un-compacted earlier batch would silently Overwrite
       // that batch's delta dir while its tombstones stay live.
+      val h2 = appliedStats.map(_.getLong(5)).sum ^
+        java.lang.Long.rotateLeft(appliedStats.map(_.getLong(6)).sum, 17)
       val batchId =
         java.lang.Long.toHexString(appliedStats.map(_.getLong(3)).sum) +
-          java.lang.Long.toHexString(appliedStats.map(_.getLong(5)).sum) + "-" +
+          java.lang.Long.toHexString(h2) + "-" +
           java.lang.Long.toHexString(appliedStats.map(_.getLong(4)).max) + "-" +
           java.lang.Long.toHexString(nApplied)
 

@@ -55,6 +55,98 @@ class TextStatsSpec extends AnyFunSuite {
     assert(q(1L) > q(3L))
   }
 
+  test("repetition signals: hand-computed goldens") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b\na b\nc\n\nc"),
+      (2L, "spam ham spam ham spam ham spam ham"),
+      (3L, ""),
+      (4L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val r = TextStats.withRepetitionSignals(d).orderBy("doc_id")
+      .select("doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "n_2grams", "top_2gram_frac", "dup_5gram_frac")
+      .collect()
+    // doc 1: lines [a b, a b, c, c] → dup 2/4; chars (3+3+1+1)−(3+1)=4 of 8;
+    // paras [a b\na b\nc, c] distinct; bigrams [a b, b a, a b, b c, c c] →
+    // top "a b"=2 of 5; 5-grams [a b a b c, b a b c c] distinct
+    assert(r(0).getInt(1) == 4 && r(0).getDouble(2) == 0.5 &&
+      r(0).getDouble(3) == 0.5 && r(0).getDouble(4) == 0.0)
+    assert(r(0).getInt(5) == 5 && r(0).getDouble(6) == 2.0 / 5.0 &&
+      r(0).getDouble(7) == 0.0)
+    // doc 2: 8 words → 7 bigrams, "spam ham"×4 → 4/7; 4 5-grams, 2
+    // distinct → 0.5; one line, no duplicates
+    assert(r(1).getDouble(2) == 0.0 && r(1).getInt(5) == 7 &&
+      r(1).getDouble(6) == 4.0 / 7.0 && r(1).getDouble(7) == 0.5)
+    // doc 3 (empty): every count 0, every fraction 0.0 (no NaN/null)
+    assert(r(2).getInt(1) == 0 && r(2).getInt(5) == 0 &&
+      (2 to 7).forall(i => !r(2).isNullAt(i)) &&
+      Seq(2, 3, 4, 6, 7).forall(i => r(2).getDouble(i) == 0.0))
+    // doc 4: no duplicates anywhere; top_2gram_frac floors at 1/n_2grams
+    // (every bigram unique, max count 1 of 5)
+    assert(Seq(2, 3, 4, 7).forall(i => r(3).getDouble(i) == 0.0))
+    assert(r(3).getDouble(6) == 1.0 / 5.0)
+
+    // keep-filter: the spammy doc is dropped, clean docs survive
+    val kept = TextStats.repetitionKeep(d).select("doc_id")
+      .as[Long].collect().toSet
+    assert(!kept.contains(2L) && kept.contains(4L) && kept.contains(3L))
+  }
+
+  test("property: repetition signals == driver-side brute force (exact doubles)") {
+    import org.scalacheck.{Gen, Prop, Test => SchkTest}
+    import spark.implicits._
+    def brute(text: String): Seq[Double] = {
+      val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
+      val paras = text.split("\n\n", -1).toSeq.filter(_.nonEmpty)
+      val words = text.toLowerCase.split("\\W+").toSeq.filter(_.nonEmpty)
+      def frac(n: Long, d: Long) = if (d > 0) n.toDouble / d.toDouble else 0.0
+      val g2 = if (words.size >= 2) words.sliding(2).map(_.mkString(" ")).toSeq else Seq.empty[String]
+      val g5 = if (words.size >= 5) words.sliding(5).map(_.mkString(" ")).toSeq else Seq.empty[String]
+      val lc = lines.map(_.length.toLong).sum
+      val lcd = lines.distinct.map(_.length.toLong).sum
+      Seq(
+        lines.size.toDouble,
+        frac(lines.size - lines.distinct.size, lines.size),
+        frac(lc - lcd, lc),
+        frac(paras.size - paras.distinct.size, paras.size),
+        g2.size.toDouble,
+        frac(if (g2.isEmpty) 0L else g2.groupBy(identity).values.map(_.size).max.toLong, g2.size),
+        frac(g5.size - g5.distinct.size, g5.size))
+    }
+    // tiny vocab + explicit newline tokens force collisions at every
+    // granularity (lines, paragraphs, 2- and 5-grams)
+    val token = Gen.oneOf("aa", "bb", "cc", "aa bb", "\n", "\n\n")
+    val doc = Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, token)).map(_.mkString(" "))
+    val prop = Prop.forAll(Gen.listOfN(6, doc)) { ds =>
+      val df = ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = TextStats.withRepetitionSignals(df).orderBy("doc_id")
+        .select(col("n_lines").cast("double"), col("dup_line_frac"),
+          col("dup_line_char_frac"), col("dup_para_frac"),
+          col("n_2grams").cast("double"), col("top_2gram_frac"),
+          col("dup_5gram_frac"))
+        .collect().map(r => (0 to 6).map(r.getDouble))
+      got.toSeq.zip(ds.map(brute)).forall { case (g, b) => g == b }
+    }
+    val res = SchkTest.check(
+      SchkTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("repetition signals plan: one projection, zero exchanges, no UDF") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val q = TextStats.repetitionKeep(docs)
+    q.count()
+    val plan = q.queryExecution.executedPlan
+    assert(plan.collect { case e: Exchange => e }.isEmpty,
+      s"repetition keep-filter must not shuffle:\n$plan")
+    // higher-order array expressions evaluate interpreted (they have no
+    // doGenCode), but they are still native expressions: assert no
+    // Scala-closure UDF sneaked in
+    assert(!plan.toString.contains("ScalaUDF"),
+      "repetition signals must be built-in expressions, not UDFs")
+  }
+
   test("fingerprint is whitespace-normalization-stable, content-sensitive") {
     val a = TextStats.fingerprint64("The quick   brown\tfox")
     val b = TextStats.fingerprint64("the quick brown fox")
