@@ -37,6 +37,21 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Deterministic PII-carrying text derived from the documents table —
+    * the fixture corpus contains no emails/phones/SSNs, so the PII
+    * queries plant one of each category per row; the DuckDB oracle
+    * constructs the IDENTICAL string, so counts and redaction are
+    * exercised on real matches in every row rather than 500 zeros.
+    */
+  private def piiFixture(d: org.apache.spark.sql.DataFrame) =
+    d.select(col("doc_id"), concat(
+      substring(col("text"), 1, 40),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1415"),
+      (lit(5550000L) + col("doc_id") % 10000L).cast("string"),
+      lit(" at 10."), (col("doc_id") % 254L + 1L).cast("string"),
+      lit(".0.7 ssn 123-45-6789 card 4111 1111 1111 1111.")).as("t"))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Pipeline.run(PageGen.pages(spark, 200)).toDF()
@@ -355,6 +370,17 @@ object SparkEntry {
         .orderBy("doc_id")),
     "text_repetition_keep" -> ((s, dir) =>
       TextStats.repetitionKeep(docs(s, dir)).select("doc_id").orderBy("doc_id")),
+    // PII scrub pass: counts + character-exact redaction, both replayed
+    // in DuckDB over the identical planted-PII derivation
+    "pii_signals" -> ((s, dir) =>
+      graft.operators.Pii.withPiiSignals(piiFixture(docs(s, dir)), "t")
+        .select("doc_id", "n_email", "n_ssn", "n_cc", "n_phone", "n_ipv4", "n_pii")
+        .orderBy("doc_id")),
+    "pii_redact" -> ((s, dir) =>
+      piiFixture(docs(s, dir))
+        .select(col("doc_id"),
+          graft.operators.Pii.redacted(col("t")).as("clean_text"))
+        .orderBy("doc_id")),
 
     // ---------- decontamination (eval-leakage sweep) ----------
     // bench set = every doc_id % 20 == 7 document (deterministic split
@@ -970,6 +996,18 @@ object SparkEntry {
     */
   private val WordsSql =
     "list_filter(regexp_split_to_array(lower(text), '\\W+'), w -> w <> '')"
+
+  /** The planted-PII derivation — must construct the IDENTICAL string
+    * as [[piiFixture]] (substr/concat/modulo semantics agree between
+    * the engines; bigints render as plain digits in both).
+    */
+  private val PiiFixtureSql =
+    """SELECT doc_id,
+      |    substr(text, 1, 40) || ' contact user' || doc_id ||
+      |    '@mail.example.com or +1415' || (5550000 + doc_id % 10000) ||
+      |    ' at 10.' || (doc_id % 254 + 1) ||
+      |    '.0.7 ssn 123-45-6789 card 4111 1111 1111 1111.' AS t
+      |  FROM documents""".stripMargin
 
   private val WordShinglesSql =
     """CASE WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')]
@@ -1710,6 +1748,36 @@ object SparkEntry {
         |  CASE WHEN len(g5) > 0 THEN (len(g5) - len(list_distinct(g5)))::DOUBLE / len(g5)::DOUBLE ELSE 0.0 END AS dup_5gram_frac
         |FROM g LEFT JOIN top2 ON g.doc_id = top2.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+    // PII sweep over the planted-PII derivation (identical string built
+    // on both sides); patterns restricted to the Java-regex/RE2-common
+    // subset so counts AND the redacted text replay character-exactly
+    "pii_signals" ->
+      raw"""WITH p AS ($PiiFixtureSql),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |    len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+        |    len(regexp_extract_all(t, '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b')) AS n_cc,
+        |    len(regexp_extract_all(t, '\+\d{7,15}\b')) AS n_phone,
+        |    len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4
+        |  FROM p)
+        |SELECT doc_id, n_email, n_ssn, n_cc, n_phone, n_ipv4,
+        |  n_email + n_ssn + n_cc + n_phone + n_ipv4 AS n_pii
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "pii_redact" ->
+      raw"""WITH p AS ($PiiFixtureSql)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |   regexp_replace(
+        |    regexp_replace(
+        |     regexp_replace(
+        |      regexp_replace(t,
+        |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |     '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b', '<CC>', 'g'),
+        |    '\+\d{7,15}\b', '<PHONE>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | count(*) AS n_rows
