@@ -4,7 +4,7 @@ import graft.model.Triple
 import graft.operators._
 import graft.plans.Pipeline
 import graft.sources.{ChemDict, PageGen}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -51,6 +51,46 @@ object SparkEntry {
       (lit(5550000L) + col("doc_id") % 10000L).cast("string"),
       lit(" at 10."), (col("doc_id") % 254L + 1L).cast("string"),
       lit(".0.7 ssn 123-45-6789 card 4111 1111 1111 1111.")).as("t"))
+
+  /** Deterministic messy-URL fixture derived from the documents table —
+    * the corpus has no url column, so every row plants one URL whose
+    * page identity depends only on `doc_id % 100` while the MESS
+    * (case, www, default port, duplicate/trailing slashes, tracking
+    * params, param order, fragment) varies per doc_id — so
+    * normalization genuinely collapses variants into per-page groups.
+    * The DuckDB oracle constructs the IDENTICAL string.
+    */
+  private def urlFixture(d: org.apache.spark.sql.DataFrame) = {
+    val id = col("doc_id")
+    val page = id % 100L
+    def s(x: Column) = x.cast("string")
+    val scheme = when(page % 2 === 0, "http").otherwise("https")
+    val hostBase = concat(
+      when(page % 6 === 0, "news.").otherwise(""),
+      lit("site"), s(page % 7), lit("."),
+      when(page % 4 === 0, "com").when(page % 4 === 1, "org")
+        .when(page % 4 === 2, "co.uk").otherwise("io"))
+    val hostVar = when(id % 4 === 0, concat(lit("WWW."), upper(hostBase)))
+      .when(id % 4 === 1, hostBase)
+      .when(id % 4 === 2, concat(lit("www."), hostBase))
+      .otherwise(upper(hostBase))
+    val portVar = when(page % 5 === 0, ":8080")
+      .when(id % 3 === 0 && page % 2 === 0, ":80")
+      .when(id % 3 === 1 && page % 2 =!= 0, ":443")
+      .otherwise("")
+    val pathVar = when(id % 7 === 0, concat(lit("//wiki/Page"), s(page % 13)))
+      .when(id % 5 === 0, concat(lit("/wiki/Page"), s(page % 13), lit("/")))
+      .otherwise(concat(lit("/wiki/Page"), s(page % 13)))
+    val langPart = when(page % 3 === 0, "&lang=en").otherwise("")
+    val fbPart = when(id % 3 === 0, concat(lit("&fbclid=x"), s(id % 11))).otherwise("")
+    val queryVar = when(id % 2 === 0,
+      concat(lit("?utm_source=news"), fbPart, lit("&id="), s(page), langPart))
+      .otherwise(concat(lit("?id="), s(page), langPart, fbPart))
+    val fragVar = when(id % 4 === 0, concat(lit("#sec"), s(id % 9))).otherwise("")
+    d.select(id.as("doc_id"),
+      concat(scheme, lit("://"), hostVar, portVar, pathVar, queryVar, fragVar)
+        .as("url_raw"))
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -381,6 +421,21 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.operators.Pii.redacted(col("t")).as("clean_text"))
         .orderBy("doc_id")),
+
+    // ---------- URL normalization / domain ops ----------
+    // full normalization recomputed character-exactly in DuckDB from
+    // the identically-planted messy URL; dedup + domain stats chain
+    // off the url_norm dump
+    "url_norm" -> ((s, dir) =>
+      UrlOps.withUrlParts(urlFixture(docs(s, dir)))
+        .select("doc_id", "url_raw", "host", "registered_domain", "url_norm")
+        .orderBy("doc_id")),
+    "url_dedup" -> ((s, dir) =>
+      UrlOps.latestPerUrl(UrlOps.withUrlParts(urlFixture(docs(s, dir))))
+        .orderBy("url_norm")),
+    "url_domain_stats" -> ((s, dir) =>
+      UrlOps.domainStats(UrlOps.withUrlParts(urlFixture(docs(s, dir))))
+        .orderBy("registered_domain")),
 
     // ---------- decontamination (eval-leakage sweep) ----------
     // bench set = every doc_id % 20 == 7 document (deterministic split
@@ -1008,6 +1063,41 @@ object SparkEntry {
       |    ' at 10.' || (doc_id % 254 + 1) ||
       |    '.0.7 ssn 123-45-6789 card 4111 1111 1111 1111.' AS t
       |  FROM documents""".stripMargin
+
+  /** The messy-URL derivation — must construct the IDENTICAL string as
+    * [[urlFixture]]. Page identity depends only on doc_id % 100; the
+    * mess (case, www, default port, slashes, tracking params, param
+    * order, fragment) varies per doc_id. Spliced into WITH clauses as
+    * `WITH $UrlFixtureSql, …` exposing the final relation `uf`.
+    */
+  private val UrlFixtureSql =
+    """uf0 AS (SELECT doc_id, doc_id % 100 AS page FROM documents),
+      |uf1 AS (SELECT doc_id, page,
+      |    (CASE WHEN page % 6 = 0 THEN 'news.' ELSE '' END) ||
+      |      'site' || (page % 7) || '.' ||
+      |      (CASE WHEN page % 4 = 0 THEN 'com' WHEN page % 4 = 1 THEN 'org'
+      |            WHEN page % 4 = 2 THEN 'co.uk' ELSE 'io' END) AS hb,
+      |    (CASE WHEN page % 3 = 0 THEN '&lang=en' ELSE '' END) AS lang,
+      |    (CASE WHEN doc_id % 3 = 0 THEN '&fbclid=x' || (doc_id % 11) ELSE '' END) AS fb
+      |  FROM uf0),
+      |uf AS (SELECT doc_id,
+      |    (CASE WHEN page % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' || upper(hb)
+      |          WHEN doc_id % 4 = 1 THEN hb
+      |          WHEN doc_id % 4 = 2 THEN 'www.' || hb
+      |          ELSE upper(hb) END) ||
+      |    (CASE WHEN page % 5 = 0 THEN ':8080'
+      |          WHEN doc_id % 3 = 0 AND page % 2 = 0 THEN ':80'
+      |          WHEN doc_id % 3 = 1 AND page % 2 <> 0 THEN ':443'
+      |          ELSE '' END) ||
+      |    (CASE WHEN doc_id % 7 = 0 THEN '//wiki/Page' || (page % 13)
+      |          WHEN doc_id % 5 = 0 THEN '/wiki/Page' || (page % 13) || '/'
+      |          ELSE '/wiki/Page' || (page % 13) END) ||
+      |    (CASE WHEN doc_id % 2 = 0
+      |          THEN '?utm_source=news' || fb || '&id=' || page || lang
+      |          ELSE '?id=' || page || lang || fb END) ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '#sec' || (doc_id % 9) ELSE '' END) AS url_raw
+      |  FROM uf1)""".stripMargin
 
   private val WordShinglesSql =
     """CASE WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')]
@@ -1778,6 +1868,55 @@ object SparkEntry {
         |    '\+\d{7,15}\b', '<PHONE>', 'g'),
         |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
         |FROM p ORDER BY doc_id""".stripMargin,
+    // url_norm: the messy-URL fixture AND the entire normalization
+    // (fragment strip, case fold, default-port drop, www strip, slash
+    // collapse, tracking-param filter + bytewise sort) recomputed
+    // character-exactly; dedup + domain stats chain off this dump
+    "url_norm" ->
+      raw"""WITH $UrlFixtureSql,
+        |n0 AS (SELECT doc_id, url_raw, regexp_replace(url_raw, '#.*$$', '') AS nf FROM uf),
+        |n1 AS (SELECT doc_id, url_raw,
+        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+        |    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS raw_path,
+        |    regexp_extract(nf, '\?(.*)$$', 1) AS qs
+        |  FROM n0),
+        |n2 AS (SELECT *,
+        |    regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
+        |    regexp_replace(regexp_replace(auth, ':[0-9]+$$', ''), '^www\.', '') AS host
+        |  FROM n1),
+        |n3 AS (SELECT *,
+        |    CASE WHEN regexp_replace(regexp_replace(raw_path, '/{2,}', '/', 'g'), '/+$$', '') = ''
+        |         THEN '/'
+        |         ELSE regexp_replace(regexp_replace(raw_path, '/{2,}', '/', 'g'), '/+$$', '') END AS path_n,
+        |    array_to_string(list_sort(list_filter(string_split(qs, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p,
+        |        '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)='))), '&') AS qn,
+        |    string_split(host, '.') AS ls
+        |  FROM n2),
+        |n4 AS (SELECT *,
+        |    CASE WHEN len(ls) >= 3 AND ls[len(ls)-1] IN ('co','com','org','net','ac','gov','edu')
+        |              AND length(ls[len(ls)]) = 2
+        |         THEN ls[len(ls)-2] || '.' || ls[len(ls)-1] || '.' || ls[len(ls)]
+        |         WHEN len(ls) >= 2 THEN ls[len(ls)-1] || '.' || ls[len(ls)]
+        |         ELSE host END AS registered_domain,
+        |    scheme || '://' || host ||
+        |      (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+        |                                  OR (scheme = 'https' AND port = '443'))
+        |            THEN ':' || port ELSE '' END) ||
+        |      path_n || (CASE WHEN qn <> '' THEN '?' || qn ELSE '' END) AS url_norm
+        |  FROM n3)
+        |SELECT doc_id, url_raw, host, registered_domain, url_norm
+        |FROM n4 ORDER BY doc_id""".stripMargin,
+    "url_dedup" ->
+      """SELECT url_norm, max(doc_id) AS survivor_doc_id, count(*) AS n_versions
+        |FROM read_parquet('{OUT}/url_norm/*.parquet')
+        |GROUP BY url_norm ORDER BY url_norm""".stripMargin,
+    "url_domain_stats" ->
+      """SELECT registered_domain, count(*) AS n_docs,
+        |  count(DISTINCT url_norm) AS n_urls, count(DISTINCT host) AS n_hosts
+        |FROM read_parquet('{OUT}/url_norm/*.parquet')
+        |GROUP BY registered_domain ORDER BY registered_domain""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | count(*) AS n_rows

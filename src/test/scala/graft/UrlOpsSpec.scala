@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.UrlOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** URL normalization goldens (every rule exercised), registered-domain
+  * extraction incl. multi-part public suffixes, variant collapse,
+  * latest-wins dedup, the broadcast-anti-join blocklist, and the
+  * zero-exchange plan of the normalization projection.
+  */
+class UrlOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  private def norm(raw: String): (String, String, String) = {
+    import spark.implicits._
+    val r = UrlOps.withUrlParts(Seq((1L, raw)).toDF("doc_id", "url_raw"))
+      .select("host", "registered_domain", "url_norm").collect()(0)
+    (r.getString(0), r.getString(1), r.getString(2))
+  }
+
+  test("normalization goldens: each rule in isolation and combined") {
+    // fragment + tracking params + param sort + case + www
+    assert(norm("HTTP://WWW.Example.COM/a/B?z=2&utm_source=x&a=1#frag") ==
+      (("example.com", "example.com", "http://example.com/a/B?a=1&z=2")))
+    // default ports dropped, explicit port kept
+    assert(norm("http://site.org:80/p")._3 == "http://site.org/p")
+    assert(norm("https://site.org:443/p")._3 == "https://site.org/p")
+    assert(norm("http://site.org:8080/p")._3 == "http://site.org:8080/p")
+    // path case preserved; duplicate + trailing slashes collapsed
+    assert(norm("https://a.io//X//Y///")._3 == "https://a.io/X/Y")
+    // empty path -> /; all-tracking query vanishes entirely
+    assert(norm("https://a.io?fbclid=1&gclid=2&msclkid=3&ref=h&utm_a=b")._3 ==
+      "https://a.io/")
+    // only ONE leading www label is stripped
+    assert(norm("http://www.www2.a.io/p")._1 == "www2.a.io")
+  }
+
+  test("registered domain: bare, subdomain, and multi-part suffix") {
+    assert(norm("http://example.com/")._2 == "example.com")
+    assert(norm("http://deep.sub.example.com/")._2 == "example.com")
+    assert(norm("http://news.site3.co.uk/")._2 == "site3.co.uk")
+    assert(norm("http://shop.site.ac.jp/")._2 == "site.ac.jp")
+    // 'co' label not followed by a 2-char TLD stays a normal label
+    assert(norm("http://a.co.com/")._2 == "co.com")
+    assert(norm("http://localhost/")._2 == "localhost")
+  }
+
+  test("variants of one page collapse to one url_norm; latest doc_id survives") {
+    import spark.implicits._
+    val variants = Seq(
+      (10L, "http://www.Site.com/wiki/Page?id=7&utm_source=a"),
+      (11L, "HTTP://SITE.COM:80/wiki/Page?id=7#sec2"),
+      (12L, "http://site.com//wiki/Page/?id=7"),
+      (20L, "https://other.io/p?x=1")
+    ).toDF("doc_id", "url_raw")
+    val parts = UrlOps.withUrlParts(variants)
+    assert(parts.select("url_norm").distinct().count() == 2)
+    val surv = UrlOps.latestPerUrl(parts)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t._2).toMap
+    assert(surv("http://site.com/wiki/Page?id=7") == 12L)
+    val nv = UrlOps.latestPerUrl(parts)
+      .where(col("url_norm") === "http://site.com/wiki/Page?id=7")
+      .select("n_versions").as[Long].collect()(0)
+    assert(nv == 3L)
+  }
+
+  test("domainStats counts docs, distinct urls, distinct hosts per domain") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "http://a.site.com/x"), (2L, "http://a.site.com/x"),
+      (3L, "http://b.site.com/y"), (4L, "https://other.io/z")
+    ).toDF("doc_id", "url_raw")
+    val st = UrlOps.domainStats(UrlOps.withUrlParts(d))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(st("site.com") == ((3L, 2L, 2L)))
+    assert(st("other.io") == ((1L, 1L, 1L)))
+  }
+
+  test("blocklist filter: anti-join drops blocked domains via broadcast") {
+    import spark.implicits._
+    val d = (0L until 40L).map { i =>
+      (i, s"http://site${i % 4}.com/p$i")
+    }.toDF("doc_id", "url_raw")
+    val parts = UrlOps.withUrlParts(d)
+    val kept = UrlOps.domainBlockFilter(parts, Seq("site0.com", "site2.com"))
+    assert(kept.count() == 20)
+    assert(kept.select("registered_domain").distinct()
+      .as[String].collect().toSet == Set("site1.com", "site3.com"))
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"blocklist must broadcast-anti-join, corpus side unshuffled:\n$plan")
+  }
+
+  test("plan: normalization is one zero-exchange projection, no UDF") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import spark.implicits._
+    val d = (0L until 50L).map(i => (i, s"http://www.s$i.com/p?utm_x=1&id=$i"))
+      .toDF("doc_id", "url_raw")
+    val q = UrlOps.withUrlParts(d)
+    q.count()
+    val plan = q.queryExecution.executedPlan
+    assert(plan.collect { case e: Exchange => e }.isEmpty,
+      s"URL normalization must not shuffle:\n$plan")
+    assert(!plan.toString.contains("ScalaUDF"))
+  }
+}
