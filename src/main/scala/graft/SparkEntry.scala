@@ -437,6 +437,22 @@ object SparkEntry {
       UrlOps.domainStats(UrlOps.withUrlParts(urlFixture(docs(s, dir))))
         .orderBy("registered_domain")),
 
+    // ---------- mixture sampling (data recipe) ----------
+    // deterministic per-source weights derived from the source index
+    // (i%4 -> 2.5 / 1.0 / 0.5 / 0.125) so down- AND up-sampling are
+    // both exercised; the full copy assignment is recomputed in DuckDB
+    // (md5-prefix hash + IEEE threshold), counts chain off the dump
+    "sample_mixture" -> ((s, dir) =>
+      Sampling.mixtureCopies(docs(s, dir), MixWeights)
+        .select("doc_id", "source", "n_copies").orderBy("doc_id")),
+    "sample_mixture_counts" -> ((s, dir) =>
+      Sampling.mixtureCopies(docs(s, dir), MixWeights)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_in"),
+          sum(when(col("n_copies") > 0, 1L).otherwise(0L)).as("n_docs_kept"),
+          sum(col("n_copies")).as("n_rows_out"))
+        .orderBy("source")),
+
     // ---------- decontamination (eval-leakage sweep) ----------
     // bench set = every doc_id % 20 == 7 document (deterministic split
     // of the same table — no external data); corpus = the rest. The
@@ -1063,6 +1079,16 @@ object SparkEntry {
       |    ' at 10.' || (doc_id % 254 + 1) ||
       |    '.0.7 ssn 123-45-6789 card 4111 1111 1111 1111.' AS t
       |  FROM documents""".stripMargin
+
+  /** Mixture recipe for the sampling queries: src{i} weighted by i%4 —
+    * 2.5 (upsample), 1.0 (keep), 0.5, 0.125 (downsample). All weights
+    * are exact binary fractions, so the IEEE threshold arithmetic
+    * agrees bit-exactly between the engines.
+    */
+  private val MixWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (i % 4 match {
+      case 0 => 2.5; case 1 => 1.0; case 2 => 0.5; case _ => 0.125
+    })).toMap
 
   /** The messy-URL derivation — must construct the IDENTICAL string as
     * [[urlFixture]]. Page identity depends only on doc_id % 100; the
@@ -1868,6 +1894,29 @@ object SparkEntry {
         |    '\+\d{7,15}\b', '<PHONE>', 'g'),
         |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
         |FROM p ORDER BY doc_id""".stripMargin,
+    // sample_mixture: the whole deterministic copy assignment replayed
+    // (same md5-prefix hash as the split oracles; the fractional
+    // threshold compares in IEEE double on both engines; weights are
+    // exact binary fractions)
+    "sample_mixture" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    (CASE CAST(substr(source, 4) AS BIGINT) % 4
+        |       WHEN 0 THEN 2.5 WHEN 1 THEN 1.0 WHEN 2 THEN 0.5
+        |       ELSE 0.125 END)::DOUBLE AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, source, w,
+        |    (('0x' || substr(md5(doc_id || ':mix'), 1, 8))::BIGINT)::DOUBLE AS h
+        |  FROM w)
+        |SELECT doc_id, source,
+        |  CAST(floor(w) + (CASE WHEN h < (w - floor(w)) * 4294967296.0
+        |                        THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "sample_mixture_counts" ->
+      """SELECT source, count(*) AS n_docs_in,
+        |  CAST(sum(CASE WHEN n_copies > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+        |  CAST(sum(n_copies) AS BIGINT) AS n_rows_out
+        |FROM read_parquet('{OUT}/sample_mixture/*.parquet')
+        |GROUP BY source ORDER BY source""".stripMargin,
     // url_norm: the messy-URL fixture AND the entire normalization
     // (fragment strip, case fold, default-port drop, www strip, slash
     // collapse, tracking-param filter + bytewise sort) recomputed
