@@ -453,6 +453,33 @@ object SparkEntry {
           sum(col("n_copies")).as("n_rows_out"))
         .orderBy("source")),
 
+    // ---------- sequence packing (context-length training shards) ----
+    // n_tokens = the ws token count the text_tokens oracle already
+    // replays bit-exactly; ctx=64 exercises straddling docs AND
+    // oversize docs (corpus tokens span 10-99); all arithmetic integer
+    "pack_chunks" -> ((s, dir) =>
+      Packing.concatChunkSlices(
+        docs(s, dir).select(col("doc_id"),
+          TextStats.wsTokenCount(col("text")).as("n_tokens")),
+        ctxLen = 64, nShards = 25)
+        .select("doc_id", "shard", "tok_start", "seq_in_shard", "doc_off",
+          "seq_off", "len")
+        .orderBy("doc_id", "seq_in_shard")),
+    "pack_chunks_stats" -> ((s, dir) =>
+      Packing.packStats(
+        Packing.concatChunkSlices(
+          docs(s, dir).select(col("doc_id"),
+            TextStats.wsTokenCount(col("text")).as("n_tokens")),
+          ctxLen = 64, nShards = 25),
+        ctxLen = 64)
+        .orderBy("shard", "seq_in_shard")),
+    "pack_greedy" -> ((s, dir) =>
+      Packing.greedyPack(
+        docs(s, dir).select(col("doc_id"),
+          TextStats.wsTokenCount(col("text")).as("n_tokens")),
+        ctxLen = 64, nShards = 25)
+        .orderBy("doc_id")),
+
     // ---------- decontamination (eval-leakage sweep) ----------
     // bench set = every doc_id % 20 == 7 document (deterministic split
     // of the same table — no external data); corpus = the rest. The
@@ -1917,6 +1944,62 @@ object SparkEntry {
         |  CAST(sum(n_copies) AS BIGINT) AS n_rows_out
         |FROM read_parquet('{OUT}/sample_mixture/*.parquet')
         |GROUP BY source ORDER BY source""".stripMargin,
+    // pack_chunks: the entire concat-and-chunk manifest replayed —
+    // shard from the same md5-prefix hash, exclusive window cumsum per
+    // shard in doc_id order, slice boundaries by integer division.
+    // Token counts chain off the (oracle-green) text_tokens dump.
+    "pack_chunks" ->
+      """WITH tok AS (SELECT doc_id, CAST(n_ws_tokens AS BIGINT) AS n
+        |  FROM read_parquet('{OUT}/text_tokens/*.parquet') WHERE n_ws_tokens > 0),
+        |sh AS (SELECT doc_id, n,
+        |    CAST(('0x' || substr(md5(doc_id || ':pack'), 1, 8))::BIGINT % 25 AS INTEGER) AS shard
+        |  FROM tok),
+        |cum AS (SELECT doc_id, n, shard,
+        |    CAST(COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM sh),
+        |sl AS (SELECT doc_id, shard, tok_start, n,
+        |    unnest(generate_series(tok_start // 64, (tok_start + n - 1) // 64)) AS seq_in_shard
+        |  FROM cum)
+        |SELECT doc_id, shard, tok_start, seq_in_shard,
+        |  GREATEST(tok_start, seq_in_shard * 64) - tok_start AS doc_off,
+        |  GREATEST(tok_start, seq_in_shard * 64) - seq_in_shard * 64 AS seq_off,
+        |  LEAST(tok_start + n, (seq_in_shard + 1) * 64)
+        |    - GREATEST(tok_start, seq_in_shard * 64) AS len
+        |FROM sl ORDER BY doc_id, seq_in_shard""".stripMargin,
+    "pack_chunks_stats" ->
+      """SELECT shard, seq_in_shard, count(*) AS n_docs,
+        |  CAST(sum(len) AS BIGINT) AS fill,
+        |  64 - CAST(sum(len) AS BIGINT) AS waste
+        |FROM read_parquet('{OUT}/pack_chunks/*.parquet')
+        |GROUP BY shard, seq_in_shard ORDER BY shard, seq_in_shard""".stripMargin,
+    // pack_greedy: the no-split greedy fill is inherently sequential
+    // per shard — replayed with a recursive CTE stepping doc-by-doc
+    // down each shard (depth = max docs per shard; shards advance in
+    // lockstep breadth-first)
+    "pack_greedy" ->
+      """WITH RECURSIVE t0 AS (
+        |  SELECT doc_id, CAST(n_ws_tokens AS BIGINT) AS n,
+        |    CAST(('0x' || substr(md5(doc_id || ':pack'), 1, 8))::BIGINT % 25 AS INTEGER) AS shard
+        |  FROM read_parquet('{OUT}/text_tokens/*.parquet') WHERE n_ws_tokens > 0),
+        |t AS (SELECT doc_id, n, shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        |  FROM t0),
+        |g AS (
+        |  SELECT doc_id, shard, n, rn,
+        |    CAST(0 AS BIGINT) AS seq_in_shard, CAST(0 AS BIGINT) AS off_in_seq,
+        |    n AS fill
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.doc_id, t.shard, t.n, t.rn,
+        |    CASE WHEN g.fill + t.n > 64 THEN g.seq_in_shard + 1
+        |         ELSE g.seq_in_shard END,
+        |    CASE WHEN g.fill + t.n > 64 THEN CAST(0 AS BIGINT) ELSE g.fill END,
+        |    CASE WHEN g.fill + t.n > 64 THEN t.n ELSE g.fill + t.n END
+        |  FROM g JOIN t ON t.shard = g.shard AND t.rn = g.rn + 1)
+        |SELECT doc_id, shard, n AS n_tokens, seq_in_shard, off_in_seq,
+        |  n > 64 AS oversize
+        |FROM g ORDER BY doc_id""".stripMargin,
     // url_norm: the messy-URL fixture AND the entire normalization
     // (fragment strip, case fold, default-port drop, www strip, slash
     // collapse, tracking-param filter + bytewise sort) recomputed

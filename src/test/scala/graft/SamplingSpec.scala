@@ -84,16 +84,22 @@ class SamplingSpec extends AnyFunSuite {
   }
 
   test("plan: weights broadcast, corpus side never shuffles") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def exchanges(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case q: QueryStageExec => exchanges(q.plan)
+      case e: ShuffleExchangeLike => e +: p.children.flatMap(exchanges)
+      case _ => p.children.flatMap(exchanges)
+    }
     val w = Map("s0" -> 0.5, "s1" -> 1.5, "s2" -> 1.0, "s3" -> 0.25)
     val q = Sampling.sampleMixture(corpus(500), w)
     q.count()
     val plan = q.queryExecution.executedPlan
     assert(plan.toString.contains("BroadcastHashJoin"),
       s"weights join must broadcast:\n$plan")
-    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
-    // the only allowed exchange is the tiny weights side (if AQE picks
-    // one); the corpus scan must feed the join directly
-    assert(shuffles.isEmpty, s"corpus side must not shuffle:\n$plan")
+    // AQE-walked: the corpus scan must feed the join directly
+    assert(exchanges(plan).isEmpty, s"corpus side must not shuffle:\n$plan")
   }
 }
