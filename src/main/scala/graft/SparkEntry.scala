@@ -480,6 +480,25 @@ object SparkEntry {
         ctxLen = 64, nShards = 25)
         .orderBy("doc_id")),
 
+    // ---------- lexical search (BM25 inverted index) ----------
+    // postings/df are integer and fully SQL-replayed; the idf LUT is
+    // dumped as data (the log is the one transcendental — engines may
+    // differ in the last ulp) and the topk oracle JOINS it, replaying
+    // every downstream IEEE op and the sorted-term score fold exactly
+    "search_postings" -> ((s, dir) =>
+      Search.postings(docs(s, dir)).orderBy("term", "doc_id")),
+    "search_df" -> ((s, dir) =>
+      Search.docFreq(Search.postings(docs(s, dir))).orderBy("term")),
+    "search_idf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Search.idfTable(Search.docFreq(Search.postings(d)), d.count())
+        .orderBy("term")
+    }),
+    "search_topk" -> ((s, dir) =>
+      Search.bm25TopK(docs(s, dir), SearchFixtureQueries, k = 10)
+        .select("qid", "doc_id", "score", "rank")
+        .orderBy("qid", "rank")),
+
     // ---------- decontamination (eval-leakage sweep) ----------
     // bench set = every doc_id % 20 == 7 document (deterministic split
     // of the same table — no external data); corpus = the rest. The
@@ -1106,6 +1125,15 @@ object SparkEntry {
       |    ' at 10.' || (doc_id % 254 + 1) ||
       |    '.0.7 ssn 123-45-6789 card 4111 1111 1111 1111.' AS t
       |  FROM documents""".stripMargin
+
+  /** BM25 fixture queries over the documents vocabulary: one with the
+    * rare discriminative term ('dup', df≈5%), one mid-df, one broad.
+    * Terms listed sorted — the score fold order on both engines.
+    */
+  private val SearchFixtureQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("dup", "hash", "join"),
+    2 -> Seq("merge", "sort", "window"),
+    3 -> Seq("batch", "slow", "stream", "vector"))
 
   /** Mixture recipe for the sampling queries: src{i} weighted by i%4 —
     * 2.5 (upsample), 1.0 (keep), 0.5, 0.125 (downsample). All weights
@@ -1944,6 +1972,64 @@ object SparkEntry {
         |  CAST(sum(n_copies) AS BIGINT) AS n_rows_out
         |FROM read_parquet('{OUT}/sample_mixture/*.parquet')
         |GROUP BY source ORDER BY source""".stripMargin,
+    // search_postings: the inverted index replayed — lowercased ws
+    // tokenization (the text_tokens discipline), tf and dl exact
+    "search_postings" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |ex AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term
+        |  FROM toks WHERE len(ws) > 0)
+        |SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+        |FROM ex GROUP BY term, doc_id, dl ORDER BY term, doc_id""".stripMargin,
+    "search_df" ->
+      """SELECT term, CAST(count(*) AS BIGINT) AS df
+        |FROM (SELECT DISTINCT term, doc_id FROM (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> len(x) > 0)) AS term FROM documents))
+        |GROUP BY term ORDER BY term""".stripMargin,
+    // search_topk: scores replayed bit-exactly — idf JOINED from the
+    // engine's dumped LUT (never recomputing the log); every other op
+    // is IEEE +,*,/ in the spelled order, and the per-doc score folds
+    // matched-term partials in sorted term order (list_reduce folds
+    // left over the term-ordered list; the engine folds the
+    // term-sorted array with a 0.0 seed — identical bits since
+    // 0.0 + x == x)
+    "search_topk" ->
+      """WITH q(qid, term) AS (VALUES
+        |  (1, 'dup'), (1, 'hash'), (1, 'join'),
+        |  (2, 'merge'), (2, 'sort'), (2, 'window'),
+        |  (3, 'batch'), (3, 'slow'), (3, 'stream'), (3, 'vector')),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(len(list_filter(string_split(text, ' '),
+        |      x -> len(x) > 0))) AS BIGINT) AS t
+        |  FROM documents),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |post AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+        |          unnest(ws) AS term
+        |        FROM toks WHERE len(ws) > 0)
+        |  GROUP BY term, doc_id, dl),
+        |parts AS (SELECT q.qid, p.doc_id, p.term,
+        |    i.idf * ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |      (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) +
+        |        0.75 * (CAST(p.dl * s.n AS DOUBLE) / CAST(s.t AS DOUBLE)))))
+        |      AS partial
+        |  FROM post p
+        |  JOIN q ON q.term = p.term
+        |  JOIN read_parquet('{OUT}/search_idf/*.parquet') i ON i.term = p.term
+        |  CROSS JOIN stats s),
+        |scored AS (SELECT qid, doc_id,
+        |    list_reduce(list(partial ORDER BY term), (a, b) -> a + b) AS score
+        |  FROM parts GROUP BY qid, doc_id),
+        |ranked AS (SELECT qid, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT qid, doc_id, score, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // pack_chunks: the entire concat-and-chunk manifest replayed —
     // shard from the same md5-prefix hash, exclusive window cumsum per
     // shard in doc_id order, slice boundaries by integer division.
