@@ -128,6 +128,32 @@ object Bench {
           docs.filter(col("doc_id") % 20 === 7)
             .select(col("doc_id").as("bench_id"), col("text"))).count(); ()
       }),
+      "search_bm25" -> (() => {
+        // lexical top-k: postings build (one agg, persisted once per
+        // run) + broadcast query scoring + per-query rank windows
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val (topk, unpersist) = graft.operators.Search.bm25TopKWithHandle(
+          docs, Seq(1 -> Seq("dup", "hash", "join"),
+            2 -> Seq("merge", "sort", "window")), k = 10)
+        try { topk.count(); () } finally unpersist()
+      }),
+      "pack_chunks" -> (() => {
+        // context-length packing manifest: per-shard window cumsum +
+        // slice explode (the one-exchange path)
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        graft.operators.Packing.concatChunkSlices(
+          docs.select(col("doc_id"),
+            graft.operators.TextStats.wsTokenCount(col("text")).as("n_tokens")),
+          ctxLen = 64, nShards = 32).count(); ()
+      }),
+      "sample_mixture" -> (() => {
+        // data-recipe realization: broadcast weights + copy explode
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val w = (0 until 20).map(i => s"src$i" -> (i % 4 match {
+          case 0 => 2.5; case 1 => 1.0; case 2 => 0.5; case _ => 0.125
+        })).toMap
+        graft.operators.Sampling.sampleMixture(docs, w).count(); ()
+      }),
       "q1_agg" -> (() => {
         spark.read.parquet(s"$sfDir/lineitem.parquet")
           .groupBy("l_returnflag", "l_linestatus")
