@@ -601,6 +601,42 @@ object SparkEntry {
         Similarity.ivfCentroids(emb, 16), 4)
         .orderBy("query_id", "cell")
     }),
+    // ---------- PQ ANN (memory-bound scale path) ----------
+    // codebooks = oracle INPUT with a consistency oracle (training is
+    // iterative); encode and ADC topk are replayed BIT-EXACTLY in SQL
+    // (normalize/distances use only *, /, sqrt and spelled-order sums)
+    "ann_pq_codebooks" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Pq.codebooks(emb, 8, 16).toSeq
+        .map { case (sub, code, c) =>
+          (sub, code, c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7))
+        }
+        .toDF("sub", "code", "c1", "c2", "c3", "c4", "c5", "c6", "c7", "c8")
+        .orderBy("sub", "code")
+    }),
+    "ann_pq_codes" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Pq.encode(emb, Pq.codebooks(emb, 8, 16)).orderBy("id", "sub")
+    }),
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cbs = Pq.codebooks(emb, 8, 16)
+      Pq.topKWithCodebooks(Pq.encode(emb, cbs),
+        emb.orderBy("vec_id").limit(20), cbs, 10)
+        .orderBy("query_id", "rank")
+    }),
+    "ann_pq_rerank" -> ((s, dir) => {
+      // ADC shortlist (c=100) + exact double-precision cosine rerank —
+      // the IVFADC+R pattern; the cosine is replayed in SQL with
+      // spelled dim-order chains (only *, /, sqrt, + — all IEEE-exact)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cbs = Pq.codebooks(emb, 8, 16)
+      Pq.topKReranked(emb, emb.orderBy("vec_id").limit(20), k = 10,
+        c = 100, cbs, Pq.encode(emb, cbs))
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_ivf_centroids" -> ((s, dir) => {
       // the Lloyd-trained coarse quantizer itself — oracle INPUT
       // (training is iterative, not SQL-expressible; but given the
@@ -1135,6 +1171,32 @@ object SparkEntry {
     2 -> Seq("merge", "sort", "window"),
     3 -> Seq("batch", "slow", "stream", "vector"))
 
+  /** Spelled left-associated IEEE sums for the PQ oracles — the engine
+    * folds dims in ascending order with a 0.0 seed, which associates
+    * identically to SQL's left-assoc `+` chain (0.0 + x == x). Only
+    * *, /, sqrt appear (all exactly rounded per IEEE 754, so
+    * engine-portable — unlike log, which the idf LUT pattern handles).
+    */
+  private val PqNormChain: String =
+    (1 to 64).map(i => s"(embedding[$i]::DOUBLE * embedding[$i]::DOUBLE)")
+      .mkString(" + ")
+
+  private def pqDistChain(t: String): String =
+    (1 to 8).map { j =>
+      val e = s"($t.embedding[cb.sub * 8 + $j]::DOUBLE / $t.nrm - cb.c$j)"
+      s"($e * $e)"
+    }.mkString(" + ")
+
+  private def pqDotChain(a: String, b: String): String =
+    (1 to 64).map(i =>
+      s"($a.embedding[$i]::DOUBLE * $b.embedding[$i]::DOUBLE)")
+      .mkString(" + ")
+
+  private def pqNormChainFor(t: String): String =
+    (1 to 64).map(i =>
+      s"($t.embedding[$i]::DOUBLE * $t.embedding[$i]::DOUBLE)")
+      .mkString(" + ")
+
   /** Mixture recipe for the sampling queries: src{i} weighted by i%4 —
     * 2.5 (upsample), 1.0 (keep), 0.5, 0.125 (downsample). All weights
     * are exact binary fractions, so the IEEE threshold arithmetic
@@ -1281,6 +1343,85 @@ object SparkEntry {
         |WHERE p BETWEEN 0 AND 7 AND len(CAST(v_json AS FLOAT[])) = dim.d
         |  AND len([x for x in CAST(v_json AS FLOAT[]) if x < -1.0 OR x >= 1.0]) = 0
         |ORDER BY p""".stripMargin,
+    // ann_pq_codebooks: consistency oracle (training is iterative —
+    // given the codebooks, codes and topk ARE replayed exactly below)
+    "ann_pq_codebooks" ->
+      """SELECT sub, code, c1, c2, c3, c4, c5, c6, c7, c8
+        |FROM read_parquet('{OUT}/ann_pq_codebooks/*.parquet')
+        |WHERE sub BETWEEN 0 AND 7 AND code BETWEEN 0 AND 15
+        |ORDER BY sub, code""".stripMargin,
+    // ann_pq_codes: normalize + per-subspace argmin replayed exactly
+    // from the codebook dump (ties break on the lower code, as the
+    // engine's strict-< scan does)
+    "ann_pq_codes" ->
+      s"""WITH cb AS (SELECT * FROM read_parquet('{OUT}/ann_pq_codebooks/*.parquet')),
+        |n AS (SELECT vec_id, embedding, sqrt($PqNormChain) AS nrm FROM embeddings),
+        |d AS (SELECT n.vec_id AS id, cb.sub, cb.code,
+        |    ${pqDistChain("n")} AS dist
+        |  FROM n CROSS JOIN cb),
+        |r AS (SELECT id, sub, code,
+        |    row_number() OVER (PARTITION BY id, sub ORDER BY dist, code) AS rn
+        |  FROM d)
+        |SELECT id, sub, code FROM r WHERE rn = 1 ORDER BY id, sub""".stripMargin,
+    // ann_pq_topk: the ADC scan replayed — LUT from the codebook dump
+    // + query vectors, corpus side from the codes dump, parts summed
+    // in ascending sub order (list_reduce ≡ the engine's sorted fold)
+    "ann_pq_topk" ->
+      s"""WITH cb AS (SELECT * FROM read_parquet('{OUT}/ann_pq_codebooks/*.parquet')),
+        |qs AS (SELECT vec_id AS query_id, embedding FROM embeddings
+        |  ORDER BY vec_id LIMIT 20),
+        |qn AS (SELECT query_id, embedding, sqrt($PqNormChain) AS nrm FROM qs),
+        |lut AS (SELECT qn.query_id, cb.sub, cb.code,
+        |    ${pqDistChain("qn")} AS part
+        |  FROM qn CROSS JOIN cb),
+        |codes AS (SELECT * FROM read_parquet('{OUT}/ann_pq_codes/*.parquet')),
+        |parts AS (SELECT l.query_id, c.id, l.sub, l.part
+        |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code),
+        |scored AS (SELECT query_id, id,
+        |    list_reduce(list(part ORDER BY sub), (a, b) -> a + b) AS adc
+        |  FROM parts GROUP BY query_id, id),
+        |ranked AS (SELECT query_id, id, adc,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc, id) AS INTEGER) AS rank
+        |  FROM scored WHERE id <> query_id)
+        |SELECT query_id, id AS corpus_id, adc, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // ann_pq_rerank: the ADC shortlist (same replay, rank<=100) then
+    // exact double cosine over ONLY the shortlisted vectors — dot and
+    // norms as spelled dim-order chains, matching the engine's
+    // zip_with/aggregate folds bit for bit
+    "ann_pq_rerank" ->
+      s"""WITH cb AS (SELECT * FROM read_parquet('{OUT}/ann_pq_codebooks/*.parquet')),
+        |qs AS (SELECT vec_id AS query_id, embedding FROM embeddings
+        |  ORDER BY vec_id LIMIT 20),
+        |qn AS (SELECT query_id, embedding, sqrt($PqNormChain) AS nrm FROM qs),
+        |lut AS (SELECT qn.query_id, cb.sub, cb.code,
+        |    ${pqDistChain("qn")} AS part
+        |  FROM qn CROSS JOIN cb),
+        |codes AS (SELECT * FROM read_parquet('{OUT}/ann_pq_codes/*.parquet')),
+        |parts AS (SELECT l.query_id, c.id, l.sub, l.part
+        |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code),
+        |scored AS (SELECT query_id, id,
+        |    list_reduce(list(part ORDER BY sub), (a, b) -> a + b) AS adc
+        |  FROM parts GROUP BY query_id, id),
+        |cand AS (SELECT query_id, id FROM (
+        |    SELECT query_id, id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY adc, id) AS rn
+        |    FROM scored WHERE id <> query_id)
+        |  WHERE rn <= 100),
+        |cos AS (SELECT c.query_id, c.id AS corpus_id,
+        |    (${pqDotChain("ec", "eq")}) /
+        |      (sqrt(${pqNormChainFor("ec")}) * sqrt(${pqNormChainFor("eq")}))
+        |      AS cosine
+        |  FROM cand c
+        |  JOIN embeddings ec ON ec.vec_id = c.id
+        |  JOIN embeddings eq ON eq.vec_id = c.query_id),
+        |ranked AS (SELECT query_id, corpus_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, corpus_id) AS INTEGER) AS rank
+        |  FROM cos)
+        |SELECT query_id, corpus_id, cosine, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "ann_ivf_centroids" ->
       """WITH dim AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1)
         |SELECT cell, v_json FROM read_parquet('{OUT}/ann_ivf_centroids/*.parquet'), dim
