@@ -101,6 +101,15 @@ object Bench {
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         Similarity.ivfTopK(emb, emb.orderBy("vec_id").limit(20), 10).count(); ()
       }),
+      "ann_pq" -> (() => {
+        // the memory-bound path: train + encode + ADC scan + exact
+        // rerank of the c=100 shortlist
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val cbs = graft.operators.Pq.codebooks(emb, 8, 16)
+        graft.operators.Pq.topKReranked(emb,
+          emb.orderBy("vec_id").limit(20), 10, 100, cbs,
+          graft.operators.Pq.encode(emb, cbs)).count(); ()
+      }),
       "kg_incremental" -> (() => {
         import spark.implicits._
         if (incrRound == 0)
