@@ -499,6 +499,36 @@ object SparkEntry {
         .select("qid", "doc_id", "score", "rank")
         .orderBy("qid", "rank")),
 
+    // ---------- bigram LM quality scoring (KenLM/CCNet-style) -------
+    // reference slice = doc_id % 10 == 3; counts are integer (fully
+    // replayed); the log LUT dumps as data (the idf pattern) and the
+    // score oracle joins it, folding bigram log-probs in position
+    // order — scores hash-match bit-exactly
+    "lm_counts" -> ((s, dir) =>
+      NgramLm.counts(docs(s, dir).filter(col("doc_id") % 10 === 3))
+        .orderBy("w1", "w2")),
+    "lm_table" -> ((s, dir) => {
+      val ref = docs(s, dir).filter(col("doc_id") % 10 === 3)
+      NgramLm.lmTable(NgramLm.counts(ref), NgramLm.vocabSize(ref))
+        .orderBy("w1", "w2")
+    }),
+    "lm_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ref = d.filter(col("doc_id") % 10 === 3)
+      NgramLm.score(d,
+        NgramLm.lmTable(NgramLm.counts(ref), NgramLm.vocabSize(ref)))
+        .select("doc_id", "n_bigrams", "sum_lp", "avg_lp")
+        .orderBy("doc_id")
+    }),
+    "lm_keep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ref = d.filter(col("doc_id") % 10 === 3)
+      NgramLm.keep(NgramLm.score(d,
+        NgramLm.lmTable(NgramLm.counts(ref), NgramLm.vocabSize(ref))),
+        minAvgLp = -3.5)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // ---------- decontamination (eval-leakage sweep) ----------
     // bench set = every doc_id % 20 == 7 document (deterministic split
     // of the same table — no external data); corpus = the rest. The
@@ -2113,6 +2143,54 @@ object SparkEntry {
         |  CAST(sum(n_copies) AS BIGINT) AS n_rows_out
         |FROM read_parquet('{OUT}/sample_mixture/*.parquet')
         |GROUP BY source ORDER BY source""".stripMargin,
+    // lm_counts: the reference bigram counts replayed exactly
+    "lm_counts" ->
+      """WITH ref AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+        |  FROM documents WHERE doc_id % 10 = 3),
+        |ex0 AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, len(ws) - 1)) AS pos
+        |  FROM ref WHERE len(ws) >= 2),
+        |ex AS (SELECT ws[pos] AS w1, ws[pos + 1] AS w2 FROM ex0),
+        |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM ex GROUP BY w1, w2),
+        |h AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1)
+        |SELECT bg.w1, bg.w2, bg.c12, h.c1 FROM bg JOIN h ON h.w1 = bg.w1
+        |ORDER BY bg.w1, bg.w2""".stripMargin,
+    // lm_table: consistency oracle — every smoothed log-prob is a
+    // probability < 1, so lp < 0 for every row (the log itself is the
+    // one transcendental; lm_score below consumes the dumped values)
+    "lm_table" ->
+      """SELECT w1, w2, lp FROM read_parquet('{OUT}/lm_table/*.parquet')
+        |WHERE lp < 0 ORDER BY w1, w2""".stripMargin,
+    // lm_score: the whole scoring pass replayed — bigram explode, the
+    // three-tier seen/backoff/OOV resolution against the dumped LUT,
+    // position-ordered fold, one IEEE division
+    "lm_score" ->
+      """WITH lm AS (SELECT * FROM read_parquet('{OUT}/lm_table/*.parquet')),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |ex0 AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, len(ws) - 1)) AS pos
+        |  FROM toks WHERE len(ws) >= 2),
+        |ex AS (SELECT doc_id, pos, ws[pos] AS w1, ws[pos + 1] AS w2 FROM ex0),
+        |res AS (SELECT e.doc_id, e.pos,
+        |    COALESCE(s.lp, b.lp, o.lp) AS lp
+        |  FROM ex e
+        |  LEFT JOIN (SELECT w1, w2, lp FROM lm WHERE w2 <> '') s
+        |    ON s.w1 = e.w1 AND s.w2 = e.w2
+        |  LEFT JOIN (SELECT w1, lp FROM lm WHERE w2 = '' AND w1 <> '') b
+        |    ON b.w1 = e.w1
+        |  CROSS JOIN (SELECT lp FROM lm WHERE w1 = '' AND w2 = '') o),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list(lp ORDER BY pos), (a, c) -> a + c) AS sum_lp
+        |  FROM res GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, sum_lp, sum_lp / n_bigrams AS avg_lp
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "lm_keep" ->
+      """SELECT doc_id FROM read_parquet('{OUT}/lm_score/*.parquet')
+        |WHERE avg_lp >= -3.5 ORDER BY doc_id""".stripMargin,
     // search_postings: the inverted index replayed — lowercased ws
     // tokenization (the text_tokens discipline), tf and dl exact
     "search_postings" ->

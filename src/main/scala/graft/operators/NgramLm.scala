@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bigram language-model quality scoring — the KenLM/CCNet-style
+  * filter of a web-corpus pipeline: train n-gram counts on a trusted
+  * reference slice, score every document by its smoothed per-bigram
+  * log-probability, and keep documents above a threshold. Documents
+  * that look like the reference (natural prose) score high;
+  * boilerplate, gibberish, and wrong-language text score low.
+  *
+  * Scale shape: counting is one hash aggregation over the exploded
+  * bigram stream (map-side combine; compact (w1, w2, count) rows); the
+  * model table is vocabulary²-bounded and BROADCAST to the scoring
+  * pass, which is one projection + two broadcast left joins + one
+  * aggregation — the corpus text never rides an exchange.
+  *
+  * Determinism: counts are integers (fully SQL-replayable); the only
+  * transcendental is the smoothed log-probability, so — like the BM25
+  * idf — the (w1, w2, lp) model table is DUMPED as data and the
+  * scoring oracle JOINS it; the per-document sum folds bigram
+  * log-probs in position order and the average is one IEEE division,
+  * so scores replay bit-exactly.
+  *
+  * Smoothing: add-one over the reference head counts.
+  *   lp(w1,w2) = log((c12 + 1) / (c1 + V))   seen bigram
+  *   lp(w1,·)  = log(1 / (c1 + V))           seen head, unseen tail
+  *   lp(·,·)   = log(1 / V)                  unseen head (OOV)
+  * where c1 = Σ_w2 c12 (head-position count) and V = |ref vocab| + 1.
+  */
+object NgramLm {
+
+  /** Sentinel for the backoff/OOV rows of the model table — real
+    * tokens are never empty (the tokenizer drops empties).
+    */
+  val Backoff = ""
+
+  /** (doc key, pos, w1, w2) bigram stream — pure Column exprs (zip of
+    * the token array with its shift, posexplode), no UDF.
+    */
+  def bigrams(
+      docs: DataFrame,
+      textCol: String = "text",
+      keyCol: String = "doc_id"): DataFrame = {
+    val ws = Search.searchTokens(col(textCol))
+    docs
+      .select(col(keyCol).as("doc_id"), ws.as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), posexplode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1).as("w1"),
+        slice(col("ws"), lit(2), size(col("ws")) - 1).as("w2"))))
+      .select(col("doc_id"), col("pos"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"))
+  }
+
+  /** Reference bigram counts: (w1, w2, c12, c1) with c1 the
+    * head-position total. Integer, fully oracle-checkable.
+    */
+  def counts(refDocs: DataFrame, textCol: String = "text",
+      keyCol: String = "doc_id"): DataFrame = {
+    val bg = bigrams(refDocs, textCol, keyCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val heads = bg.groupBy("w1").agg(sum("c12").as("c1"))
+    bg.join(heads, Seq("w1")).select("w1", "w2", "c12", "c1")
+  }
+
+  /** The model table: seen-bigram rows + one backoff row per seen head
+    * (w2 = "") + one global OOV row (w1 = w2 = ""). lp is the one
+    * transcendental — this table is the dumped LUT the scoring oracle
+    * joins.
+    */
+  def lmTable(counts: DataFrame, vocabSize: Long): DataFrame = {
+    val v = lit(vocabSize.toDouble)
+    val seen = counts.select(col("w1"), col("w2"),
+      log((col("c12") + lit(1.0)) / (col("c1") + v)).as("lp"))
+    val backoff = counts.groupBy("w1").agg(max("c1").as("c1"))
+      .select(col("w1"), lit(Backoff).as("w2"),
+        log(lit(1.0) / (col("c1") + v)).as("lp"))
+    val oov = counts.sparkSession.range(1)
+      .select(lit(Backoff).as("w1"), lit(Backoff).as("w2"),
+        log(lit(1.0) / v).as("lp"))
+    seen.unionByName(backoff).unionByName(oov)
+  }
+
+  /** Reference vocabulary size + 1 (the OOV type). */
+  def vocabSize(refDocs: DataFrame, textCol: String = "text"): Long = {
+    import refDocs.sparkSession.implicits._
+    refDocs.select(explode(Search.searchTokens(col(textCol))).as("w"))
+      .distinct().count() + 1
+  }
+
+  /** Per-document LM score: n_bigrams, total log-prob (folded in
+    * position order), and the average (one IEEE division). Two
+    * broadcast left joins resolve each bigram to seen / backoff / OOV.
+    */
+  def score(
+      docs: DataFrame, lm: DataFrame,
+      textCol: String = "text", keyCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the model is broadcast-sized BY CONTRACT (it is the build side
+    // of every scoring join) — materialize it once instead of
+    // replaying its counting subplan under each of the three branches
+    val rows = lm.select(col("w1"), col("w2"), col("lp"))
+      .as[(String, String, Double)].collect()
+    val seen = rows.filter(_._2 != Backoff).toSeq
+      .toDF("w1", "w2", "lp_seen")
+    val backoff = rows.filter(r => r._2 == Backoff && r._1 != Backoff)
+      .map(r => (r._1, r._3)).toSeq.toDF("w1", "lp_backoff")
+    val oovLp = rows.filter(r => r._1 == Backoff && r._2 == Backoff)
+      .map(_._3).toSeq.toDF("lp")
+    val resolved = bigrams(docs, textCol, keyCol)
+      .join(broadcast(seen), Seq("w1", "w2"), "left")
+      .join(broadcast(backoff), Seq("w1"), "left")
+      .crossJoin(broadcast(oovLp))
+      .withColumn("lp_r",
+        coalesce(col("lp_seen"), col("lp_backoff"), col("lp")))
+    resolved
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        collect_list(struct(col("pos"), col("lp_r"))).as("ps"))
+      .withColumn("sum_lp",
+        aggregate(sort_array(col("ps")), lit(0.0),
+          (acc, x) => acc + x.getField("lp_r")))
+      .withColumn("avg_lp", col("sum_lp") / col("n_bigrams"))
+      .drop("ps")
+  }
+
+  /** The quality keep-filter: documents whose average bigram log-prob
+    * under the reference model clears `minAvgLp`.
+    */
+  def keep(scored: DataFrame, minAvgLp: Double): DataFrame =
+    scored.where(col("avg_lp") >= minAvgLp)
+}

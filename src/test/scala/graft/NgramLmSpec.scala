@@ -1,0 +1,127 @@
+package graft
+
+import graft.operators.NgramLm
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bigram LM quality scoring: count goldens, smoothing tiers
+  * (seen/backoff/OOV), driver-side bit-exact score replay, the
+  * quality ordering it exists to produce, partition invariance, and
+  * the broadcast-only scoring plan.
+  */
+class NgramLmSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  private def df(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("bigram counts golden incl. head totals") {
+    import spark.implicits._
+    val ref = df(Seq((1L, "a b a b c"), (2L, "a b")))
+    // bigrams: (a,b)x3 (b,a) (b,c)
+    val got = NgramLm.counts(ref).as[(String, String, Long, Long)]
+      .collect().toSet
+    assert(got == Set(("a", "b", 3L, 3L), ("b", "a", 1L, 2L), ("b", "c", 1L, 2L)))
+    assert(NgramLm.vocabSize(ref) == 4L) // a b c + OOV
+  }
+
+  test("model table has the three smoothing tiers with add-one values") {
+    import spark.implicits._
+    val ref = df(Seq((1L, "a b a b c"), (2L, "a b")))
+    val v = NgramLm.vocabSize(ref)
+    val lm = NgramLm.lmTable(NgramLm.counts(ref), v)
+      .as[(String, String, Double)].collect().toMap2
+    assert(lm(("a", "b")) == math.log((3.0 + 1.0) / (3.0 + 4.0)))
+    assert(lm(("a", "")) == math.log(1.0 / (3.0 + 4.0)))
+    assert(lm(("b", "")) == math.log(1.0 / (2.0 + 4.0)))
+    assert(lm(("", "")) == math.log(1.0 / 4.0))
+    assert(lm.values.forall(_ < 0.0))
+  }
+
+  implicit class ToMap2(rows: Array[(String, String, Double)]) {
+    def toMap2: Map[(String, String), Double] =
+      rows.map { case (a, b, c) => (a, b) -> c }.toMap
+  }
+
+  test("scores replay bit-exactly against a driver-side fold") {
+    import spark.implicits._
+    val ref = df(Seq((1L, "a b a b c"), (2L, "a b c a")))
+    val v = NgramLm.vocabSize(ref)
+    val lm = NgramLm.lmTable(NgramLm.counts(ref), v)
+    val lmMap = lm.as[(String, String, Double)].collect().toMap2
+    val docs = df(Seq((10L, "a b c"), (11L, "a zzz b"), (12L, "qq rr")))
+    val got = NgramLm.score(docs, lm)
+      .select("doc_id", "n_bigrams", "sum_lp", "avg_lp")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    def lp(w1: String, w2: String): Double =
+      lmMap.getOrElse((w1, w2),
+        lmMap.getOrElse((w1, ""), lmMap(("", ""))))
+    for ((id, text) <- Seq((10L, "a b c"), (11L, "a zzz b"), (12L, "qq rr"))) {
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val lps = ws.sliding(2).map(p => lp(p(0), p(1))).toSeq
+      val sum = lps.foldLeft(0.0)(_ + _)
+      val (gid, gn, gsum, gavg) = got(id)
+      assert(gn == lps.size && gid == id)
+      assert(java.lang.Double.doubleToLongBits(gsum) ==
+        java.lang.Double.doubleToLongBits(sum), s"doc $id sum")
+      assert(java.lang.Double.doubleToLongBits(gavg) ==
+        java.lang.Double.doubleToLongBits(sum / lps.size), s"doc $id avg")
+    }
+  }
+
+  test("quality ordering: reference-like text outscores OOV gibberish") {
+    import spark.implicits._
+    val ref = df(Seq((1L, "the cat sat on the mat"), (2L, "the dog sat on the rug")))
+    val lm = NgramLm.lmTable(NgramLm.counts(ref), NgramLm.vocabSize(ref))
+    val docs = df(Seq(
+      (10L, "the cat sat on the rug"), // in-domain
+      (11L, "the cat xyzzy plugh mat"), // partial junk
+      (12L, "xx yy zz ww qq pp"))) // OOV junk
+    val s = NgramLm.score(docs, lm).select("doc_id", "avg_lp")
+      .as[(Long, Double)].collect().toMap
+    assert(s(10L) > s(11L) && s(11L) > s(12L), s"ordering: $s")
+    // keep-filter retains exactly the docs above the cut
+    val kept = NgramLm.keep(NgramLm.score(docs, lm), s(11L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 11L))
+  }
+
+  test("partition invariance") {
+    import spark.implicits._
+    val ref = df((0 until 40).map(i => (i.toLong, s"w${i % 5} w${(i + 1) % 5} w${(i + 2) % 7}")))
+    val lm = NgramLm.lmTable(NgramLm.counts(ref), NgramLm.vocabSize(ref))
+    val docs = df((0 until 100).map(i => (i.toLong, s"w${i % 7} w${(i * 3) % 7} w${i % 5}")))
+    def run(d: DataFrame) = NgramLm.score(d, lm)
+      .select("doc_id", "sum_lp").as[(Long, Double)].collect()
+      .sortBy(_._1).toList
+    assert(run(docs) == run(docs.repartition(13)))
+  }
+
+  test("plan: scoring is broadcast-only — corpus text never shuffles") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def exchanges(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case q: QueryStageExec => exchanges(q.plan)
+      case e: ShuffleExchangeLike => e +: p.children.flatMap(exchanges)
+      case _ => p.children.flatMap(exchanges)
+    }
+    import spark.implicits._
+    val ref = df((0 until 40).map(i => (i.toLong, s"w${i % 5} w${(i + 1) % 5}")))
+    val lm = NgramLm.lmTable(NgramLm.counts(ref), NgramLm.vocabSize(ref))
+    val docs = df((0 until 100).map(i => (i.toLong, s"w${i % 7} w${(i * 3) % 7} w${i % 5}")))
+    val q = NgramLm.score(docs, lm)
+    q.count()
+    val exs = exchanges(q.queryExecution.executedPlan)
+    // the only exchange is the per-doc aggregation of (pos, lp) rows
+    assert(exs.size <= 1, s"scoring must not shuffle the corpus:\n${q.queryExecution.executedPlan}")
+    assert(!exs.exists(_.child.output.exists(_.name == "text")),
+      s"raw text in an exchange:\n${q.queryExecution.executedPlan}")
+  }
+}
