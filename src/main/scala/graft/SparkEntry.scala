@@ -499,6 +499,20 @@ object SparkEntry {
         .select("qid", "doc_id", "score", "rank")
         .orderBy("qid", "rank")),
 
+    // ---------- line-level boilerplate removal (CCNet-style) --------
+    // planted multi-line fixture (the corpus has no newlines): every
+    // doc gains a high-df newsletter line (df ~ N/3, struck), a
+    // mid-df copyright line (df = N/50 — kept at sf0.001, struck at
+    // sf0.01: the threshold semantics scale-tested for free), and a
+    // unique footnote. The oracle replays the normalized 64-bit
+    // rolling hash per line in HUGEINT (the text_fingerprint
+    // discipline), so collisions — if any — count identically.
+    "line_stats" -> ((s, dir) =>
+      Lines.lineDocFreq(lineFixture(docs(s, dir))).orderBy("h")),
+    "line_clean" -> ((s, dir) =>
+      Lines.removeBoilerplate(lineFixture(docs(s, dir)), maxDocFreq = 50)
+        .select("doc_id", "clean_text").orderBy("doc_id")),
+
     // ---------- bigram LM quality scoring (KenLM/CCNet-style) -------
     // reference slice = doc_id % 10 == 3; counts are integer (fully
     // replayed); the log LUT dumps as data (the idf pattern) and the
@@ -1191,6 +1205,18 @@ object SparkEntry {
       |    ' at 10.' || (doc_id % 254 + 1) ||
       |    '.0.7 ssn 123-45-6789 card 4111 1111 1111 1111.' AS t
       |  FROM documents""".stripMargin
+
+  /** The planted multi-line derivation for the line-dedup queries —
+    * the SQL oracles construct the IDENTICAL string with chr(10) and
+    * integer-to-string concatenation.
+    */
+  private def lineFixture(d: DataFrame): DataFrame =
+    d.withColumn("text", concat_ws("\n",
+      col("text"),
+      concat(lit("subscribe to our newsletter "),
+        (col("doc_id") % 3).cast("string")),
+      concat(lit("copyright footer "), (col("doc_id") % 50).cast("string")),
+      concat(lit("doc footnote "), col("doc_id").cast("string"))))
 
   /** BM25 fixture queries over the documents vocabulary: one with the
     * rare discriminative term ('dup', df≈5%), one mid-df, one broad.
@@ -2143,6 +2169,69 @@ object SparkEntry {
         |  CAST(sum(n_copies) AS BIGINT) AS n_rows_out
         |FROM read_parquet('{OUT}/sample_mixture/*.parquet')
         |GROUP BY source ORDER BY source""".stripMargin,
+    // line_stats: the planted fixture AND the per-line normalized
+    // rolling hash replayed in HUGEINT mod 2^64 (the text_fingerprint
+    // discipline), then distinct-doc counting by the same hash
+    "line_stats" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || chr(10) || 'subscribe to our newsletter ' || (doc_id % 3)
+        |         || chr(10) || 'copyright footer ' || (doc_id % 50)
+        |         || chr(10) || 'doc footnote ' || doc_id AS t
+        |  FROM documents),
+        |ls0 AS (SELECT doc_id, string_split(t, chr(10)) AS arr FROM d),
+        |ex AS (SELECT doc_id, arr,
+        |    unnest(generate_series(1, len(arr))) AS pos FROM ls0),
+        |li AS (SELECT doc_id, arr[pos] AS line FROM ex),
+        |norm AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(line), '\s+', ' ', 'g')) AS s FROM li),
+        |hh AS (SELECT doc_id,
+        |    list_reduce(list_prepend(1125899906842597::HUGEINT,
+        |      [unicode(c) for c in string_split_regex(s, '')]),
+        |      (acc, c) -> (31::HUGEINT * acc + c)
+        |        % 18446744073709551616::HUGEINT) AS hu
+        |  FROM norm),
+        |sg AS (SELECT doc_id,
+        |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |         THEN hu - 18446744073709551616::HUGEINT
+        |         ELSE hu END AS BIGINT) AS h
+        |  FROM hh)
+        |SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        |FROM sg GROUP BY h ORDER BY h""".stripMargin,
+    // line_clean: blocklist chained off the line_stats dump; each
+    // line hashed again, boilerplate struck, survivors re-joined in
+    // position order; fully-emptied docs keep an empty string
+    "line_clean" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || chr(10) || 'subscribe to our newsletter ' || (doc_id % 3)
+        |         || chr(10) || 'copyright footer ' || (doc_id % 50)
+        |         || chr(10) || 'doc footnote ' || doc_id AS t
+        |  FROM documents),
+        |ls0 AS (SELECT doc_id, string_split(t, chr(10)) AS arr FROM d),
+        |ex AS (SELECT doc_id, arr,
+        |    unnest(generate_series(1, len(arr))) AS pos FROM ls0),
+        |li AS (SELECT doc_id, pos, arr[pos] AS line FROM ex),
+        |norm AS (SELECT doc_id, pos, line,
+        |    trim(regexp_replace(lower(line), '\s+', ' ', 'g')) AS s FROM li),
+        |hh AS (SELECT doc_id, pos, line,
+        |    list_reduce(list_prepend(1125899906842597::HUGEINT,
+        |      [unicode(c) for c in string_split_regex(s, '')]),
+        |      (acc, c) -> (31::HUGEINT * acc + c)
+        |        % 18446744073709551616::HUGEINT) AS hu
+        |  FROM norm),
+        |sg AS (SELECT doc_id, pos, line,
+        |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |         THEN hu - 18446744073709551616::HUGEINT
+        |         ELSE hu END AS BIGINT) AS h
+        |  FROM hh),
+        |kept AS (SELECT doc_id, pos, line FROM sg
+        |  WHERE h NOT IN (SELECT h FROM read_parquet('{OUT}/line_stats/*.parquet')
+        |                  WHERE doc_freq > 50)),
+        |cl AS (SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(cl.clean_text, '') AS clean_text
+        |FROM d LEFT JOIN cl ON cl.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // lm_counts: the reference bigram counts replayed exactly
     "lm_counts" ->
       """WITH ref AS (SELECT doc_id,
