@@ -155,6 +155,21 @@ object Bench {
             graft.operators.TextStats.wsTokenCount(col("text")).as("n_tokens")),
           ctxLen = 64, nShards = 32).count(); ()
       }),
+      "line_dedup" -> (() => {
+        // CCNet-style line-level boilerplate strike: two (hash, doc)
+        // aggs + bounded blocklist collect + zero-exchange rewrite.
+        // The agg over length() forces the rewrite projection — a bare
+        // count() would prune the deterministic UDF column away.
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .withColumn("text", concat_ws("\n", col("text"),
+            concat(lit("subscribe to our newsletter "),
+              (col("doc_id") % 3).cast("string")),
+            concat(lit("copyright footer "),
+              (col("doc_id") % 50).cast("string")),
+            concat(lit("doc footnote "), col("doc_id").cast("string"))))
+        graft.operators.Lines.removeBoilerplate(docs, maxDocFreq = 50)
+          .agg(sum(length(col("clean_text")))).collect(); ()
+      }),
       "sample_mixture" -> (() => {
         // data-recipe realization: broadcast weights + copy explode
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
