@@ -315,6 +315,25 @@ object SparkEntry {
     "dedup_minhash_clusters" -> ((s, dir) =>
       Dedup.minhashClusters(docs(s, dir), threshold = 0.5)
         .orderBy("doc_id")),
+
+    // ---------- exact substring (span-level) dedup ------------------
+    // Lee et al. 2021 ExactSubstr: every occurrence of a duplicated
+    // k-token window struck (k=8 here — the small-vocab corpus has
+    // ~1.1k naturally duplicated 8-grams at sf0.001, so the operator
+    // has real work without a planted fixture). The oracle folds the
+    // SAME rolling window hash in HUGEINT mod 2^64 from the dumped
+    // per-token murmur parameters, merges covered intervals with SQL
+    // islands, and rebuilds clean_text char-exactly.
+    "span_token_hashes" -> ((s, dir) =>
+      // case-preserving (token, h) murmur parameters — oracle INPUT;
+      // its own oracle re-derives the token key set from documents
+      SpanDedup.tokenHashes(docs(s, dir)).orderBy("token")),
+    "span_dup" -> ((s, dir) =>
+      SpanDedup.dupSpans(docs(s, dir), k = 8)
+        .orderBy("doc_id", "start_tok")),
+    "span_clean" -> ((s, dir) =>
+      SpanDedup.removeDupSpans(docs(s, dir), k = 8)
+        .select("doc_id", "clean_text").orderBy("doc_id")),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir)).orderBy("id_a", "id_b")),
     "dedup_simhash_sigs" -> ((s, dir) =>
@@ -1543,6 +1562,68 @@ object SparkEntry {
         |SELECT t.token, d.h1, d.h2
         |FROM t LEFT JOIN read_parquet('{OUT}/dedup_token_hashes/*.parquet') d USING (token)
         |ORDER BY token""".stripMargin,
+    // span_token_hashes: key-set completeness (case-preserving
+    // whitespace tokens; hash values are parameters, passed through)
+    "span_token_hashes" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents),
+        |t AS (SELECT token FROM toks WHERE token <> '')
+        |SELECT t.token, d.h
+        |FROM t LEFT JOIN read_parquet('{OUT}/span_token_hashes/*.parquet') d USING (token)
+        |ORDER BY token""".stripMargin,
+    // span_dup: the full ExactSubstr flag pass replayed — rolling
+    // window hash folded in HUGEINT mod 2^64 from the dumped murmur
+    // parameters, corpus-wide occurrence count, islands merge (k=8;
+    // pos sorted and k constant, so the running island end is
+    // prev_max(pos)+8)
+    "span_dup" ->
+      """WITH d0 AS (SELECT doc_id::BIGINT AS doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS token,
+        |    unnest(generate_series(1, len(ts))) AS p FROM d0),
+        |th AS (SELECT tok.doc_id, tok.p, h.h
+        |  FROM tok JOIN read_parquet('{OUT}/span_token_hashes/*.parquet') h USING (token)),
+        |hl AS (SELECT doc_id, list(h::HUGEINT ORDER BY p) AS hs FROM th GROUP BY doc_id),
+        |st AS (SELECT doc_id, hs,
+        |    unnest(generate_series(1, len(hs) - 7)) AS s FROM hl),
+        |wh0 AS (SELECT doc_id, s,
+        |    list_reduce(list_prepend(1469598103934665603::HUGEINT, hs[s:s+7]),
+        |      (acc, h) -> (acc * 1099511628211::HUGEINT
+        |          + ((h + 18446744073709551616::HUGEINT)
+        |             % 18446744073709551616::HUGEINT))
+        |        % 18446744073709551616::HUGEINT) AS wh
+        |  FROM st),
+        |dup AS (SELECT wh FROM wh0 GROUP BY wh HAVING count(*) > 1),
+        |fl AS (SELECT doc_id, s - 1 AS pos FROM wh0
+        |  WHERE wh IN (SELECT wh FROM dup)),
+        |m AS (SELECT doc_id, pos,
+        |    COALESCE((pos > max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 8)::INT, 1) AS brk
+        |  FROM fl),
+        |g AS (SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m)
+        |SELECT doc_id, min(pos)::INT AS start_tok, (max(pos) + 8)::INT AS end_tok
+        |FROM g GROUP BY doc_id, grp ORDER BY doc_id, start_tok""".stripMargin,
+    // span_clean: kept tokens = positions covered by NO span_dup
+    // interval, re-joined by single spaces in position order;
+    // fully-struck and empty docs keep an empty string
+    "span_clean" ->
+      """WITH d0 AS (SELECT doc_id::BIGINT AS doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS token,
+        |    unnest(generate_series(0, len(ts) - 1)) AS pos FROM d0),
+        |kept AS (SELECT t.doc_id, t.pos, t.token FROM tok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{OUT}/span_dup/*.parquet') c
+        |    WHERE c.doc_id = t.doc_id
+        |      AND t.pos >= c.start_tok AND t.pos < c.end_tok)),
+        |cl AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(cl.clean_text, '') AS clean_text
+        |FROM d0 d LEFT JOIN cl USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_shingle_hashes" ->
       s"""WITH d0 AS (SELECT doc_id, $WordsSql AS ws FROM documents),
         |sh AS (SELECT doc_id, $WordShinglesSql AS gs FROM d0),
