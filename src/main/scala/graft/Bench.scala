@@ -155,6 +155,15 @@ object Bench {
             graft.operators.TextStats.wsTokenCount(col("text")).as("n_tokens")),
           ctxLen = 64, nShards = 32).count(); ()
       }),
+      "span_dedup" -> (() => {
+        // ExactSubstr: persisted window pass + flag agg + broadcast
+        // rewrite; agg forces the UDF projection (count would prune it)
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val (cleaned, release) = graft.operators.SpanDedup
+          .removeDupSpansWithHandle(docs, k = 8)
+        try { cleaned.agg(sum(length(col("clean_text")))).collect(); () }
+        finally release()
+      }),
       "line_dedup" -> (() => {
         // CCNet-style line-level boilerplate strike: two (hash, doc)
         // aggs + bounded blocklist collect + zero-exchange rewrite.
