@@ -562,6 +562,42 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // ---------- naive-Bayes document classification -----------------
+    // fastText-style domain/provenance classifier; train slice =
+    // doc_id % 7 == 3, labeled by the source column (no external data;
+    // gcd(7,20)=1 so the slice covers all 20 labels — a %10 slice
+    // would alias to 2). Counts/priors are integers (fully replayed);
+    // the log LUTs
+    // dump as data (the idf/LM pattern) and the scoring oracle joins
+    // them — bit-exact scores, so the argmax prediction replays too.
+    "nb_counts" -> ((s, dir) =>
+      Classify.counts(docs(s, dir).filter(col("doc_id") % 7 === 3))
+        .orderBy("label", "token")),
+    "nb_priors" -> ((s, dir) =>
+      Classify.priors(docs(s, dir).filter(col("doc_id") % 7 === 3))
+        .orderBy("label")),
+    "nb_table" -> ((s, dir) => {
+      val tr = docs(s, dir).filter(col("doc_id") % 7 === 3)
+      Classify.nbTable(Classify.counts(tr), Classify.vocabSize(tr))
+        .orderBy("label", "token")
+    }),
+    "nb_scores" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tr = d.filter(col("doc_id") % 7 === 3)
+      Classify.score(d,
+        Classify.nbTable(Classify.counts(tr), Classify.vocabSize(tr)),
+        Classify.priors(tr))
+        .orderBy("doc_id", "label")
+    }),
+    "nb_pred" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tr = d.filter(col("doc_id") % 7 === 3)
+      Classify.predict(Classify.score(d,
+        Classify.nbTable(Classify.counts(tr), Classify.vocabSize(tr)),
+        Classify.priors(tr)))
+        .orderBy("doc_id")
+    }),
+
     // ---------- decontamination (eval-leakage sweep) ----------
     // bench set = every doc_id % 20 == 7 document (deterministic split
     // of the same table — no external data); corpus = the rest. The
@@ -2361,6 +2397,75 @@ object SparkEntry {
     "lm_keep" ->
       """SELECT doc_id FROM read_parquet('{OUT}/lm_score/*.parquet')
         |WHERE avg_lp >= -3.5 ORDER BY doc_id""".stripMargin,
+    // nb_counts: the (label, token) training counts and label totals
+    // replayed exactly
+    "nb_counts" ->
+      """WITH tr AS (SELECT source AS label, text FROM documents
+        |  WHERE doc_id % 7 = 3),
+        |ex AS (SELECT label, unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> len(x) > 0)) AS token FROM tr),
+        |c AS (SELECT label, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM ex GROUP BY label, token),
+        |t AS (SELECT label, CAST(sum(c) AS BIGINT) AS c_label
+        |  FROM c GROUP BY label)
+        |SELECT c.label, c.token, c.c, t.c_label
+        |FROM c JOIN t USING (label) ORDER BY label, token""".stripMargin,
+    // nb_priors: doc counts replayed; the log prior passes through as
+    // dumped data (key-set-checked)
+    "nb_priors" ->
+      """WITH k AS (SELECT source AS label, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents WHERE doc_id % 7 = 3 GROUP BY source)
+        |SELECT k.label, k.n_docs, d.lp_prior
+        |FROM k LEFT JOIN read_parquet('{OUT}/nb_priors/*.parquet') d USING (label)
+        |ORDER BY label""".stripMargin,
+    // nb_table: key-set completeness — every (label, trained token)
+    // plus one backoff row per label, logs passed through as data
+    "nb_table" ->
+      """WITH tr AS (SELECT source AS label, text FROM documents
+        |  WHERE doc_id % 7 = 3),
+        |ex0 AS (SELECT label, unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> len(x) > 0)) AS token FROM tr),
+        |ex AS (SELECT DISTINCT label, token FROM ex0),
+        |keys AS (SELECT label, token FROM ex
+        |  UNION SELECT DISTINCT label, '' AS token FROM ex)
+        |SELECT k.label, k.token, d.lw
+        |FROM keys k LEFT JOIN read_parquet('{OUT}/nb_table/*.parquet') d
+        |  ON d.label = k.label AND d.token = k.token
+        |ORDER BY k.label, k.token""".stripMargin,
+    // nb_scores: the whole scoring pass replayed — token explode x
+    // label cross join, seen/backoff resolution against the dumped
+    // LUT, position-ordered fold, prior add — bit-exact
+    "nb_scores" ->
+      """WITH nb AS (SELECT * FROM read_parquet('{OUT}/nb_table/*.parquet')),
+        |pr AS (SELECT * FROM read_parquet('{OUT}/nb_priors/*.parquet')),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |ex AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS pos
+        |  FROM toks WHERE len(ws) > 0),
+        |tw AS (SELECT doc_id, pos, ws[pos] AS w FROM ex),
+        |res AS (SELECT t.doc_id, p.label, t.pos, p.lp_prior,
+        |    COALESCE(s.lw, b.lw) AS lw
+        |  FROM tw t CROSS JOIN pr p
+        |  LEFT JOIN (SELECT label, token, lw FROM nb WHERE token <> '') s
+        |    ON s.label = p.label AND s.token = t.w
+        |  LEFT JOIN (SELECT label, lw FROM nb WHERE token = '') b
+        |    ON b.label = p.label),
+        |agg AS (SELECT doc_id, label, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    max(lp_prior) AS lp_prior,
+        |    list_reduce(list(lw ORDER BY pos), (a, c) -> a + c) AS sum_lw
+        |  FROM res GROUP BY doc_id, label)
+        |SELECT doc_id, label, n_tokens, sum_lw, lp_prior + sum_lw AS score
+        |FROM agg ORDER BY doc_id, label""".stripMargin,
+    // nb_pred: argmax chained off the (itself bit-exact) scores dump;
+    // ties break by label ascending
+    "nb_pred" ->
+      """SELECT doc_id, pred, score FROM (
+        |  SELECT doc_id, label AS pred, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, label) AS rn
+        |  FROM read_parquet('{OUT}/nb_scores/*.parquet'))
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // search_postings: the inverted index replayed — lowercased ws
     // tokenization (the text_tokens discipline), tf and dl exact
     "search_postings" ->

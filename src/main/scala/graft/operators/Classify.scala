@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** FastText-style document classification — the domain/provenance
+  * classifier of an LLM corpus pipeline (CCNet's language buckets,
+  * RedPajama's domain mixes, quality-tier routing): a multinomial
+  * naive-Bayes model over lowercased word tokens, trained on a LABELED
+  * slice of the corpus itself (label = the `source` column of the
+  * documents table; no external data), scoring every document against
+  * every label and predicting by argmax.
+  *
+  *   score(d, l) = log P(l) + Σ_i log P(w_i | l)
+  *   log P(w|l)  = log((c_lw + 1) / (c_l + V))   seen (label, token)
+  *   log P(·|l)  = log(1 / (c_l + V))            unseen-for-label token
+  * with c_l = Σ_w c_lw, V = |train vocab| + 1 (add-one smoothing, same
+  * family as [[NgramLm]]).
+  *
+  * Scale shape: training is one hash aggregation over the exploded
+  * (label, token) stream; the model is (labels × vocab)-bounded and
+  * BROADCAST (materialized once, like the LM table). Scoring explodes
+  * the token stream, resolves each (token, label) against the
+  * broadcast seen/backoff tables, and aggregates per (doc, label) —
+  * corpus text rides no exchange; the shuffle carries (doc, label)
+  * keyed partial aggregates only. Prediction is one per-doc window.
+  *
+  * Determinism: counts and priors' doc counts are integers (fully
+  * SQL-replayable); the log LUTs dump as data (the idf/LM pattern) and
+  * the scoring oracle JOINS them, folding per-(doc,label) log-probs in
+  * position order — bit-exact score hash-match, so the argmax (ties
+  * broken by label ascending) replays too.
+  */
+object Classify {
+
+  /** Sentinel token of the per-label backoff rows — real tokens are
+    * never empty.
+    */
+  val Backoff = ""
+
+  /** (doc_id, pos, w) unigram stream — pure Column exprs. Docs with no
+    * tokens emit nothing (and are absent from scores/predictions —
+    * there is no evidence to classify).
+    */
+  def tokens(
+      docs: DataFrame,
+      textCol: String = "text",
+      keyCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(keyCol).as("doc_id"),
+        posexplode(Search.searchTokens(col(textCol))).as(Seq("pos", "w")))
+
+  /** Training counts: (label, token, c, c_label) with c_label the
+    * label's total token count. Integer, fully oracle-checkable.
+    */
+  def counts(
+      train: DataFrame,
+      labelCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val c = train
+      .select(col(labelCol).as("label"),
+        explode(Search.searchTokens(col(textCol))).as("w"))
+      .groupBy("label", "w").agg(count(lit(1)).as("c"))
+    val totals = c.groupBy("label").agg(sum("c").as("c_label"))
+    c.join(totals, Seq("label"))
+      .select(col("label"), col("w").as("token"), col("c"), col("c_label"))
+  }
+
+  /** Train vocabulary size + 1 (the OOV type). */
+  def vocabSize(train: DataFrame, textCol: String = "text"): Long =
+    train.select(explode(Search.searchTokens(col(textCol))).as("w"))
+      .distinct().count() + 1
+
+  /** Label priors: (label, n_docs, lp_prior = log(n_docs / N)). */
+  def priors(
+      train: DataFrame,
+      labelCol: String = "source",
+      keyCol: String = "doc_id"): DataFrame = {
+    val byLabel = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    val n = train.count().toDouble
+    byLabel.select(col("label"), col("n_docs"),
+      log(col("n_docs") / lit(n)).as("lp_prior"))
+  }
+
+  /** The model LUT: seen (label, token, lw) rows + one backoff row per
+    * label (token = ""). The logs are the dumped data the scoring
+    * oracle joins.
+    */
+  def nbTable(counts: DataFrame, vocabSize: Long): DataFrame = {
+    val v = lit(vocabSize.toDouble)
+    val seen = counts.select(col("label"), col("token"),
+      log((col("c") + lit(1.0)) / (col("c_label") + v)).as("lw"))
+    val backoff = counts.groupBy("label").agg(max("c_label").as("c_label"))
+      .select(col("label"), lit(Backoff).as("token"),
+        log(lit(1.0) / (col("c_label") + v)).as("lw"))
+    seen.unionByName(backoff)
+  }
+
+  /** Per-(document, label) scores: n_tokens, the position-ordered
+    * token log-prob fold, and score = lp_prior + sum_lw. The model and
+    * priors are broadcast-sized by contract — materialized once.
+    */
+  def score(
+      docs: DataFrame, nb: DataFrame, pr: DataFrame,
+      textCol: String = "text", keyCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = nb.select(col("label"), col("token"), col("lw"))
+      .as[(String, String, Double)].collect()
+    val seen = rows.filter(_._2 != Backoff).toSeq.toDF("label", "w", "lw_seen")
+    val backoff = rows.filter(_._2 == Backoff)
+      .map(r => (r._1, r._3)).toSeq.toDF("label", "lw_backoff")
+    val prior = pr.select(col("label"), col("lp_prior"))
+      .as[(String, Double)].collect().toSeq.toDF("label", "lp_prior")
+    tokens(docs, textCol, keyCol)
+      .crossJoin(broadcast(prior))
+      .join(broadcast(seen), Seq("label", "w"), "left")
+      .join(broadcast(backoff), Seq("label"), "left")
+      .withColumn("lw_r", coalesce(col("lw_seen"), col("lw_backoff")))
+      .groupBy("doc_id", "label")
+      .agg(count(lit(1)).as("n_tokens"),
+        max(col("lp_prior")).as("lp_prior"),
+        collect_list(struct(col("pos"), col("lw_r"))).as("ps"))
+      .withColumn("sum_lw",
+        aggregate(sort_array(col("ps")), lit(0.0),
+          (acc, x) => acc + x.getField("lw_r")))
+      .withColumn("score", col("lp_prior") + col("sum_lw"))
+      .select("doc_id", "label", "n_tokens", "sum_lw", "score")
+  }
+
+  /** Argmax prediction per document, ties broken by label ascending —
+    * deterministic, and replayable given bit-exact scores.
+    */
+  def predict(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("label").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("pred"), col("score"))
+  }
+}
