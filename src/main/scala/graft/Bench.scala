@@ -187,6 +187,16 @@ object Bench {
         })).toMap
         graft.operators.Sampling.sampleMixture(docs, w).count(); ()
       }),
+      "nb_classify" -> (() => {
+        // train (one agg over the labeled slice) + broadcast-resolve
+        // scoring + argmax window
+        import graft.operators.Classify
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        val tr = d.filter(col("doc_id") % 7 === 3)
+        Classify.predict(Classify.score(d,
+          Classify.nbTable(Classify.counts(tr), Classify.vocabSize(tr)),
+          Classify.priors(tr))).count(); ()
+      }),
       "q1_agg" -> (() => {
         spark.read.parquet(s"$sfDir/lineitem.parquet")
           .groupBy("l_returnflag", "l_linestatus")
