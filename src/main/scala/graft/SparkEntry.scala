@@ -598,6 +598,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---------- BPE tokenizer training + encoding --------------------
+    // trained on the doc_id % 7 == 3 slice (the labeled-slice
+    // discipline), 40 merges, minPairFreq 2. The word-count table
+    // replays exactly; the merge table is dumped data under a
+    // structural consistency oracle (each side a char or an earlier
+    // merge, ranks dense); the encode dump is held to piece-vocabulary
+    // validity + char-exact word reconstruction (the merge LOOP is
+    // spec-asserted vs goldens and a brute force in BpeSpec);
+    // bpe_rebuild closes completeness (every word present, rebuilt
+    // char-exact, fully replayed from documents); fertility chains off
+    // the encode dump.
+    "bpe_word_counts" -> ((s, dir) =>
+      Bpe.wordCounts(docs(s, dir).filter(col("doc_id") % 7 === 3))
+        .orderBy("word")),
+    "bpe_merges" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Bpe.mergeTable(d, Bpe.train(d.filter(col("doc_id") % 7 === 3), 40))
+        .orderBy("rank")
+    }),
+    "bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Bpe.encodePieces(d, Bpe.train(d.filter(col("doc_id") % 7 === 3), 40))
+        .orderBy("doc_id", "wpos", "ppos")
+    }),
+    "bpe_rebuild" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Bpe.encodePieces(d, Bpe.train(d.filter(col("doc_id") % 7 === 3), 40))
+        .groupBy("doc_id", "wpos")
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("ppos"), col("piece")))),
+          x => x.getField("piece")), "").as("word"))
+        .orderBy("doc_id", "wpos")
+    }),
+    "bpe_fertility" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Bpe.fertility(Bpe.encodePieces(d,
+        Bpe.train(d.filter(col("doc_id") % 7 === 3), 40)))
+        .orderBy("doc_id")
+    }),
+
     // ---------- decontamination (eval-leakage sweep) ----------
     // bench set = every doc_id % 20 == 7 document (deterministic split
     // of the same table — no external data); corpus = the rest. The
@@ -2397,6 +2437,66 @@ object SparkEntry {
     "lm_keep" ->
       """SELECT doc_id FROM read_parquet('{OUT}/lm_score/*.parquet')
         |WHERE avg_lp >= -3.5 ORDER BY doc_id""".stripMargin,
+    // bpe_word_counts: the training word-frequency table replayed
+    "bpe_word_counts" ->
+      """SELECT word, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> len(x) > 0)) AS word
+        |  FROM documents WHERE doc_id % 7 = 3)
+        |GROUP BY word ORDER BY word""".stripMargin,
+    // bpe_merges: structural consistency (filter-style: a violating
+    // row drops out and the compare fails) — merged = lhs || rhs, each
+    // side a single char or the product of an EARLIER merge, ranks
+    // dense from 0
+    "bpe_merges" ->
+      """WITH m AS (SELECT * FROM read_parquet('{OUT}/bpe_merges/*.parquet'))
+        |SELECT m.rank, m.lhs, m.rhs, m.merged FROM m
+        |WHERE m.merged = m.lhs || m.rhs
+        |  AND (len(m.lhs) = 1 OR m.lhs IN
+        |       (SELECT merged FROM m m2 WHERE m2.rank < m.rank))
+        |  AND (len(m.rhs) = 1 OR m.rhs IN
+        |       (SELECT merged FROM m m2 WHERE m2.rank < m.rank))
+        |  AND m.rank = (SELECT count(*) FROM m m3 WHERE m3.rank < m.rank)
+        |ORDER BY m.rank""".stripMargin,
+    // bpe_encode: filter-style consistency — every piece is a single
+    // char or a learned merge, and the pieces of each word concatenate
+    // back to exactly that word (word recomputed from documents)
+    "bpe_encode" ->
+      """WITH d AS (SELECT * FROM read_parquet('{OUT}/bpe_encode/*.parquet')),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |w0 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p
+        |  FROM toks WHERE len(ws) > 0),
+        |word AS (SELECT doc_id, CAST(p - 1 AS INT) AS wpos, ws[p] AS word FROM w0),
+        |rb AS (SELECT doc_id, wpos, string_agg(piece, '' ORDER BY ppos) AS r
+        |  FROM d GROUP BY doc_id, wpos),
+        |ok AS (SELECT w.doc_id, w.wpos FROM word w
+        |  JOIN rb ON rb.doc_id = w.doc_id AND rb.wpos = w.wpos AND rb.r = w.word)
+        |SELECT d.doc_id, d.wpos, d.ppos, d.piece
+        |FROM d JOIN ok ON ok.doc_id = d.doc_id AND ok.wpos = d.wpos
+        |WHERE len(d.piece) = 1 OR d.piece IN
+        |  (SELECT merged FROM read_parquet('{OUT}/bpe_merges/*.parquet'))
+        |ORDER BY d.doc_id, d.wpos, d.ppos""".stripMargin,
+    // bpe_rebuild: completeness — every word of every document present
+    // and rebuilt char-exactly (full replay from documents)
+    "bpe_rebuild" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |w0 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p
+        |  FROM toks WHERE len(ws) > 0)
+        |SELECT doc_id, CAST(p - 1 AS INT) AS wpos, ws[p] AS word
+        |FROM w0 ORDER BY doc_id, wpos""".stripMargin,
+    // bpe_fertility: exact integer aggs + one IEEE division off the
+    // (itself consistency-checked) encode dump
+    "bpe_fertility" ->
+      """SELECT doc_id,
+        |  CAST(count(DISTINCT wpos) AS BIGINT) AS n_words,
+        |  CAST(count(*) AS BIGINT) AS n_pieces,
+        |  count(*)::DOUBLE / count(DISTINCT wpos)::DOUBLE AS pieces_per_word
+        |FROM read_parquet('{OUT}/bpe_encode/*.parquet')
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // nb_counts: the (label, token) training counts and label totals
     // replayed exactly
     "nb_counts" ->

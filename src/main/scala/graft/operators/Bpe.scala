@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** BPE tokenizer training + encoding — the tokenizer-fitting stage of
+  * an LLM corpus build (the artifact that turns the packing/fertility
+  * numbers real: [[Packing]] consumes token counts, and "tokens" means
+  * THIS vocabulary). Standard within-word byte-pair encoding (Sennrich
+  * et al. 2016): start from single characters, repeatedly merge the
+  * most frequent adjacent symbol pair (ties broken by (left, right)
+  * ascending — deterministic), no end-of-word marker (the within-word
+  * variant, stated precisely so the oracle can hold us to it).
+  *
+  * Scale shape — the sentencepiece discipline: the corpus-scale work is
+  * (a) ONE hash aggregation producing the (word, freq) table and
+  * (b) the encode pass, a zero-exchange flatMap under broadcast merge
+  * ranks. The merge LOOP itself runs driver-side over the collected
+  * word-frequency table — a bounded collect BY CONTRACT (the distinct-
+  * word vocabulary is the classic bounded model table, like the LM/NB
+  * LUTs; industrial BPE trainers train from exactly this table).
+  *
+  * Merge application (training rewrite and encode share it, so encoding
+  * the training corpus reproduces the training segmentation exactly):
+  * while any adjacent pair has a merge rank, merge ALL non-overlapping
+  * occurrences of the LOWEST-RANK pair left-to-right, then repeat.
+  *
+  * Oracle design: the word-frequency table replays exactly
+  * (`bpe_word_counts`); the merge table dumps as data under a
+  * structural consistency oracle (each side of every merge is a single
+  * character or the product of an EARLIER merge — `bpe_merges`); the
+  * encode dump is held to the two properties that are SQL-checkable
+  * without replaying the merge loop: pieces PARTITION each word
+  * (char-exact concat in position order) and every piece is in the
+  * learned vocabulary (`bpe_encode`); fertility chains off that dump.
+  * The merge loop itself is spec-asserted against hand-computed goldens
+  * and a brute-force reference implementation (BpeSpec).
+  */
+object Bpe {
+
+  /** (word, n) frequency table — lowercased whitespace tokens (the
+    * search/LM tokenization), one aggregation.
+    */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(Search.searchTokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Merge all non-overlapping (left, right) occurrences in `syms`,
+    * left-to-right.
+    */
+  def mergePair(syms: Vector[String], left: String, right: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == left && syms(i + 1) == right) {
+        out += left + right; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** One encode/rewrite step shared by training and encoding: apply the
+    * lowest-rank applicable merge until none applies.
+    */
+  def applyMerges(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = word.map(_.toString).toVector
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i + 1 < syms.length) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) done = true
+      else {
+        syms = mergePair(syms, syms(bi), syms(bi + 1))
+        if (syms.length < 2) done = true
+      }
+    }
+    syms
+  }
+
+  /** Train `numMerges` merges from the collected (word, freq) table.
+    * Stops early when no pair occurs at least `minPairFreq` times.
+    * Deterministic: pair counts are exact longs; ties break by
+    * (left, right) ascending.
+    */
+  def trainFromCounts(
+      wc: Seq[(String, Long)],
+      numMerges: Int,
+      minPairFreq: Long = 2L): Seq[(String, String)] = {
+    var words: Array[(Vector[String], Long)] =
+      wc.sortBy(_._1).map { case (w, n) => (w.map(_.toString).toVector, n) }.toArray
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var step = 0
+    var stop = false
+    while (step < numMerges && !stop) {
+      val counts = mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- words; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + n))
+      if (counts.isEmpty) stop = true
+      else {
+        val (pair, cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        if (cnt < minPairFreq) stop = true
+        else {
+          merges += pair
+          words = words.map { case (syms, n) => (mergePair(syms, pair._1, pair._2), n) }
+          step += 1
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Distributed word count + driver-side merge loop (bounded collect
+    * by contract — see class doc).
+    */
+  def train(docs: DataFrame, numMerges: Int, textCol: String = "text"): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainFromCounts(wordCounts(docs, textCol).as[(String, Long)].collect().toSeq, numMerges)
+  }
+
+  /** The merge table as a DataFrame: (rank, lhs, rhs, merged) —
+    * lhs/rhs, not left/right, so the SQL oracle needs no reserved-word
+    * quoting.
+    */
+  def mergeTable(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r, l + r) }
+      .toDF("rank", "lhs", "rhs", "merged")
+  }
+
+  /** Encode every document: (doc_id, wpos, ppos, piece) subword stream.
+    * Zero-exchange flatMap under the broadcast merge ranks.
+    */
+  def encodePieces(
+      docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", keyCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = spark.sparkContext.broadcast(
+      merges.zipWithIndex.map { case (p, i) => p -> i }.toMap)
+    docs.select(col(keyCol).cast("long"), lower(col(textCol)))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val ws = if (t == null) Array.empty[String]
+                 else t.split(" ").filter(_.nonEmpty)
+        for {
+          (w, wi) <- ws.zipWithIndex.toSeq
+          (p, pi) <- applyMerges(w, ranks.value).zipWithIndex
+        } yield (id, wi, pi, p)
+      }.toDF("doc_id", "wpos", "ppos", "piece")
+  }
+
+  /** Per-document fertility: words, subword pieces, and pieces/word —
+    * the token-count feed for sequence packing under THIS vocabulary.
+    */
+  def fertility(pieces: DataFrame): DataFrame =
+    pieces.groupBy("doc_id")
+      .agg(countDistinct(col("wpos")).as("n_words"),
+        count(lit(1)).as("n_pieces"))
+      .withColumn("pieces_per_word", col("n_pieces") / col("n_words"))
+}
