@@ -187,6 +187,14 @@ object Bench {
         })).toMap
         graft.operators.Sampling.sampleMixture(docs, w).count(); ()
       }),
+      "bpe_tokenize" -> (() => {
+        // tokenizer fit (one agg + driver merge loop) + zero-exchange
+        // corpus encode
+        import graft.operators.Bpe
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        val merges = Bpe.train(d.filter(col("doc_id") % 7 === 3), 40)
+        Bpe.encodePieces(d, merges).count(); ()
+      }),
       "nb_classify" -> (() => {
         // train (one agg over the labeled slice) + broadcast-resolve
         // scoring + argmax window
