@@ -562,6 +562,41 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // ---------- DSIR importance resampling ---------------------------
+    // target model = the lm_table slice (doc_id % 10 == 3); raw model
+    // = the doc_id % 10 == 7 slice. Weight = avg-log-prob difference
+    // (bit-exact given both dumped LUTs); accept_p = exp(min(lw,0)) is
+    // the one transcendental — dumped data under range consistency;
+    // the resampling draw chains the md5 uniform (the Sampling
+    // discipline) off the weights dump.
+    "dsir_raw_counts" -> ((s, dir) =>
+      NgramLm.counts(docs(s, dir).filter(col("doc_id") % 10 === 7))
+        .orderBy("w1", "w2")),
+    "dsir_raw_table" -> ((s, dir) => {
+      val raw = docs(s, dir).filter(col("doc_id") % 10 === 7)
+      NgramLm.lmTable(NgramLm.counts(raw), NgramLm.vocabSize(raw))
+        .orderBy("w1", "w2")
+    }),
+    "dsir_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def lmOf(slice: Column) = {
+        val sl = d.filter(slice)
+        NgramLm.lmTable(NgramLm.counts(sl), NgramLm.vocabSize(sl))
+      }
+      Dsir.weights(d, lmOf(col("doc_id") % 10 === 3),
+        lmOf(col("doc_id") % 10 === 7)).orderBy("doc_id")
+    }),
+    "dsir_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def lmOf(slice: Column) = {
+        val sl = d.filter(slice)
+        NgramLm.lmTable(NgramLm.counts(sl), NgramLm.vocabSize(sl))
+      }
+      Dsir.sample(Dsir.weights(d, lmOf(col("doc_id") % 10 === 3),
+        lmOf(col("doc_id") % 10 === 7)))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // ---------- naive-Bayes document classification -----------------
     // fastText-style domain/provenance classifier; train slice =
     // doc_id % 7 == 3, labeled by the source column (no external data;
@@ -2437,6 +2472,72 @@ object SparkEntry {
     "lm_keep" ->
       """SELECT doc_id FROM read_parquet('{OUT}/lm_score/*.parquet')
         |WHERE avg_lp >= -3.5 ORDER BY doc_id""".stripMargin,
+    // dsir_raw_counts: the raw-slice bigram counts replayed exactly
+    "dsir_raw_counts" ->
+      """WITH ref AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+        |  FROM documents WHERE doc_id % 10 = 7),
+        |ex0 AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, len(ws) - 1)) AS pos
+        |  FROM ref WHERE len(ws) >= 2),
+        |ex AS (SELECT ws[pos] AS w1, ws[pos + 1] AS w2 FROM ex0),
+        |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM ex GROUP BY w1, w2),
+        |h AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1)
+        |SELECT bg.w1, bg.w2, bg.c12, h.c1 FROM bg JOIN h ON h.w1 = bg.w1
+        |ORDER BY bg.w1, bg.w2""".stripMargin,
+    // dsir_raw_table: consistency (every smoothed log-prob < 0); the
+    // dumped values are consumed by the dsir_weights replay
+    "dsir_raw_table" ->
+      """SELECT w1, w2, lp FROM read_parquet('{OUT}/dsir_raw_table/*.parquet')
+        |WHERE lp < 0 ORDER BY w1, w2""".stripMargin,
+    // dsir_weights: ONE bigram pass resolving both dumped LUTs,
+    // position-ordered folds, lw = sum_t/n - sum_r/n in that spelled
+    // IEEE order — bit-exact; accept_p passes through as dumped data
+    // under range consistency (a violating row drops and the compare
+    // fails)
+    "dsir_weights" ->
+      """WITH tlm AS (SELECT * FROM read_parquet('{OUT}/lm_table/*.parquet')),
+        |rlm AS (SELECT * FROM read_parquet('{OUT}/dsir_raw_table/*.parquet')),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |ex0 AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, len(ws) - 1)) AS pos
+        |  FROM toks WHERE len(ws) >= 2),
+        |ex AS (SELECT doc_id, pos, ws[pos] AS w1, ws[pos + 1] AS w2 FROM ex0),
+        |res AS (SELECT e.doc_id, e.pos,
+        |    COALESCE(ts.lp, tb.lp, tov.lp) AS lp_t,
+        |    COALESCE(rs.lp, rb.lp, rov.lp) AS lp_r
+        |  FROM ex e
+        |  LEFT JOIN (SELECT w1, w2, lp FROM tlm WHERE w2 <> '') ts
+        |    ON ts.w1 = e.w1 AND ts.w2 = e.w2
+        |  LEFT JOIN (SELECT w1, lp FROM tlm WHERE w2 = '' AND w1 <> '') tb
+        |    ON tb.w1 = e.w1
+        |  CROSS JOIN (SELECT lp FROM tlm WHERE w1 = '' AND w2 = '') tov
+        |  LEFT JOIN (SELECT w1, w2, lp FROM rlm WHERE w2 <> '') rs
+        |    ON rs.w1 = e.w1 AND rs.w2 = e.w2
+        |  LEFT JOIN (SELECT w1, lp FROM rlm WHERE w2 = '' AND w1 <> '') rb
+        |    ON rb.w1 = e.w1
+        |  CROSS JOIN (SELECT lp FROM rlm WHERE w1 = '' AND w2 = '') rov),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list(lp_t ORDER BY pos), (a, c) -> a + c) AS sum_lp_target,
+        |    list_reduce(list(lp_r ORDER BY pos), (a, c) -> a + c) AS sum_lp_raw
+        |  FROM res GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_bigrams, a.sum_lp_target, a.sum_lp_raw,
+        |  a.sum_lp_target / a.n_bigrams - a.sum_lp_raw / a.n_bigrams AS lw,
+        |  d.accept_p
+        |FROM agg a
+        |JOIN read_parquet('{OUT}/dsir_weights/*.parquet') d USING (doc_id)
+        |WHERE d.accept_p > 0 AND d.accept_p <= 1.0
+        |ORDER BY a.doc_id""".stripMargin,
+    // dsir_sample: the deterministic md5-threshold draw chained off
+    // the (itself bit-exact) weights dump
+    "dsir_sample" ->
+      """SELECT doc_id FROM read_parquet('{OUT}/dsir_weights/*.parquet')
+        |WHERE (('0x' || substr(md5(doc_id || ':dsir'), 1, 8))::BIGINT)::DOUBLE
+        |      < accept_p * 4294967296.0
+        |ORDER BY doc_id""".stripMargin,
     // bpe_word_counts: the training word-frequency table replayed
     "bpe_word_counts" ->
       """SELECT word, CAST(count(*) AS BIGINT) AS n

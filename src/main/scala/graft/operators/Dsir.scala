@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection via importance resampling (Xie et al.
+  * 2023): score every document under a TARGET language model (trained
+  * on the trusted/high-quality slice) and a RAW model (trained on a
+  * plain-corpus slice), take the log importance ratio of the two
+  * per-token averages, and accept documents by a deterministic
+  * Bernoulli draw with probability min(1, exp(ratio)) — the importance-
+  * resampling acceptance rule. Documents that look more like the
+  * target than the raw distribution survive with probability 1;
+  * raw-typical documents survive proportionally to their ratio.
+  *
+  * Scale shape: both models are broadcast LUTs (the [[NgramLm]]
+  * contract); scoring is ONE bigram pass resolving both models side by
+  * side (not two scoring passes), shuffling only doc-keyed partial
+  * aggregates; the accept draw reuses the seed-free md5 uniform of the
+  * [[Sampling]] recipe — a pure function of doc_id, so the selection
+  * replays bit-identically across runs, partitionings, and resumes.
+  *
+  * Determinism/oracle: both LUTs dump as data; sums fold in position
+  * order and lw = sum_t/n - sum_r/n in that spelled IEEE order — so
+  * `dsir_weights` hash-matches bit-exactly. accept_p = exp(min(lw, 0))
+  * is the one transcendental and passes through as dumped data (the
+  * idf/LM-log discipline) under range consistency; `dsir_sample`
+  * chains the md5-threshold draw off the dump.
+  */
+object Dsir {
+
+  /** Per-document importance weights against the two broadcast LM
+    * tables: (doc_id, n_bigrams, sum_lp_target, sum_lp_raw, lw,
+    * accept_p). One bigram pass; docs with < 2 tokens are absent (no
+    * evidence, same contract as LM scoring).
+    */
+  def weights(
+      docs: DataFrame, targetLm: DataFrame, rawLm: DataFrame,
+      textCol: String = "text", keyCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def luts(lm: DataFrame, sfx: String) = {
+      val rows = lm.select(col("w1"), col("w2"), col("lp"))
+        .as[(String, String, Double)].collect()
+      val seen = rows.filter(_._2 != NgramLm.Backoff).toSeq
+        .toDF("w1", "w2", s"lp_seen_$sfx")
+      val backoff = rows
+        .filter(r => r._2 == NgramLm.Backoff && r._1 != NgramLm.Backoff)
+        .map(r => (r._1, r._3)).toSeq.toDF("w1", s"lp_backoff_$sfx")
+      val oov = rows.filter(r => r._1 == NgramLm.Backoff && r._2 == NgramLm.Backoff)
+        .map(_._3).toSeq.toDF(s"lp_oov_$sfx")
+      (seen, backoff, oov)
+    }
+    val (seenT, backT, oovT) = luts(targetLm, "t")
+    val (seenR, backR, oovR) = luts(rawLm, "r")
+    NgramLm.bigrams(docs, textCol, keyCol)
+      .join(broadcast(seenT), Seq("w1", "w2"), "left")
+      .join(broadcast(backT), Seq("w1"), "left")
+      .crossJoin(broadcast(oovT))
+      .join(broadcast(seenR), Seq("w1", "w2"), "left")
+      .join(broadcast(backR), Seq("w1"), "left")
+      .crossJoin(broadcast(oovR))
+      .withColumn("lp_t",
+        coalesce(col("lp_seen_t"), col("lp_backoff_t"), col("lp_oov_t")))
+      .withColumn("lp_r",
+        coalesce(col("lp_seen_r"), col("lp_backoff_r"), col("lp_oov_r")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        collect_list(struct(col("pos"), col("lp_t"), col("lp_r"))).as("ps"))
+      .withColumn("sum_lp_target",
+        aggregate(sort_array(col("ps")), lit(0.0),
+          (acc, x) => acc + x.getField("lp_t")))
+      .withColumn("sum_lp_raw",
+        aggregate(sort_array(col("ps")), lit(0.0),
+          (acc, x) => acc + x.getField("lp_r")))
+      .withColumn("lw",
+        col("sum_lp_target") / col("n_bigrams")
+          - col("sum_lp_raw") / col("n_bigrams"))
+      .withColumn("accept_p", exp(least(col("lw"), lit(0.0))))
+      .select("doc_id", "n_bigrams", "sum_lp_target", "sum_lp_raw",
+        "lw", "accept_p")
+  }
+
+  /** The deterministic importance-resampling draw: keep doc_id iff
+    * md5-uniform(doc_id, salt) < accept_p. Seed-free and replayable.
+    */
+  def sample(weights: DataFrame,
+      keyCol: String = "doc_id", salt: String = "dsir"): DataFrame =
+    weights.where(Sampling.keyHash(keyCol, salt).cast("double")
+      < col("accept_p") * lit(4294967296.0))
+}
