@@ -2683,6 +2683,17 @@ object SparkEntry {
         |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
         |    x -> len(x) > 0)) AS term FROM documents))
         |GROUP BY term ORDER BY term""".stripMargin,
+    // search_idf: key-set completeness (one row per distinct corpus
+    // term) with the idf log passed through as dumped data, under
+    // idf > 0 consistency (BM25+ idf is positive for every df <= N)
+    "search_idf" ->
+      """WITH t AS (SELECT DISTINCT unnest(list_filter(
+        |    string_split(lower(text), ' '), x -> len(x) > 0)) AS term
+        |  FROM documents)
+        |SELECT t.term, d.idf
+        |FROM t LEFT JOIN read_parquet('{OUT}/search_idf/*.parquet') d USING (term)
+        |WHERE d.idf > 0
+        |ORDER BY t.term""".stripMargin,
     // search_topk: scores replayed bit-exactly — idf JOINED from the
     // engine's dumped LUT (never recomputing the log); every other op
     // is IEEE +,*,/ in the spelled order, and the per-doc score folds
