@@ -2620,7 +2620,9 @@ object SparkEntry {
         |FROM k LEFT JOIN read_parquet('{OUT}/nb_priors/*.parquet') d USING (label)
         |ORDER BY label""".stripMargin,
     // nb_table: key-set completeness — every (label, trained token)
-    // plus one backoff row per label, logs passed through as data
+    // plus one backoff row per label; the log passes through as data
+    // and the fixed-point lwq is RECOMPUTED from it (exact IEEE
+    // multiply + floor, so a wrong quantization mismatches)
     "nb_table" ->
       """WITH tr AS (SELECT source AS label, text FROM documents
         |  WHERE doc_id % 7 = 3),
@@ -2629,34 +2631,35 @@ object SparkEntry {
         |ex AS (SELECT DISTINCT label, token FROM ex0),
         |keys AS (SELECT label, token FROM ex
         |  UNION SELECT DISTINCT label, '' AS token FROM ex)
-        |SELECT k.label, k.token, d.lw
+        |SELECT k.label, k.token, d.lw,
+        |  CAST(floor(d.lw * 4294967296.0 + 0.5) AS BIGINT) AS lwq
         |FROM keys k LEFT JOIN read_parquet('{OUT}/nb_table/*.parquet') d
         |  ON d.label = k.label AND d.token = k.token
         |ORDER BY k.label, k.token""".stripMargin,
     // nb_scores: the whole scoring pass replayed — token explode x
     // label cross join, seen/backoff resolution against the dumped
-    // LUT, position-ordered fold, prior add — bit-exact
+    // LUT's fixed-point column, an ORDER-FREE integer sum (associative
+    // — no fold order to pin), exact 2^-32 scaling + prior add —
+    // bit-exact
     "nb_scores" ->
       """WITH nb AS (SELECT * FROM read_parquet('{OUT}/nb_table/*.parquet')),
         |pr AS (SELECT * FROM read_parquet('{OUT}/nb_priors/*.parquet')),
         |toks AS (SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
         |  FROM documents),
-        |ex AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS pos
-        |  FROM toks WHERE len(ws) > 0),
-        |tw AS (SELECT doc_id, pos, ws[pos] AS w FROM ex),
-        |res AS (SELECT t.doc_id, p.label, t.pos, p.lp_prior,
-        |    COALESCE(s.lw, b.lw) AS lw
+        |tw AS (SELECT doc_id, unnest(ws) AS w FROM toks WHERE len(ws) > 0),
+        |res AS (SELECT t.doc_id, p.label, p.lp_prior,
+        |    COALESCE(s.lwq, b.lwq) AS lwq
         |  FROM tw t CROSS JOIN pr p
-        |  LEFT JOIN (SELECT label, token, lw FROM nb WHERE token <> '') s
+        |  LEFT JOIN (SELECT label, token, lwq FROM nb WHERE token <> '') s
         |    ON s.label = p.label AND s.token = t.w
-        |  LEFT JOIN (SELECT label, lw FROM nb WHERE token = '') b
+        |  LEFT JOIN (SELECT label, lwq FROM nb WHERE token = '') b
         |    ON b.label = p.label),
         |agg AS (SELECT doc_id, label, CAST(count(*) AS BIGINT) AS n_tokens,
-        |    max(lp_prior) AS lp_prior,
-        |    list_reduce(list(lw ORDER BY pos), (a, c) -> a + c) AS sum_lw
+        |    max(lp_prior) AS lp_prior, CAST(sum(lwq) AS BIGINT) AS sum_lwq
         |  FROM res GROUP BY doc_id, label)
-        |SELECT doc_id, label, n_tokens, sum_lw, lp_prior + sum_lw AS score
+        |SELECT doc_id, label, n_tokens, sum_lwq,
+        |  lp_prior + CAST(sum_lwq AS DOUBLE) / 4294967296.0 AS score
         |FROM agg ORDER BY doc_id, label""".stripMargin,
     // nb_pred: argmax chained off the (itself bit-exact) scores dump;
     // ties break by label ascending

@@ -26,10 +26,20 @@ import org.apache.spark.sql.functions._
   * keyed partial aggregates only. Prediction is one per-doc window.
   *
   * Determinism: counts and priors' doc counts are integers (fully
-  * SQL-replayable); the log LUTs dump as data (the idf/LM pattern) and
-  * the scoring oracle JOINS them, folding per-(doc,label) log-probs in
-  * position order — bit-exact score hash-match, so the argmax (ties
-  * broken by label ascending) replays too.
+  * SQL-replayable); the log LUTs dump as data (the idf/LM pattern).
+  * Token log-probs are accumulated in FIXED POINT: the LUT carries
+  * lwq = floor(lw * 2^32 + 0.5) and the per-(doc,label) sum is a plain
+  * integer sum — associative, so it is bit-exact and partition-
+  * invariant WITHOUT the position-ordered collect_list fold the LM
+  * scorer uses (whose struct list rides the exchange; here the shuffle
+  * carries true (count, sum) partial aggregates with map-side combine
+  * — the shape that survives 10^12 x 20-label scoring). Quantization
+  * error is < 2^-32 per token (irrelevant to classification);
+  * headroom: |lwq| < ~2^37 for any realistic model, so overflow needs
+  * > 2^26 tokens in one document. score = lp_prior + sum_lwq / 2^32 —
+  * one exact power-of-two scaling + one IEEE add, so `nb_scores`
+  * hash-matches bit-exactly and the argmax (ties broken by label
+  * ascending) replays too.
   */
 object Classify {
 
@@ -87,6 +97,9 @@ object Classify {
     * label (token = ""). The logs are the dumped data the scoring
     * oracle joins.
     */
+  /** Fixed-point scale for token log-probs: 2^32. */
+  val Shift = 4294967296.0
+
   def nbTable(counts: DataFrame, vocabSize: Long): DataFrame = {
     val v = lit(vocabSize.toDouble)
     val seen = counts.select(col("label"), col("token"),
@@ -95,38 +108,38 @@ object Classify {
       .select(col("label"), lit(Backoff).as("token"),
         log(lit(1.0) / (col("c_label") + v)).as("lw"))
     seen.unionByName(backoff)
+      .withColumn("lwq", floor(col("lw") * lit(Shift) + lit(0.5)).cast("long"))
   }
 
-  /** Per-(document, label) scores: n_tokens, the position-ordered
-    * token log-prob fold, and score = lp_prior + sum_lw. The model and
-    * priors are broadcast-sized by contract — materialized once.
+  /** Per-(document, label) scores: n_tokens, the fixed-point token
+    * log-prob sum (associative — plain partial-aggregated long sum),
+    * and score = lp_prior + sum_lwq / 2^32. The model and priors are
+    * broadcast-sized by contract — materialized once.
     */
   def score(
       docs: DataFrame, nb: DataFrame, pr: DataFrame,
       textCol: String = "text", keyCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val rows = nb.select(col("label"), col("token"), col("lw"))
-      .as[(String, String, Double)].collect()
-    val seen = rows.filter(_._2 != Backoff).toSeq.toDF("label", "w", "lw_seen")
+    val rows = nb.select(col("label"), col("token"), col("lwq"))
+      .as[(String, String, Long)].collect()
+    val seen = rows.filter(_._2 != Backoff).toSeq.toDF("label", "w", "lwq_seen")
     val backoff = rows.filter(_._2 == Backoff)
-      .map(r => (r._1, r._3)).toSeq.toDF("label", "lw_backoff")
+      .map(r => (r._1, r._3)).toSeq.toDF("label", "lwq_backoff")
     val prior = pr.select(col("label"), col("lp_prior"))
       .as[(String, Double)].collect().toSeq.toDF("label", "lp_prior")
     tokens(docs, textCol, keyCol)
       .crossJoin(broadcast(prior))
       .join(broadcast(seen), Seq("label", "w"), "left")
       .join(broadcast(backoff), Seq("label"), "left")
-      .withColumn("lw_r", coalesce(col("lw_seen"), col("lw_backoff")))
+      .withColumn("lwq_r", coalesce(col("lwq_seen"), col("lwq_backoff")))
       .groupBy("doc_id", "label")
       .agg(count(lit(1)).as("n_tokens"),
         max(col("lp_prior")).as("lp_prior"),
-        collect_list(struct(col("pos"), col("lw_r"))).as("ps"))
-      .withColumn("sum_lw",
-        aggregate(sort_array(col("ps")), lit(0.0),
-          (acc, x) => acc + x.getField("lw_r")))
-      .withColumn("score", col("lp_prior") + col("sum_lw"))
-      .select("doc_id", "label", "n_tokens", "sum_lw", "score")
+        sum(col("lwq_r")).as("sum_lwq"))
+      .withColumn("score",
+        col("lp_prior") + col("sum_lwq").cast("double") / lit(Shift))
+      .select("doc_id", "label", "n_tokens", "sum_lwq", "score")
   }
 
   /** Argmax prediction per document, ties broken by label ascending —

@@ -41,26 +41,31 @@ class ClassifySpec extends AnyFunSuite {
     assert(pr("A") == ((2L, math.log(2.0 / 3.0))))
     assert(pr("B") == ((1L, math.log(1.0 / 3.0))))
     val nb = Classify.nbTable(Classify.counts(train), 5L)
-      .as[(String, String, Double)].collect()
-      .map(r => (r._1, r._2) -> r._3).toMap
-    assert(nb(("A", "aa")) == math.log(4.0 / 10.0))
-    assert(nb(("B", "bb")) == math.log(4.0 / 9.0))
-    assert(nb(("A", Classify.Backoff)) == math.log(1.0 / 10.0))
-    assert(nb(("B", Classify.Backoff)) == math.log(1.0 / 9.0))
+      .select("label", "token", "lw", "lwq")
+      .as[(String, String, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    def q(x: Double) = math.floor(x * Classify.Shift + 0.5).toLong
+    assert(nb(("A", "aa")) == ((math.log(4.0 / 10.0), q(math.log(4.0 / 10.0)))))
+    assert(nb(("B", "bb")) == ((math.log(4.0 / 9.0), q(math.log(4.0 / 9.0)))))
+    assert(nb(("A", Classify.Backoff))._1 == math.log(1.0 / 10.0))
+    assert(nb(("B", Classify.Backoff))._1 == math.log(1.0 / 9.0))
   }
 
-  test("score: seen/backoff resolution, hand-computed fold") {
+  test("score: seen/backoff resolution, hand-computed fixed-point sum") {
     import spark.implicits._
     val nb = Classify.nbTable(Classify.counts(train), 5L)
     val pr = Classify.priors(train)
     // "aa zz": aa seen for A, backoff for B; zz backoff for both
     val got = Classify.score(df(Seq((9L, "aa zz", "?"))), nb, pr)
-      .as[(Long, String, Long, Double, Double)].collect()
+      .as[(Long, String, Long, Long, Double)].collect()
       .map(r => r._2 -> r).toMap
-    val expA = math.log(4.0 / 10.0) + math.log(1.0 / 10.0)
-    val expB = math.log(1.0 / 9.0) + math.log(1.0 / 9.0)
-    assert(got("A") == (9L, "A", 2L, expA, math.log(2.0 / 3.0) + expA))
-    assert(got("B") == (9L, "B", 2L, expB, math.log(1.0 / 3.0) + expB))
+    def q(x: Double) = math.floor(x * Classify.Shift + 0.5).toLong
+    val sumA = q(math.log(4.0 / 10.0)) + q(math.log(1.0 / 10.0))
+    val sumB = q(math.log(1.0 / 9.0)) + q(math.log(1.0 / 9.0))
+    assert(got("A") == (9L, "A", 2L, sumA,
+      math.log(2.0 / 3.0) + sumA.toDouble / Classify.Shift))
+    assert(got("B") == (9L, "B", 2L, sumB,
+      math.log(1.0 / 3.0) + sumB.toDouble / Classify.Shift))
     // empty doc: absent from scores (no evidence)
     assert(Classify.score(df(Seq((10L, "", "?"))), nb, pr).count() == 0)
   }

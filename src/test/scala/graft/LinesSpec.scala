@@ -68,6 +68,29 @@ class LinesSpec extends AnyFunSuite {
     assert(run(d) == run(d.repartition(17)))
   }
 
+  test("fuzz: engine == content-level brute force on random multi-line corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val docs = (0 until 50).map { i =>
+        val n = 1 + rnd.nextInt(6)
+        (i.toLong, (0 until n).map(_ => s"Line ${rnd.nextInt(8)}  pad").mkString("\n"))
+      }
+      val maxDf = 5L
+      def norm(l: String) = l.toLowerCase.replaceAll("\\s+", " ").trim
+      // brute force on normalized line CONTENT
+      val freq = docs.flatMap { case (id, t) => t.split("\n").map(norm).distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (l, g) => l -> g.map(_._2).distinct.size }
+      val block = freq.filter(_._2 > maxDf).keySet
+      val expected = docs.map { case (id, t) =>
+        id -> t.split("\n").filterNot(l => block(norm(l))).mkString("\n")
+      }.toMap
+      val got = Lines.removeBoilerplate(df(docs), maxDf)
+        .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("plan: the rewrite is a zero-exchange projection") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

@@ -108,6 +108,37 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(run(d) == run(d.repartition(13)))
   }
 
+  test("fuzz: engine == content-level brute force on random dup-heavy corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val k = 3
+      val docs = (0 until 40).map { i =>
+        val n = 4 + rnd.nextInt(12)
+        (i.toLong, (0 until n).map(_ => s"t${rnd.nextInt(6)}").mkString(" "))
+      }
+      // brute force on window CONTENT (independent of the engine's
+      // hashing): flag every occurrence of any k-token window string
+      // occurring > 1 times corpus-wide, strike covered tokens
+      val wins = for {
+        (id, t) <- docs
+        ts = t.split(" ")
+        p <- 0 to ts.length - k
+      } yield (id, p, ts.slice(p, p + k).mkString(" "))
+      val dupSet = wins.groupBy(_._3).filter(_._2.size > 1).keySet
+      val expected = docs.map { case (id, t) =>
+        val ts = t.split(" ")
+        val starts = (0 to ts.length - k)
+          .filter(p => dupSet(ts.slice(p, p + k).mkString(" ")))
+        val covered = starts.flatMap(s => s until s + k).toSet
+        id -> ts.zipWithIndex.filterNot(x => covered(x._2)).map(_._1).mkString(" ")
+      }.toMap
+      val got = SpanDedup.removeDupSpans(df(docs), k)
+        .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("plan: broadcast rewrite — no exchange carries a string column") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
