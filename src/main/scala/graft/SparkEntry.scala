@@ -2442,11 +2442,14 @@ object SparkEntry {
     // probability < 1, so lp < 0 for every row (the log itself is the
     // one transcendental; lm_score below consumes the dumped values)
     "lm_table" ->
-      """SELECT w1, w2, lp FROM read_parquet('{OUT}/lm_table/*.parquet')
+      """SELECT w1, w2, lp,
+        |  CAST(floor(lp * 4294967296.0 + 0.5) AS BIGINT) AS lpq
+        |FROM read_parquet('{OUT}/lm_table/*.parquet')
         |WHERE lp < 0 ORDER BY w1, w2""".stripMargin,
     // lm_score: the whole scoring pass replayed — bigram explode, the
-    // three-tier seen/backoff/OOV resolution against the dumped LUT,
-    // position-ordered fold, one IEEE division
+    // three-tier seen/backoff/OOV resolution against the dumped LUT's
+    // fixed-point column, an ORDER-FREE integer sum (associative),
+    // exact 2^-32 scaling, one IEEE division
     "lm_score" ->
       """WITH lm AS (SELECT * FROM read_parquet('{OUT}/lm_table/*.parquet')),
         |toks AS (SELECT doc_id,
@@ -2457,15 +2460,15 @@ object SparkEntry {
         |  FROM toks WHERE len(ws) >= 2),
         |ex AS (SELECT doc_id, pos, ws[pos] AS w1, ws[pos + 1] AS w2 FROM ex0),
         |res AS (SELECT e.doc_id, e.pos,
-        |    COALESCE(s.lp, b.lp, o.lp) AS lp
+        |    COALESCE(s.lpq, b.lpq, o.lpq) AS lpq
         |  FROM ex e
-        |  LEFT JOIN (SELECT w1, w2, lp FROM lm WHERE w2 <> '') s
+        |  LEFT JOIN (SELECT w1, w2, lpq FROM lm WHERE w2 <> '') s
         |    ON s.w1 = e.w1 AND s.w2 = e.w2
-        |  LEFT JOIN (SELECT w1, lp FROM lm WHERE w2 = '' AND w1 <> '') b
+        |  LEFT JOIN (SELECT w1, lpq FROM lm WHERE w2 = '' AND w1 <> '') b
         |    ON b.w1 = e.w1
-        |  CROSS JOIN (SELECT lp FROM lm WHERE w1 = '' AND w2 = '') o),
+        |  CROSS JOIN (SELECT lpq FROM lm WHERE w1 = '' AND w2 = '') o),
         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |    list_reduce(list(lp ORDER BY pos), (a, c) -> a + c) AS sum_lp
+        |    CAST(sum(lpq) AS DOUBLE) / 4294967296.0 AS sum_lp
         |  FROM res GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, sum_lp, sum_lp / n_bigrams AS avg_lp
         |FROM agg ORDER BY doc_id""".stripMargin,
@@ -2489,13 +2492,15 @@ object SparkEntry {
     // dsir_raw_table: consistency (every smoothed log-prob < 0); the
     // dumped values are consumed by the dsir_weights replay
     "dsir_raw_table" ->
-      """SELECT w1, w2, lp FROM read_parquet('{OUT}/dsir_raw_table/*.parquet')
+      """SELECT w1, w2, lp,
+        |  CAST(floor(lp * 4294967296.0 + 0.5) AS BIGINT) AS lpq
+        |FROM read_parquet('{OUT}/dsir_raw_table/*.parquet')
         |WHERE lp < 0 ORDER BY w1, w2""".stripMargin,
-    // dsir_weights: ONE bigram pass resolving both dumped LUTs,
-    // position-ordered folds, lw = sum_t/n - sum_r/n in that spelled
-    // IEEE order — bit-exact; accept_p passes through as dumped data
-    // under range consistency (a violating row drops and the compare
-    // fails)
+    // dsir_weights: ONE bigram pass resolving both dumped LUTs' fixed-
+    // point columns, order-free integer sums, exact 2^-32 scaling,
+    // lw = sum_t/n - sum_r/n in that spelled IEEE order — bit-exact;
+    // accept_p passes through as dumped data under range consistency
+    // (a violating row drops and the compare fails)
     "dsir_weights" ->
       """WITH tlm AS (SELECT * FROM read_parquet('{OUT}/lm_table/*.parquet')),
         |rlm AS (SELECT * FROM read_parquet('{OUT}/dsir_raw_table/*.parquet')),
@@ -2507,22 +2512,22 @@ object SparkEntry {
         |  FROM toks WHERE len(ws) >= 2),
         |ex AS (SELECT doc_id, pos, ws[pos] AS w1, ws[pos + 1] AS w2 FROM ex0),
         |res AS (SELECT e.doc_id, e.pos,
-        |    COALESCE(ts.lp, tb.lp, tov.lp) AS lp_t,
-        |    COALESCE(rs.lp, rb.lp, rov.lp) AS lp_r
+        |    COALESCE(ts.lpq, tb.lpq, tov.lpq) AS lpq_t,
+        |    COALESCE(rs.lpq, rb.lpq, rov.lpq) AS lpq_r
         |  FROM ex e
-        |  LEFT JOIN (SELECT w1, w2, lp FROM tlm WHERE w2 <> '') ts
+        |  LEFT JOIN (SELECT w1, w2, lpq FROM tlm WHERE w2 <> '') ts
         |    ON ts.w1 = e.w1 AND ts.w2 = e.w2
-        |  LEFT JOIN (SELECT w1, lp FROM tlm WHERE w2 = '' AND w1 <> '') tb
+        |  LEFT JOIN (SELECT w1, lpq FROM tlm WHERE w2 = '' AND w1 <> '') tb
         |    ON tb.w1 = e.w1
-        |  CROSS JOIN (SELECT lp FROM tlm WHERE w1 = '' AND w2 = '') tov
-        |  LEFT JOIN (SELECT w1, w2, lp FROM rlm WHERE w2 <> '') rs
+        |  CROSS JOIN (SELECT lpq FROM tlm WHERE w1 = '' AND w2 = '') tov
+        |  LEFT JOIN (SELECT w1, w2, lpq FROM rlm WHERE w2 <> '') rs
         |    ON rs.w1 = e.w1 AND rs.w2 = e.w2
-        |  LEFT JOIN (SELECT w1, lp FROM rlm WHERE w2 = '' AND w1 <> '') rb
+        |  LEFT JOIN (SELECT w1, lpq FROM rlm WHERE w2 = '' AND w1 <> '') rb
         |    ON rb.w1 = e.w1
-        |  CROSS JOIN (SELECT lp FROM rlm WHERE w1 = '' AND w2 = '') rov),
+        |  CROSS JOIN (SELECT lpq FROM rlm WHERE w1 = '' AND w2 = '') rov),
         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |    list_reduce(list(lp_t ORDER BY pos), (a, c) -> a + c) AS sum_lp_target,
-        |    list_reduce(list(lp_r ORDER BY pos), (a, c) -> a + c) AS sum_lp_raw
+        |    CAST(sum(lpq_t) AS DOUBLE) / 4294967296.0 AS sum_lp_target,
+        |    CAST(sum(lpq_r) AS DOUBLE) / 4294967296.0 AS sum_lp_raw
         |  FROM res GROUP BY doc_id)
         |SELECT a.doc_id, a.n_bigrams, a.sum_lp_target, a.sum_lp_raw,
         |  a.sum_lp_target / a.n_bigrams - a.sum_lp_raw / a.n_bigrams AS lw,

@@ -20,14 +20,26 @@ import org.apache.spark.sql.functions._
   * [[Sampling]] recipe — a pure function of doc_id, so the selection
   * replays bit-identically across runs, partitionings, and resumes.
   *
-  * Determinism/oracle: both LUTs dump as data; sums fold in position
-  * order and lw = sum_t/n - sum_r/n in that spelled IEEE order — so
-  * `dsir_weights` hash-matches bit-exactly. accept_p = exp(min(lw, 0))
-  * is the one transcendental and passes through as dumped data (the
-  * idf/LM-log discipline) under range consistency; `dsir_sample`
-  * chains the md5-threshold draw off the dump.
+  * Determinism/oracle: both LUTs dump as data with fixed-point lpq
+  * columns (the [[NgramLm.Shift]] discipline); per-model sums are
+  * associative integer sums (true partial aggregates — no struct-list
+  * fold rides the exchange), scaled back exactly, and lw = sum_t/n -
+  * sum_r/n in that spelled IEEE order — so `dsir_weights` hash-matches
+  * bit-exactly. accept_p = exp(min(lw, 0)) is the one transcendental
+  * and passes through as dumped data (the idf/LM-log discipline) under
+  * range consistency; `dsir_sample` chains the md5-threshold draw off
+  * the dump.
   */
 object Dsir {
+
+  /** exp via StrictMath (fdlibm-specified, bit-identical on every JVM
+    * and JIT tier) — java.lang.Math.exp's HotSpot intrinsic is allowed
+    * 1 ulp of error and can differ BETWEEN COMPILATION TIERS of the
+    * same JVM, which would make accept_p (and thus a boundary draw)
+    * run-dependent. A UDF here is free: it runs on the post-aggregation
+    * one-row-per-document frame, not the token stream.
+    */
+  private val strictExp = udf((x: Double) => StrictMath.exp(x))
 
   /** Per-document importance weights against the two broadcast LM
     * tables: (doc_id, n_bigrams, sum_lp_target, sum_lp_raw, lw,
@@ -40,15 +52,15 @@ object Dsir {
     val spark = docs.sparkSession
     import spark.implicits._
     def luts(lm: DataFrame, sfx: String) = {
-      val rows = lm.select(col("w1"), col("w2"), col("lp"))
-        .as[(String, String, Double)].collect()
+      val rows = lm.select(col("w1"), col("w2"), col("lpq"))
+        .as[(String, String, Long)].collect()
       val seen = rows.filter(_._2 != NgramLm.Backoff).toSeq
-        .toDF("w1", "w2", s"lp_seen_$sfx")
+        .toDF("w1", "w2", s"lpq_seen_$sfx")
       val backoff = rows
         .filter(r => r._2 == NgramLm.Backoff && r._1 != NgramLm.Backoff)
-        .map(r => (r._1, r._3)).toSeq.toDF("w1", s"lp_backoff_$sfx")
+        .map(r => (r._1, r._3)).toSeq.toDF("w1", s"lpq_backoff_$sfx")
       val oov = rows.filter(r => r._1 == NgramLm.Backoff && r._2 == NgramLm.Backoff)
-        .map(_._3).toSeq.toDF(s"lp_oov_$sfx")
+        .map(_._3).toSeq.toDF(s"lpq_oov_$sfx")
       (seen, backoff, oov)
     }
     val (seenT, backT, oovT) = luts(targetLm, "t")
@@ -60,23 +72,22 @@ object Dsir {
       .join(broadcast(seenR), Seq("w1", "w2"), "left")
       .join(broadcast(backR), Seq("w1"), "left")
       .crossJoin(broadcast(oovR))
-      .withColumn("lp_t",
-        coalesce(col("lp_seen_t"), col("lp_backoff_t"), col("lp_oov_t")))
-      .withColumn("lp_r",
-        coalesce(col("lp_seen_r"), col("lp_backoff_r"), col("lp_oov_r")))
+      .withColumn("lpq_t",
+        coalesce(col("lpq_seen_t"), col("lpq_backoff_t"), col("lpq_oov_t")))
+      .withColumn("lpq_r",
+        coalesce(col("lpq_seen_r"), col("lpq_backoff_r"), col("lpq_oov_r")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        collect_list(struct(col("pos"), col("lp_t"), col("lp_r"))).as("ps"))
+        sum(col("lpq_t")).as("sum_lpq_t"),
+        sum(col("lpq_r")).as("sum_lpq_r"))
       .withColumn("sum_lp_target",
-        aggregate(sort_array(col("ps")), lit(0.0),
-          (acc, x) => acc + x.getField("lp_t")))
+        col("sum_lpq_t").cast("double") / lit(NgramLm.Shift))
       .withColumn("sum_lp_raw",
-        aggregate(sort_array(col("ps")), lit(0.0),
-          (acc, x) => acc + x.getField("lp_r")))
+        col("sum_lpq_r").cast("double") / lit(NgramLm.Shift))
       .withColumn("lw",
         col("sum_lp_target") / col("n_bigrams")
           - col("sum_lp_raw") / col("n_bigrams"))
-      .withColumn("accept_p", exp(least(col("lw"), lit(0.0))))
+      .withColumn("accept_p", strictExp(least(col("lw"), lit(0.0))))
       .select("doc_id", "n_bigrams", "sum_lp_target", "sum_lp_raw",
         "lw", "accept_p")
   }

@@ -18,10 +18,15 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: counts are integers (fully SQL-replayable); the only
   * transcendental is the smoothed log-probability, so — like the BM25
-  * idf — the (w1, w2, lp) model table is DUMPED as data and the
-  * scoring oracle JOINS it; the per-document sum folds bigram
-  * log-probs in position order and the average is one IEEE division,
-  * so scores replay bit-exactly.
+  * idf — the model table is DUMPED as data and the scoring oracle
+  * JOINS it. Log-probs are accumulated in FIXED POINT: the table
+  * carries lpq = floor(lp * 2^32 + 0.5), and the per-document sum is a
+  * plain integer sum — associative, hence bit-exact and partition-
+  * invariant as a true partial aggregate (map-side combine; no
+  * position-ordered struct-list fold riding the exchange — the shape
+  * that survives 10^12-document scoring). sum_lp = sum_lpq / 2^32
+  * (exact power-of-two scaling; quantization error < 2^-32 per
+  * bigram), avg_lp one further IEEE division — bit-exact replay.
   *
   * Smoothing: add-one over the reference head counts.
   *   lp(w1,w2) = log((c12 + 1) / (c1 + V))   seen bigram
@@ -35,6 +40,9 @@ object NgramLm {
     * tokens are never empty (the tokenizer drops empties).
     */
   val Backoff = ""
+
+  /** Fixed-point scale for log-probs: 2^32. */
+  val Shift = 4294967296.0
 
   /** (doc key, pos, w1, w2) bigram stream — pure Column exprs (zip of
     * the token array with its shift, posexplode), no UDF.
@@ -81,6 +89,7 @@ object NgramLm {
       .select(lit(Backoff).as("w1"), lit(Backoff).as("w2"),
         log(lit(1.0) / v).as("lp"))
     seen.unionByName(backoff).unionByName(oov)
+      .withColumn("lpq", floor(col("lp") * lit(Shift) + lit(0.5)).cast("long"))
   }
 
   /** Reference vocabulary size + 1 (the OOV type). */
@@ -90,9 +99,11 @@ object NgramLm {
       .distinct().count() + 1
   }
 
-  /** Per-document LM score: n_bigrams, total log-prob (folded in
-    * position order), and the average (one IEEE division). Two
-    * broadcast left joins resolve each bigram to seen / backoff / OOV.
+  /** Per-document LM score: n_bigrams, sum_lp = the fixed-point
+    * log-prob sum scaled back (exact), and the average (one IEEE
+    * division). Two broadcast left joins resolve each bigram to
+    * seen / backoff / OOV; the shuffle carries (count, sum) partial
+    * aggregates only.
     */
   def score(
       docs: DataFrame, lm: DataFrame,
@@ -102,29 +113,27 @@ object NgramLm {
     // the model is broadcast-sized BY CONTRACT (it is the build side
     // of every scoring join) — materialize it once instead of
     // replaying its counting subplan under each of the three branches
-    val rows = lm.select(col("w1"), col("w2"), col("lp"))
-      .as[(String, String, Double)].collect()
+    val rows = lm.select(col("w1"), col("w2"), col("lpq"))
+      .as[(String, String, Long)].collect()
     val seen = rows.filter(_._2 != Backoff).toSeq
-      .toDF("w1", "w2", "lp_seen")
+      .toDF("w1", "w2", "lpq_seen")
     val backoff = rows.filter(r => r._2 == Backoff && r._1 != Backoff)
-      .map(r => (r._1, r._3)).toSeq.toDF("w1", "lp_backoff")
+      .map(r => (r._1, r._3)).toSeq.toDF("w1", "lpq_backoff")
     val oovLp = rows.filter(r => r._1 == Backoff && r._2 == Backoff)
-      .map(_._3).toSeq.toDF("lp")
+      .map(_._3).toSeq.toDF("lpq")
     val resolved = bigrams(docs, textCol, keyCol)
       .join(broadcast(seen), Seq("w1", "w2"), "left")
       .join(broadcast(backoff), Seq("w1"), "left")
       .crossJoin(broadcast(oovLp))
-      .withColumn("lp_r",
-        coalesce(col("lp_seen"), col("lp_backoff"), col("lp")))
+      .withColumn("lpq_r",
+        coalesce(col("lpq_seen"), col("lpq_backoff"), col("lpq")))
     resolved
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        collect_list(struct(col("pos"), col("lp_r"))).as("ps"))
-      .withColumn("sum_lp",
-        aggregate(sort_array(col("ps")), lit(0.0),
-          (acc, x) => acc + x.getField("lp_r")))
+        sum(col("lpq_r")).as("sum_lpq"))
+      .withColumn("sum_lp", col("sum_lpq").cast("double") / lit(Shift))
       .withColumn("avg_lp", col("sum_lp") / col("n_bigrams"))
-      .drop("ps")
+      .drop("sum_lpq")
   }
 
   /** The quality keep-filter: documents whose average bigram log-prob

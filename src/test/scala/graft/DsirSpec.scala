@@ -37,7 +37,9 @@ class DsirSpec extends AnyFunSuite {
     assert(n1 == 2L && lw1 == st1 / 2 - sr1 / 2 && lw1 > 0 && p1 == 1.0)
     // raw-like doc: lw < 0 -> accept_p = exp(lw) in (0, 1)
     val (_, _, st2, sr2, lw2, p2) = w(2L)
-    assert(lw2 < 0 && p2 == math.exp(lw2) && p2 > 0 && p2 < 1)
+    // StrictMath, not Math: the engine pins accept_p to the fdlibm
+    // exp so it cannot wobble across JIT tiers
+    assert(lw2 < 0 && p2 == StrictMath.exp(lw2) && p2 > 0 && p2 < 1)
     assert(lw2 == st2 / 2 - sr2 / 2)
     // single-token doc: no bigrams -> absent
     assert(!w.contains(3L))

@@ -34,6 +34,7 @@ class NgramLmSpec extends AnyFunSuite {
     val ref = df(Seq((1L, "a b a b c"), (2L, "a b")))
     val v = NgramLm.vocabSize(ref)
     val lm = NgramLm.lmTable(NgramLm.counts(ref), v)
+      .select("w1", "w2", "lp")
       .as[(String, String, Double)].collect().toMap2
     assert(lm(("a", "b")) == math.log((3.0 + 1.0) / (3.0 + 4.0)))
     assert(lm(("a", "")) == math.log(1.0 / (3.0 + 4.0)))
@@ -47,30 +48,36 @@ class NgramLmSpec extends AnyFunSuite {
       rows.map { case (a, b, c) => (a, b) -> c }.toMap
   }
 
-  test("scores replay bit-exactly against a driver-side fold") {
+  test("scores replay bit-exactly against a driver-side fixed-point sum") {
     import spark.implicits._
     val ref = df(Seq((1L, "a b a b c"), (2L, "a b c a")))
     val v = NgramLm.vocabSize(ref)
     val lm = NgramLm.lmTable(NgramLm.counts(ref), v)
-    val lmMap = lm.as[(String, String, Double)].collect().toMap2
+    val lmMap = lm.select("w1", "w2", "lp")
+      .as[(String, String, Double)].collect().toMap2
     val docs = df(Seq((10L, "a b c"), (11L, "a zzz b"), (12L, "qq rr")))
     val got = NgramLm.score(docs, lm)
       .select("doc_id", "n_bigrams", "sum_lp", "avg_lp")
       .as[(Long, Long, Double, Double)].collect()
       .map(r => r._1 -> r).toMap
-    def lp(w1: String, w2: String): Double =
-      lmMap.getOrElse((w1, w2),
-        lmMap.getOrElse((w1, ""), lmMap(("", ""))))
+    def q(x: Double) = math.floor(x * NgramLm.Shift + 0.5).toLong
+    def lpq(w1: String, w2: String): Long =
+      q(lmMap.getOrElse((w1, w2),
+        lmMap.getOrElse((w1, ""), lmMap(("", "")))))
     for ((id, text) <- Seq((10L, "a b c"), (11L, "a zzz b"), (12L, "qq rr"))) {
       val ws = text.split(" ").filter(_.nonEmpty)
-      val lps = ws.sliding(2).map(p => lp(p(0), p(1))).toSeq
-      val sum = lps.foldLeft(0.0)(_ + _)
+      val qs = ws.sliding(2).map(p => lpq(p(0), p(1))).toSeq
+      val sum = qs.sum.toDouble / NgramLm.Shift
       val (gid, gn, gsum, gavg) = got(id)
-      assert(gn == lps.size && gid == id)
+      assert(gn == qs.size && gid == id)
       assert(java.lang.Double.doubleToLongBits(gsum) ==
         java.lang.Double.doubleToLongBits(sum), s"doc $id sum")
       assert(java.lang.Double.doubleToLongBits(gavg) ==
-        java.lang.Double.doubleToLongBits(sum / lps.size), s"doc $id avg")
+        java.lang.Double.doubleToLongBits(sum / qs.size), s"doc $id avg")
+      // quantization is invisible at classification scale
+      val exact = ws.sliding(2).map(p => lmMap.getOrElse((p(0), p(1)),
+        lmMap.getOrElse((p(0), ""), lmMap(("", ""))))).sum
+      assert(math.abs(sum - exact) < 1e-8, s"doc $id quantization error")
     }
   }
 
