@@ -30,10 +30,11 @@ import org.apache.spark.sql.functions._
   * Token log-probs are accumulated in FIXED POINT: the LUT carries
   * lwq = floor(lw * 2^32 + 0.5) and the per-(doc,label) sum is a plain
   * integer sum — associative, so it is bit-exact and partition-
-  * invariant WITHOUT the position-ordered collect_list fold the LM
-  * scorer uses (whose struct list rides the exchange; here the shuffle
-  * carries true (count, sum) partial aggregates with map-side combine
-  * — the shape that survives 10^12 x 20-label scoring). Quantization
+  * invariant WITHOUT a position-ordered collect_list fold (whose
+  * struct list would ride the exchange; here the shuffle carries true
+  * (count, sum) partial aggregates with map-side combine — the shape
+  * that survives 10^12 x 20-label scoring; [[NgramLm]]/[[Dsir]] use
+  * the same fixed-point discipline). Quantization
   * error is < 2^-32 per token (irrelevant to classification);
   * headroom: |lwq| < ~2^37 for any realistic model, so overflow needs
   * > 2^26 tokens in one document. score = lp_prior + sum_lwq / 2^32 —
@@ -93,13 +94,13 @@ object Classify {
       log(col("n_docs") / lit(n)).as("lp_prior"))
   }
 
-  /** The model LUT: seen (label, token, lw) rows + one backoff row per
-    * label (token = ""). The logs are the dumped data the scoring
-    * oracle joins.
-    */
   /** Fixed-point scale for token log-probs: 2^32. */
   val Shift = 4294967296.0
 
+  /** The model LUT: seen (label, token, lw, lwq) rows + one backoff
+    * row per label (token = ""). The logs are the dumped data the
+    * scoring oracle joins; lwq is the fixed-point form scoring sums.
+    */
   def nbTable(counts: DataFrame, vocabSize: Long): DataFrame = {
     val v = lit(vocabSize.toDouble)
     val seen = counts.select(col("label"), col("token"),
