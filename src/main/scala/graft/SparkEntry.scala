@@ -1255,7 +1255,7 @@ object SparkEntry {
     // the driver documents are ASCII (code units == codepoints)
     "text_fingerprint" ->
       """WITH norm AS (
-        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS s
         |  FROM documents),
         |codes AS (
         |  SELECT doc_id, [unicode(c) for c in string_split_regex(s, '')] AS cs FROM norm),
@@ -1677,7 +1677,7 @@ object SparkEntry {
     // whitespace tokens; hash values are parameters, passed through)
     "span_token_hashes" ->
       """WITH toks AS (
-        |  SELECT DISTINCT unnest(string_split_regex(text, '\s+')) AS token
+        |  SELECT DISTINCT unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS token
         |  FROM documents),
         |t AS (SELECT token FROM toks WHERE token <> '')
         |SELECT t.token, d.h
@@ -1690,7 +1690,7 @@ object SparkEntry {
     // prev_max(pos)+8)
     "span_dup" ->
       """WITH d0 AS (SELECT doc_id::BIGINT AS doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS ts
         |  FROM documents),
         |tok AS (SELECT doc_id, unnest(ts) AS token,
         |    unnest(generate_series(1, len(ts))) AS p FROM d0),
@@ -1722,7 +1722,7 @@ object SparkEntry {
     // fully-struck and empty docs keep an empty string
     "span_clean" ->
       """WITH d0 AS (SELECT doc_id::BIGINT AS doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS ts
         |  FROM documents),
         |tok AS (SELECT doc_id, unnest(ts) AS token,
         |    unnest(generate_series(0, len(ts) - 1)) AS pos FROM d0),
@@ -2375,7 +2375,7 @@ object SparkEntry {
         |    unnest(generate_series(1, len(arr))) AS pos FROM ls0),
         |li AS (SELECT doc_id, arr[pos] AS line FROM ex),
         |norm AS (SELECT doc_id,
-        |    trim(regexp_replace(lower(line), '\s+', ' ', 'g')) AS s FROM li),
+        |    trim(regexp_replace(lower(line), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS s FROM li),
         |hh AS (SELECT doc_id,
         |    list_reduce(list_prepend(1125899906842597::HUGEINT,
         |      [unicode(c) for c in string_split_regex(s, '')]),
@@ -2403,7 +2403,7 @@ object SparkEntry {
         |    unnest(generate_series(1, len(arr))) AS pos FROM ls0),
         |li AS (SELECT doc_id, pos, arr[pos] AS line FROM ex),
         |norm AS (SELECT doc_id, pos, line,
-        |    trim(regexp_replace(lower(line), '\s+', ' ', 'g')) AS s FROM li),
+        |    trim(regexp_replace(lower(line), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS s FROM li),
         |hh AS (SELECT doc_id, pos, line,
         |    list_reduce(list_prepend(1125899906842597::HUGEINT,
         |      [unicode(c) for c in string_split_regex(s, '')]),
@@ -2533,8 +2533,8 @@ object SparkEntry {
         |  a.sum_lp_target / a.n_bigrams - a.sum_lp_raw / a.n_bigrams AS lw,
         |  d.accept_p
         |FROM agg a
-        |JOIN read_parquet('{OUT}/dsir_weights/*.parquet') d USING (doc_id)
-        |WHERE d.accept_p > 0 AND d.accept_p <= 1.0
+        |LEFT JOIN read_parquet('{OUT}/dsir_weights/*.parquet') d USING (doc_id)
+        |WHERE d.accept_p IS NULL OR (d.accept_p > 0 AND d.accept_p <= 1.0)
         |ORDER BY a.doc_id""".stripMargin,
     // dsir_sample: the deterministic md5-threshold draw chained off
     // the (itself bit-exact) weights dump
@@ -2700,7 +2700,7 @@ object SparkEntry {
         |  FROM documents)
         |SELECT t.term, d.idf
         |FROM t LEFT JOIN read_parquet('{OUT}/search_idf/*.parquet') d USING (term)
-        |WHERE d.idf > 0
+        |WHERE d.idf IS NULL OR d.idf > 0
         |ORDER BY t.term""".stripMargin,
     // search_topk: scores replayed bit-exactly — idf JOINED from the
     // engine's dumped LUT (never recomputing the log); every other op

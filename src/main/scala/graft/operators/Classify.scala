@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** FastText-style document classification — the domain/provenance
@@ -85,8 +85,7 @@ object Classify {
   /** Label priors: (label, n_docs, lp_prior = log(n_docs / N)). */
   def priors(
       train: DataFrame,
-      labelCol: String = "source",
-      keyCol: String = "doc_id"): DataFrame = {
+      labelCol: String = "source"): DataFrame = {
     val byLabel = train.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("n_docs"))
     val n = train.count().toDouble

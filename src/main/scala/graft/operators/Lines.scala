@@ -84,7 +84,8 @@ object Lines {
     val bc = spark.sparkContext.broadcast(
       boilerplateHashes(docs, maxDocFreq, textCol, keyCol))
     val cleanUdf = udf((lines: Seq[String]) =>
-      lines.filter(l => !bc.value.contains(TextStats.fingerprint64(l)))
+      if (lines == null) "" // NULL text -> empty, like the all-struck doc
+      else lines.filter(l => !bc.value.contains(TextStats.fingerprint64(l)))
         .mkString("\n"))
     docs.withColumn("clean_text", cleanUdf(split(col(textCol), "\n")))
   }

@@ -58,6 +58,14 @@ class LinesSpec extends AnyFunSuite {
     assert(cleaned(4L) == "") // every line struck
   }
 
+  test("NULL text: rewrite yields empty string, no NPE") {
+    import spark.implicits._
+    val d = df(Seq((1L, "keep\nkeep2"), (2L, null.asInstanceOf[String])))
+    val cleaned = Lines.removeBoilerplate(d, maxDocFreq = 10)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(cleaned(1L) == "keep\nkeep2" && cleaned(2L) == "")
+  }
+
   test("partition invariance") {
     import spark.implicits._
     val d = df((0 until 120).map(i =>

@@ -69,7 +69,8 @@ class SpanDedupSpec extends AnyFunSuite {
       (2L, "c1 c2 c3 c4 v1 v2 v3"),
       (3L, "w1   w2\tw3 w4"),            // unflagged: whitespace-normalized passthrough
       (4L, "c1 c2 c3 c4"),               // fully covered -> empty (dup of the shared span)
-      (5L, "")))
+      (5L, ""),
+      (6L, null.asInstanceOf[String]))) // NULL text -> empty, no NPE
     val cleaned = SpanDedup.removeDupSpans(d, k = 3)
       .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
     assert(cleaned(1L) == "u1 u2 u3")
@@ -77,6 +78,7 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(cleaned(3L) == "w1 w2 w3 w4")
     assert(cleaned(4L) == "")
     assert(cleaned(5L) == "")
+    assert(cleaned(6L) == "")
   }
 
   test("broadcast and shuffled rewrite paths agree; handle variant too") {
