@@ -649,7 +649,7 @@ object SparkEntry {
         .orderBy("word")),
     "bpe_merges" -> ((s, dir) => {
       val d = docs(s, dir)
-      Bpe.mergeTable(d, Bpe.train(d.filter(col("doc_id") % 7 === 3), 40))
+      Bpe.mergeTable(s, Bpe.train(d.filter(col("doc_id") % 7 === 3), 40))
         .orderBy("rank")
     }),
     "bpe_encode" -> ((s, dir) => {
@@ -1258,7 +1258,7 @@ object SparkEntry {
         |  SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS s
         |  FROM documents),
         |codes AS (
-        |  SELECT doc_id, [unicode(c) for c in string_split_regex(s, '')] AS cs FROM norm),
+        |  SELECT doc_id, [unicode(c) for c in string_split_regex(s, '') if c <> ''] AS cs FROM norm),
         |h AS (
         |  SELECT doc_id,
         |    list_reduce(list_prepend(1125899906842597::HUGEINT, cs),
@@ -2366,9 +2366,10 @@ object SparkEntry {
     // discipline), then distinct-doc counting by the same hash
     "line_stats" ->
       """WITH d AS (SELECT doc_id,
-        |    text || chr(10) || 'subscribe to our newsletter ' || (doc_id % 3)
-        |         || chr(10) || 'copyright footer ' || (doc_id % 50)
-        |         || chr(10) || 'doc footnote ' || doc_id AS t
+        |    concat_ws(chr(10), text,
+        |      'subscribe to our newsletter ' || (doc_id % 3),
+        |      'copyright footer ' || (doc_id % 50),
+        |      'doc footnote ' || doc_id) AS t
         |  FROM documents),
         |ls0 AS (SELECT doc_id, string_split(t, chr(10)) AS arr FROM d),
         |ex AS (SELECT doc_id, arr,
@@ -2378,7 +2379,7 @@ object SparkEntry {
         |    trim(regexp_replace(lower(line), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS s FROM li),
         |hh AS (SELECT doc_id,
         |    list_reduce(list_prepend(1125899906842597::HUGEINT,
-        |      [unicode(c) for c in string_split_regex(s, '')]),
+        |      [unicode(c) for c in string_split_regex(s, '') if c <> '']),
         |      (acc, c) -> (31::HUGEINT * acc + c)
         |        % 18446744073709551616::HUGEINT) AS hu
         |  FROM norm),
@@ -2394,9 +2395,10 @@ object SparkEntry {
     // position order; fully-emptied docs keep an empty string
     "line_clean" ->
       """WITH d AS (SELECT doc_id,
-        |    text || chr(10) || 'subscribe to our newsletter ' || (doc_id % 3)
-        |         || chr(10) || 'copyright footer ' || (doc_id % 50)
-        |         || chr(10) || 'doc footnote ' || doc_id AS t
+        |    concat_ws(chr(10), text,
+        |      'subscribe to our newsletter ' || (doc_id % 3),
+        |      'copyright footer ' || (doc_id % 50),
+        |      'doc footnote ' || doc_id) AS t
         |  FROM documents),
         |ls0 AS (SELECT doc_id, string_split(t, chr(10)) AS arr FROM d),
         |ex AS (SELECT doc_id, arr,
@@ -2406,7 +2408,7 @@ object SparkEntry {
         |    trim(regexp_replace(lower(line), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS s FROM li),
         |hh AS (SELECT doc_id, pos, line,
         |    list_reduce(list_prepend(1125899906842597::HUGEINT,
-        |      [unicode(c) for c in string_split_regex(s, '')]),
+        |      [unicode(c) for c in string_split_regex(s, '') if c <> '']),
         |      (acc, c) -> (31::HUGEINT * acc + c)
         |        % 18446744073709551616::HUGEINT) AS hu
         |  FROM norm),

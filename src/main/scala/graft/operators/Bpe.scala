@@ -128,10 +128,11 @@ object Bpe {
 
   /** The merge table as a DataFrame: (rank, lhs, rhs, merged) —
     * lhs/rhs, not left/right, so the SQL oracle needs no reserved-word
-    * quoting.
+    * quoting. Takes the session, not a corpus: the table is a pure
+    * function of the trained merges.
     */
-  def mergeTable(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val spark = docs.sparkSession
+  def mergeTable(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)]): DataFrame = {
     import spark.implicits._
     merges.zipWithIndex
       .map { case ((l, r), i) => (i, l, r, l + r) }

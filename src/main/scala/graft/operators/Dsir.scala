@@ -49,22 +49,8 @@ object Dsir {
   def weights(
       docs: DataFrame, targetLm: DataFrame, rawLm: DataFrame,
       textCol: String = "text", keyCol: String = "doc_id"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    def luts(lm: DataFrame, sfx: String) = {
-      val rows = lm.select(col("w1"), col("w2"), col("lpq"))
-        .as[(String, String, Long)].collect()
-      val seen = rows.filter(_._2 != NgramLm.Backoff).toSeq
-        .toDF("w1", "w2", s"lpq_seen_$sfx")
-      val backoff = rows
-        .filter(r => r._2 == NgramLm.Backoff && r._1 != NgramLm.Backoff)
-        .map(r => (r._1, r._3)).toSeq.toDF("w1", s"lpq_backoff_$sfx")
-      val oov = rows.filter(r => r._1 == NgramLm.Backoff && r._2 == NgramLm.Backoff)
-        .map(_._3).toSeq.toDF(s"lpq_oov_$sfx")
-      (seen, backoff, oov)
-    }
-    val (seenT, backT, oovT) = luts(targetLm, "t")
-    val (seenR, backR, oovR) = luts(rawLm, "r")
+    val (seenT, backT, oovT) = NgramLm.lutFrames(targetLm, "t")
+    val (seenR, backR, oovR) = NgramLm.lutFrames(rawLm, "r")
     NgramLm.bigrams(docs, textCol, keyCol)
       .join(broadcast(seenT), Seq("w1", "w2"), "left")
       .join(broadcast(backT), Seq("w1"), "left")

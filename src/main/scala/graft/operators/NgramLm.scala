@@ -105,28 +105,39 @@ object NgramLm {
     * seen / backoff / OOV; the shuffle carries (count, sum) partial
     * aggregates only.
     */
-  def score(
-      docs: DataFrame, lm: DataFrame,
-      textCol: String = "text", keyCol: String = "doc_id"): DataFrame = {
-    val spark = docs.sparkSession
+  /** Materialize a broadcast-sized LM table once and split it into the
+    * three resolution tiers as small frames (column names suffixed by
+    * `sfx` so two models can be resolved side by side — [[Dsir]]).
+    * The model is broadcast-sized BY CONTRACT (it is the build side of
+    * every scoring join); collecting avoids replaying its counting
+    * subplan under each of the three branches.
+    */
+  private[operators] def lutFrames(
+      lm: DataFrame, sfx: String): (DataFrame, DataFrame, DataFrame) = {
+    val spark = lm.sparkSession
     import spark.implicits._
-    // the model is broadcast-sized BY CONTRACT (it is the build side
-    // of every scoring join) — materialize it once instead of
-    // replaying its counting subplan under each of the three branches
+    val tag = if (sfx.isEmpty) "" else s"_$sfx"
     val rows = lm.select(col("w1"), col("w2"), col("lpq"))
       .as[(String, String, Long)].collect()
     val seen = rows.filter(_._2 != Backoff).toSeq
-      .toDF("w1", "w2", "lpq_seen")
+      .toDF("w1", "w2", s"lpq_seen$tag")
     val backoff = rows.filter(r => r._2 == Backoff && r._1 != Backoff)
-      .map(r => (r._1, r._3)).toSeq.toDF("w1", "lpq_backoff")
-    val oovLp = rows.filter(r => r._1 == Backoff && r._2 == Backoff)
-      .map(_._3).toSeq.toDF("lpq")
+      .map(r => (r._1, r._3)).toSeq.toDF("w1", s"lpq_backoff$tag")
+    val oov = rows.filter(r => r._1 == Backoff && r._2 == Backoff)
+      .map(_._3).toSeq.toDF(s"lpq_oov$tag")
+    (seen, backoff, oov)
+  }
+
+  def score(
+      docs: DataFrame, lm: DataFrame,
+      textCol: String = "text", keyCol: String = "doc_id"): DataFrame = {
+    val (seen, backoff, oovLp) = lutFrames(lm, "")
     val resolved = bigrams(docs, textCol, keyCol)
       .join(broadcast(seen), Seq("w1", "w2"), "left")
       .join(broadcast(backoff), Seq("w1"), "left")
       .crossJoin(broadcast(oovLp))
       .withColumn("lpq_r",
-        coalesce(col("lpq_seen"), col("lpq_backoff"), col("lpq")))
+        coalesce(col("lpq_seen"), col("lpq_backoff"), col("lpq_oov")))
     resolved
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
