@@ -1343,6 +1343,7 @@ object SparkEntry {
   private def lineFixture(d: DataFrame): DataFrame =
     d.withColumn("text", concat_ws("\n",
       col("text"),
+      lit(""), // blank line: exercises the empty-normalized-line hash
       concat(lit("subscribe to our newsletter "),
         (col("doc_id") % 3).cast("string")),
       concat(lit("copyright footer "), (col("doc_id") % 50).cast("string")),
@@ -2366,7 +2367,7 @@ object SparkEntry {
     // discipline), then distinct-doc counting by the same hash
     "line_stats" ->
       """WITH d AS (SELECT doc_id,
-        |    concat_ws(chr(10), text,
+        |    concat_ws(chr(10), text, '',
         |      'subscribe to our newsletter ' || (doc_id % 3),
         |      'copyright footer ' || (doc_id % 50),
         |      'doc footnote ' || doc_id) AS t
@@ -2395,7 +2396,7 @@ object SparkEntry {
     // position order; fully-emptied docs keep an empty string
     "line_clean" ->
       """WITH d AS (SELECT doc_id,
-        |    concat_ws(chr(10), text,
+        |    concat_ws(chr(10), text, '',
         |      'subscribe to our newsletter ' || (doc_id % 3),
         |      'copyright footer ' || (doc_id % 50),
         |      'doc footnote ' || doc_id) AS t
