@@ -219,6 +219,24 @@ object SparkEntry {
       // stop — the same accepted trade as kg_linked above.
       Linking.linkTriplesSaltedFused(annotated(s, dir), ChemDict.entries)
         .orderBy("url", "sentId", "headText", "valueText", "score")),
+    // ---------- KG graph analytics (post-materialize consumer) ----------
+    "kg_graph_edges" -> ((s, dir) =>
+      // support-weighted chem<->prop co-occurrence arcs off the linked
+      // triple table; oracle rebuilds the tuple-key fingerprint join
+      // from the kg_linked dump (HUGEINT fold, text_fingerprint style)
+      Graph.propertyEdges(Linking.linkTriplesFused(annotated(s, dir), ChemDict.entries))
+        .orderBy("src", "dst")),
+    "kg_graph_degrees" -> ((s, dir) =>
+      Graph.degrees(
+        Graph.propertyEdges(Linking.linkTriplesFused(annotated(s, dir), ChemDict.entries)))
+        .orderBy("node")),
+    "kg_pagerank" -> ((s, dir) =>
+      // fixed-point integer PageRank (5 iterations) — bit-exact, so the
+      // oracle replays the full power iteration as chained CTEs off the
+      // kg_graph_edges dump
+      Graph.pageRank(
+        Graph.propertyEdges(Linking.linkTriplesFused(annotated(s, dir), ChemDict.entries)))
+        .orderBy("node")),
     "kg_entity_table" -> ((s, dir) =>
       Canonicalize.entityTable(s, ChemDict.entries).toDF()
         .select("clusterId", "cid", "canonicalName", "molecularFormula",
@@ -560,6 +578,17 @@ object SparkEntry {
         NgramLm.lmTable(NgramLm.counts(ref), NgramLm.vocabSize(ref))),
         minAvgLp = -3.5)
         .select("doc_id").orderBy("doc_id")
+    }),
+    "ppl_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail terciles by LM score: exact global rank
+      // via range-repartition + prefix offsets (no single-partition
+      // window); oracle replays rank + the integer bucket rule off the
+      // lm_score dump
+      val d = docs(s, dir)
+      val ref = d.filter(col("doc_id") % 10 === 3)
+      Ranking.perplexityBuckets(
+        NgramLm.score(d, NgramLm.lmTable(NgramLm.counts(ref), NgramLm.vocabSize(ref))))
+        .orderBy("rank")
     }),
 
     // ---------- DSIR importance resampling ---------------------------
@@ -1452,7 +1481,72 @@ object SparkEntry {
   private def wrap32(e: String): String =
     s"(($e + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648"
 
+  /** The fixed-point PageRank power iteration replayed as chained CTEs
+    * off the kg_graph_edges dump — one CTE per iteration, all integer
+    * arithmetic in HUGEINT with the same floor divisions as the engine
+    * (`Graph.pageRank`), so prq hash-matches bit-exactly.
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val head =
+      """WITH arcs0 AS (SELECT src, dst, support FROM read_parquet('{OUT}/kg_graph_edges/*.parquet')),
+        |wout AS (SELECT src, CAST(sum(support) AS BIGINT) AS wout FROM arcs0 GROUP BY src),
+        |arcs AS (SELECT a.src, a.dst, a.support, w.wout FROM arcs0 a JOIN wout w USING (src)),
+        |nodes AS (SELECT DISTINCT src AS node FROM arcs0),
+        |parm AS (SELECT 4294967296 // count(*) AS init,
+        |                ((100 - 85) * (4294967296 // count(*))) // 100 AS tele FROM nodes),
+        |pr0 AS (SELECT node, init AS prq FROM nodes CROSS JOIN parm)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.node, p.tele + coalesce(f.inflow, 0) AS prq
+         |  FROM nodes n CROSS JOIN parm p LEFT JOIN (
+         |    SELECT a.dst AS node,
+         |      CAST(sum((85::HUGEINT * q.prq * a.support) // (100::HUGEINT * a.wout)) AS BIGINT) AS inflow
+         |    FROM arcs a JOIN pr${i - 1} q ON a.src = q.node GROUP BY a.dst) f USING (node))""".stripMargin
+    }
+    (Seq(head) ++ steps).mkString(",\n") +
+      s"\nSELECT node, prq, CAST(prq AS DOUBLE) / 4294967296 AS pr FROM pr$iters ORDER BY node"
+  }
+
   private val MoreOracleSql: Map[String, String] = Map(
+    // ---------- KG graph analytics ----------
+    // arcs rebuilt from the kg_linked dump: the tuple-key fingerprint
+    // (fingerprint64 over the chr(1)-joined key — same HUGEINT fold as
+    // the text_fingerprint oracle), the vocab-rank prop nodes, both
+    // DISTINCTs, the support count, and the two-direction union
+    "kg_graph_edges" ->
+      """WITH linked AS (SELECT * FROM read_parquet('{OUT}/kg_linked/*.parquet')),
+        |keyed AS (SELECT headLabel, cid, propType,
+        |    trim(regexp_replace(lower(concat_ws(chr(1), url, CAST(sentId AS VARCHAR), valueLabel, valueText, unit)),
+        |         '[ \t\n\x0b\f\r]+', ' ', 'g')) AS ks
+        |  FROM linked),
+        |codes AS (SELECT *, [unicode(c) for c in string_split_regex(ks, '') if c <> ''] AS cs FROM keyed),
+        |tk AS (SELECT headLabel, cid, propType,
+        |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |      THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS tkey
+        |  FROM (SELECT *, list_reduce(list_prepend(1125899906842597::HUGEINT, cs),
+        |      (acc, c) -> (31::HUGEINT * acc + c) % 18446744073709551616::HUGEINT) AS hu FROM codes)),
+        |pnodes AS (SELECT propType AS pt, -CAST(row_number() OVER (ORDER BY propType) AS BIGINT) AS node
+        |  FROM (SELECT DISTINCT propType FROM linked WHERE propType <> '')),
+        |chems AS (SELECT DISTINCT tkey, cid FROM tk WHERE headLabel = 'CHEM' AND cid IS NOT NULL),
+        |props AS (SELECT DISTINCT tkey, n.node FROM tk JOIN pnodes n ON tk.propType = n.pt),
+        |pairs AS (SELECT c.cid, p.node, count(*) AS support FROM chems c JOIN props p USING (tkey) GROUP BY 1, 2),
+        |arcs AS (SELECT cid AS src, node AS dst, support FROM pairs
+        |         UNION ALL SELECT node, cid, support FROM pairs)
+        |SELECT src, dst, CAST(support AS BIGINT) AS support FROM arcs ORDER BY src, dst""".stripMargin,
+    "kg_graph_degrees" ->
+      """SELECT src AS node, count(*) AS deg, CAST(sum(support) AS BIGINT) AS wdeg
+        |FROM read_parquet('{OUT}/kg_graph_edges/*.parquet') GROUP BY src ORDER BY node""".stripMargin,
+    "kg_pagerank" -> pageRankOracle(Graph.DefaultIters),
+    // exact global rank + integer tercile rule, replayed off the
+    // engine's own lm_score dump (avg_lp is passthrough data here —
+    // no float recompute)
+    "ppl_buckets" ->
+      """WITH s AS (SELECT doc_id, avg_lp FROM read_parquet('{OUT}/lm_score/*.parquet')),
+        |r AS (SELECT doc_id, avg_lp,
+        |    row_number() OVER (ORDER BY avg_lp DESC, doc_id ASC) AS rank,
+        |    count(*) OVER () AS n FROM s)
+        |SELECT doc_id, avg_lp, rank, CAST(((rank - 1) * 3) // n AS INT) AS bucket
+        |FROM r ORDER BY rank""".stripMargin,
     // ---------- consistency oracles for the remaining input dumps ----
     // (structural invariants + cross-dump referential checks; value
     // columns that are engine parameters pass through, but every

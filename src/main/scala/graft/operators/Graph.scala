@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the materialized knowledge graph — the
+  * downstream consumer of the (chemical, property, value) triples the
+  * pipeline emits (reference: the KG the corpus feeds, cprex's triples
+  * are rendered/exported but never analyzed — this is the analytics
+  * layer a production KG build runs right after materialize).
+  *
+  * Graph model: an undirected bipartite co-occurrence graph, stored as
+  * directed arcs both ways.
+  *
+  *   - chem node  = the linked PubChem-style `cid` (a positive long);
+  *   - prop node  = `-rank` of the property type (negative longs, so
+  *     the two id spaces cannot collide; the property vocabulary is
+  *     the bounded ruler vocab, so the rank window runs over a
+  *     group-by-reduced input of at most |vocab| rows);
+  *   - arc (c, p) with weight `support` = the number of distinct
+  *     extraction tuples — (url, sentId, valueLabel, valueText, unit)
+  *     — in which a mention linked to cid `c` heads the same measured
+  *     value as a property mention of type `p`.
+  *
+  * Scale discipline: every exchange carries long/int keys only — the
+  * arcs are (long, long, long) rows, node labels are attached by a
+  * bounded-vocabulary join only at the human-readable edge of the
+  * dataflow. PageRank is join-based power iteration in FIXED-POINT
+  * integer arithmetic: prq is pr scaled by 2^32 and every per-arc
+  * contribution is an integer floor-division, so the per-node inflow
+  * is a sum of LONGS — associative, map-side-combinable, and therefore
+  * bit-identical at any parallelism AND replayable in DuckDB SQL (the
+  * same reason the LM/NB/DSIR scorers quantize their log-probs). A
+  * float PageRank would make the result depend on the shuffle's
+  * reduction order.
+  */
+object Graph {
+
+  /** pr fixed-point scale: prq = round-down fixed-point of pr * 2^32. */
+  val PrScale: Long = 1L << 32
+
+  /** Damping factor as an exact rational (DampNum / 100). */
+  val DampNum: Long = 85L
+
+  /** Default power iterations — fixed, part of the operator's
+    * deterministic contract (an epsilon-stop would make the iteration
+    * count data-dependent and the oracle unreproducible).
+    */
+  val DefaultIters: Int = 5
+
+  /** Property-type node ids: (prop_type, node) with node = -1, -2, …
+    * by ascending prop_type. The window runs AFTER a distinct() that
+    * reduces the input to the bounded property vocabulary, so the
+    * single-partition rank stage is |vocab|-sized, not corpus-sized.
+    */
+  def propNodes(linked: DataFrame): DataFrame = {
+    val distinctProps = linked
+      .filter(col("propType") =!= "")
+      .select(col("propType").as("prop_type")).distinct()
+    distinctProps.withColumn(
+      "node", -row_number().over(Window.orderBy("prop_type")).cast("long"))
+  }
+
+  /** Tuple identity: the columns that pin one extracted (value) tuple
+    * inside one sentence, folded to a 64-bit fingerprint so the tuple
+    * join and both distincts exchange ONLY long columns (no url/span
+    * text in any shuffle — the line-dedup discipline; a fingerprint
+    * collision merges two tuples, the same accepted 2^-64-per-pair
+    * trade as `Lines`). `value` (a double that can be NaN) is
+    * deliberately excluded — valueText/unit carry the same identity
+    * textually and NaN-in-join-key semantics differ across engines.
+    */
+  private def tupleKey: org.apache.spark.sql.Column =
+    graft.functions.GraftFunctions.fingerprint64(concat_ws("\u0001",
+      col("url"), col("sentId"), col("valueLabel"), col("valueText"), col("unit")))
+
+  /** Support-weighted arcs of the chem↔prop co-occurrence graph, both
+    * directions. Input is the linked triple table
+    * (`Linking.linkTriplesFused` output): CHEM-headed rows carry `cid`,
+    * PROP/FORMULA-headed rows carry `propType`; rows of the same tuple
+    * pair up. Only (long, long, long) rows survive past the tuple join.
+    */
+  def propertyEdges(linked: DataFrame): DataFrame = {
+    val pnodes = propNodes(linked)
+    val chems = linked
+      .filter(col("headLabel") === "CHEM" && col("cid").isNotNull)
+      .select(tupleKey.as("tkey"), col("cid")).distinct()
+    val props = linked
+      .filter(col("propType") =!= "")
+      .join(pnodes, col("propType") === pnodes("prop_type"))
+      .select(tupleKey.as("tkey"), col("node")).distinct()
+    val pairs = chems.join(props, Seq("tkey"))
+      .groupBy(col("cid"), col("node"))
+      .agg(count(lit(1)).as("support"))
+    pairs.select(col("cid").as("src"), col("node").as("dst"), col("support"))
+      .union(pairs.select(col("node").as("src"), col("cid").as("dst"), col("support")))
+  }
+
+  /** Per-node degree stats over the arc list: arc count and total
+    * support of outgoing arcs (the graph is symmetric, so in == out).
+    * One map-side-combined hash aggregation.
+    */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"), sum("support").as("wdeg"))
+
+  /** Support-weighted PageRank by fixed-point power iteration.
+    *
+    * Recurrence (all integer arithmetic, every division a positive
+    * floor division):
+    *
+    *   prq_0(v)   = PrScale / N
+    *   teleport   = ((100 - DampNum) * (PrScale / N)) / 100
+    *   arc flow   = (DampNum * prq_i(u) * support(u,v)) / (100 * wout(u))
+    *   prq_{i+1}(v) = teleport + Σ_{(u,v) ∈ arcs} flow(u → v)
+    *
+    * prq ≤ PrScale = 2^32 (total mass only shrinks under floors), so
+    * the per-arc product needs support < 2^25 to stay inside a long —
+    * ~33M co-occurrences of ONE (chem, prop) pair; beyond that, bump
+    * PrScale down. Nodes are taken from the arc list and the arc list
+    * is symmetric, so every node has out-arcs: no dangling-mass term.
+    *
+    * Per iteration: one long-keyed join (prq onto arcs, arcs carry
+    * their wout from a one-time pre-join and stay persisted across all
+    * iterations) + one long-sum aggregation + one left join back onto
+    * the node set for the teleport base. `localCheckpoint` cuts the
+    * growing lineage each round, same as the CC loop.
+    *
+    * Returns (node, prq, pr) where pr = prq / 2^32 exactly (a power-of-
+    * two IEEE division — exact, so the double column is as replayable
+    * as the integer one).
+    */
+  def pageRank(edges: DataFrame, iters: Int = DefaultIters): DataFrame = {
+    val spark = edges.sparkSession
+    val arcs = edges
+      .join(edges.groupBy(col("src")).agg(sum("support").as("wout")), Seq("src"))
+      .select(col("src"), col("dst"), col("support"), col("wout"))
+      .persist()
+    val nodes = arcs.select(col("src").as("node")).distinct().persist()
+    val n = nodes.count()
+    require(n > 0, "pageRank on an empty graph")
+    val init = PrScale / n
+    val teleport = (100L - DampNum) * init / 100L
+    var pr = nodes.select(col("node"), lit(init).as("prq"))
+    var i = 0
+    while (i < iters) {
+      val inflow = arcs
+        .join(pr, arcs("src") === pr("node"))
+        // `div` is Spark's INTEGRAL division — a float `/` here would
+        // round above 2^53 and diverge from the oracle's integer `//`
+        .selectExpr("dst", s"($DampNum * prq * support) div (100 * wout) as flow")
+        .groupBy("dst").agg(sum("flow").as("inflow"))
+      pr = nodes
+        .join(inflow, nodes("node") === inflow("dst"), "left_outer")
+        .select(col("node"),
+          (lit(teleport) + coalesce(col("inflow"), lit(0L))).as("prq"))
+        .localCheckpoint()
+      i += 1
+    }
+    arcs.unpersist()
+    nodes.unpersist()
+    pr.withColumn("pr", col("prq").cast("double") / lit(PrScale.toDouble))
+  }
+}
