@@ -195,6 +195,27 @@ object Bench {
         val merges = Bpe.train(d.filter(col("doc_id") % 7 === 3), 40)
         Bpe.encodePieces(d, merges).count(); ()
       }),
+      "kg_pagerank" -> (() => {
+        // post-materialize graph analytics: fused linking pass → arc
+        // derivation → 5 fixed-point power iterations (long-keyed
+        // joins + integer sums only)
+        import graft.operators.Graph
+        val ann = Pipeline.annotate(Pipeline.sentences(PageGen.pages(spark, nPages)), names)
+        val (linked, unpersist) = Linking.linkTriplesFusedWithHandle(ann, ChemDict.entries)
+        val (edges, releaseEdges) = Graph.propertyEdgesWithHandle(linked)
+        try { Graph.pageRank(edges).count(); () }
+        finally { releaseEdges(); unpersist() }
+      }),
+      "ppl_buckets" -> (() => {
+        // CCNet terciles: LM train + score + exact global rank (range
+        // repartition + prefix offsets — no single-partition window)
+        import graft.operators.{NgramLm, Ranking}
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        val ref = d.filter(col("doc_id") % 10 === 3)
+        val (buckets, release) = Ranking.perplexityBucketsWithHandle(NgramLm.score(d,
+          NgramLm.lmTable(NgramLm.counts(ref), NgramLm.vocabSize(ref))))
+        try { buckets.count(); () } finally release()
+      }),
       "nb_classify" -> (() => {
         // train (one agg over the labeled slice) + broadcast-resolve
         // scoring + argmax window

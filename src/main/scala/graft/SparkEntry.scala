@@ -219,6 +219,16 @@ object SparkEntry {
       // stop — the same accepted trade as kg_linked above.
       Linking.linkTriplesSaltedFused(annotated(s, dir), ChemDict.entries)
         .orderBy("url", "sentId", "headText", "valueText", "score")),
+    "kg_linked_salted_targeted" -> ((s, dir) =>
+      // SURVEY §4's heavy-hitter design: only mentions whose A1 count
+      // reaches the threshold explode ×nSalts on the dict side; the
+      // probe pays one broadcast lookup against the bounded heavy list
+      // (the only broadcast in the plan — never the dictionary).
+      // Threshold 100 splits the fixture (4 heavy / 120 light at
+      // sf0.001) so both branches execute under the oracle.
+      Linking.linkTriplesSaltedTargeted(annotated(s, dir), ChemDict.entries,
+        heavyThreshold = 100L)
+        .orderBy("url", "sentId", "headText", "valueText", "score")),
     // ---------- KG graph analytics (post-materialize consumer) ----------
     "kg_graph_edges" -> ((s, dir) =>
       // support-weighted chem<->prop co-occurrence arcs off the linked
@@ -1192,6 +1202,9 @@ object SparkEntry {
     // the salted/shuffle-hash path is row-identical to the broadcast
     // path by contract (LinkingSpec) — same oracle
     "kg_linked_salted" -> LinkedOracleSql,
+    // targeted salting is row-identical too (LinkingSpec asserts all
+    // three threshold regimes) — same oracle
+    "kg_linked_salted_targeted" -> LinkedOracleSql,
     // J5 blocking + verification from the dumped bands: bucket prune
     // (1 < n <= 64), in-bucket pairs, then BOTH verification signals
     // recomputed exactly — char-3-gram Jaccard >= 0.6 and token-set

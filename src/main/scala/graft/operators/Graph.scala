@@ -80,21 +80,55 @@ object Graph {
     * (`Linking.linkTriplesFused` output): CHEM-headed rows carry `cid`,
     * PROP/FORMULA-headed rows carry `propType`; rows of the same tuple
     * pair up. Only (long, long, long) rows survive past the tuple join.
+    *
+    * One-shot convenience over `propertyEdgesWithHandle`: the compact
+    * projection persist is released only at session stop (the accepted
+    * Verify trade; loops use the handle).
     */
-  def propertyEdges(linked: DataFrame): DataFrame = {
-    val pnodes = propNodes(linked)
-    val chems = linked
-      .filter(col("headLabel") === "CHEM" && col("cid").isNotNull)
-      .select(tupleKey.as("tkey"), col("cid")).distinct()
-    val props = linked
-      .filter(col("propType") =!= "")
-      .join(pnodes, col("propType") === pnodes("prop_type"))
-      .select(tupleKey.as("tkey"), col("node")).distinct()
-    val pairs = chems.join(props, Seq("tkey"))
-      .groupBy(col("cid"), col("node"))
+  def propertyEdges(linked: DataFrame): DataFrame =
+    propertyEdgesWithHandle(linked)._1
+
+  /** `propertyEdges` + unpersist handle. The linked table feeds THREE
+    * consumers (prop-node ranks, the chem side, the prop side) and the
+    * caller typically feeds the result to `pageRank`, which scans the
+    * arc list again for out-weights — without a persist the upstream
+    * linking join would re-execute once per consumer (the
+    * fetchCandidatePayload lesson from the dedup review). Only the
+    * compact (tkey, cid, propType, headLabel) projection persists,
+    * never full linked rows.
+    */
+  def propertyEdgesWithHandle(linked: DataFrame): (DataFrame, () => Unit) = {
+    val compact = linked
+      .filter((col("headLabel") === "CHEM" && col("cid").isNotNull) ||
+        col("propType") =!= "")
+      .select(tupleKey.as("tkey"), col("cid"), col("propType"), col("headLabel"))
+      .persist()
+    // materialize EAGERLY: downstream consumers (and pageRank's arc
+    // self-join) scan `compact` from multiple subtrees of one job — a
+    // lazy persist races those scans into concurrent full upstream
+    // recomputes before any block is cached
+    compact.count()
+    val pnodes = propNodes(compact.select(col("propType")))
+    // ONE wide exchange: group the tuple's members by tkey and emit the
+    // chem×prop pairs in-row (collect_set = the per-tuple DISTINCT; the
+    // per-tuple sets are sentence-bounded). The naive formulation —
+    // distinct chem side, distinct prop side, tkey equi-join — exchanges
+    // the same tuple-keyed rows THREE times.
+    val pairs = compact
+      .groupBy(col("tkey"))
+      .agg(
+        collect_set(when(col("headLabel") === "CHEM", col("cid"))).as("cids"),
+        collect_set(when(col("propType") =!= "", col("propType"))).as("pts"))
+      .select(explode(col("cids")).as("cid"), col("pts"))
+      .select(col("cid"), explode(col("pts")).as("prop_type"))
+      .groupBy(col("cid"), col("prop_type"))
       .agg(count(lit(1)).as("support"))
-    pairs.select(col("cid").as("src"), col("node").as("dst"), col("support"))
+      .join(broadcast(pnodes), Seq("prop_type"))
+      .select(col("cid"), col("node"), col("support"))
+    val edges = pairs
+      .select(col("cid").as("src"), col("node").as("dst"), col("support"))
       .union(pairs.select(col("node").as("src"), col("cid").as("dst"), col("support")))
+    (edges, () => { compact.unpersist(); () })
   }
 
   /** Per-node degree stats over the arc list: arc count and total
@@ -121,23 +155,45 @@ object Graph {
     * PrScale down. Nodes are taken from the arc list and the arc list
     * is symmetric, so every node has out-arcs: no dangling-mass term.
     *
+    * `edges` MUST be a symmetric arc list (both directions present, as
+    * `propertyEdges` emits): nodes are taken from `src`, and symmetry
+    * guarantees every node also appears as a `dst` group, so the
+    * teleport base folds directly into the per-node aggregation — no
+    * dangling-mass term and no per-iteration join back onto the node
+    * set. (The DuckDB oracle replays the left-join formulation over
+    * DISTINCT src, so a non-symmetric input would mismatch rather than
+    * pass silently.)
+    *
     * Per iteration: one long-keyed join (prq onto arcs, arcs carry
     * their wout from a one-time pre-join and stay persisted across all
-    * iterations) + one long-sum aggregation + one left join back onto
-    * the node set for the teleport base. `localCheckpoint` cuts the
-    * growing lineage each round, same as the CC loop.
+    * iterations) + one long-sum aggregation. Iterations chain LAZILY —
+    * the whole recurrence is one Catalyst plan evaluated at the
+    * caller's action (5 iterations ≈ 10 plan nodes, well within
+    * analyzer limits); `localCheckpoint` cuts lineage only every
+    * `CheckpointEvery` rounds so deep iteration counts stay safe
+    * without paying an eager materialization per round (measured 6.0s
+    * → sub-second on a 153-node graph at local[32]: the per-round
+    * checkpoint job dominated everything).
     *
     * Returns (node, prq, pr) where pr = prq / 2^32 exactly (a power-of-
     * two IEEE division — exact, so the double column is as replayable
     * as the integer one).
     */
   def pageRank(edges: DataFrame, iters: Int = DefaultIters): DataFrame = {
-    val spark = edges.sparkSession
-    val arcs = edges
+    val arcsPlan = edges
       .join(edges.groupBy(col("src")).agg(sum("support").as("wout")), Seq("src"))
       .select(col("src"), col("dst"), col("support"), col("wout"))
       .persist()
-    val nodes = arcs.select(col("src").as("node")).distinct().persist()
+    // Cut the LOGICAL lineage at the iteration entry: every chained
+    // iteration plan embeds `arcs`, and `arcs` embeds the caller's
+    // whole upstream tree — without this cut Catalyst re-analyzes that
+    // tree once per iteration per action (measured: 3.8s of pure
+    // driver-side planning for 5 iterations over a 153-node graph with
+    // the full linking pipeline upstream; 0.9s with a flat leaf). The
+    // LogicalRDD leaf scans the persisted blocks, so executors do the
+    // same work either way.
+    val arcs = edges.sparkSession.createDataFrame(arcsPlan.rdd, arcsPlan.schema)
+    val nodes = arcs.select(col("src").as("node")).distinct()
     val n = nodes.count()
     require(n > 0, "pageRank on an empty graph")
     val init = PrScale / n
@@ -145,21 +201,25 @@ object Graph {
     var pr = nodes.select(col("node"), lit(init).as("prq"))
     var i = 0
     while (i < iters) {
-      val inflow = arcs
+      pr = arcs
         .join(pr, arcs("src") === pr("node"))
         // `div` is Spark's INTEGRAL division — a float `/` here would
         // round above 2^53 and diverge from the oracle's integer `//`
         .selectExpr("dst", s"($DampNum * prq * support) div (100 * wout) as flow")
-        .groupBy("dst").agg(sum("flow").as("inflow"))
-      pr = nodes
-        .join(inflow, nodes("node") === inflow("dst"), "left_outer")
-        .select(col("node"),
-          (lit(teleport) + coalesce(col("inflow"), lit(0L))).as("prq"))
-        .localCheckpoint()
+        .groupBy("dst").agg((lit(teleport) + sum(col("flow"))).as("prq"))
+        .select(col("dst").as("node"), col("prq"))
       i += 1
+      if (i % CheckpointEvery == 0 && i < iters) pr = pr.localCheckpoint()
     }
-    arcs.unpersist()
-    nodes.unpersist()
-    pr.withColumn("pr", col("prq").cast("double") / lit(PrScale.toDouble))
+    val out = pr.withColumn("pr", col("prq").cast("double") / lit(PrScale.toDouble))
+      .localCheckpoint()
+    arcsPlan.unpersist()
+    out
   }
+
+  /** Lineage-cut cadence for the power iteration: plans of ~2 nodes per
+    * round are cheap, so cut only often enough that a deep run (e.g. 50
+    * rounds) never builds an unbounded tree.
+    */
+  val CheckpointEvery: Int = 8
 }

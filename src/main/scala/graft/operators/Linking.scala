@@ -227,7 +227,7 @@ object Linking {
     val links = eligible
       .join(broadcast(dictNames(dict)), Seq("name_norm"))
       .join(broadcast(dictProps(dict)), Seq("cid"))
-      .drop("name_norm")
+      .drop("name_norm", "occurrences")
     (joinLinks(triples, links), () => { combined.unpersist(); () })
   }
 
@@ -256,7 +256,7 @@ object Linking {
       .groupBy("mention").agg(count(lit(1)).as("occurrences"))
       .filter(col("occurrences") >= minOccurrences)
       .withColumn("name_norm", chemNormCol(col("mention")))
-      .select("mention", "name_norm")
+      .select("mention", "name_norm", "occurrences")
     val triples = combined.filter(col("triple").isNotNull).select("triple.*")
     (combined, eligible, triples)
   }
@@ -285,11 +285,80 @@ object Linking {
     val links = eligible
       .join(dictNames(dict).hint("shuffle_hash"), Seq("name_norm"))
       .join(dictProps(dict).hint("shuffle_hash"), Seq("cid"))
-      .drop("name_norm")
+      .drop("name_norm", "occurrences")
     val saltedDict = links.withColumn("salt", explode(lit((0 until nSalts).toArray)))
     val probe = triples
       .withColumn("head_surface", when(col("headLabel") === "CHEM", col("headText")))
       .withColumn("salt", pmod(hash(col("url")), lit(nSalts)))
+    val out = probe
+      .hint("shuffle_hash")
+      .join(saltedDict,
+        probe("head_surface") === saltedDict("mention") && probe("salt") === saltedDict("salt"),
+        "left_outer")
+      .drop("mention", "head_surface", "salt")
+    (out, () => { combined.unpersist(); () })
+  }
+
+  def linkTriplesSaltedTargeted(
+      annotated: Dataset[Sentence],
+      dictArr: Array[ChemDictEntry],
+      nSalts: Int = 8,
+      heavyThreshold: Long = HeavyThreshold,
+      minOccurrences: Int = MinOccurrences
+  ): DataFrame =
+    linkTriplesSaltedTargetedWithHandle(
+      annotated, dictArr, nSalts, heavyThreshold, minOccurrences)._1
+
+  /** Occurrence threshold above which a mention surface counts as a
+    * head entity (water, NaCl) for salting purposes. The heavy SET is
+    * bounded by construction: at most totalMentions/HeavyThreshold
+    * surfaces can exceed it, so broadcasting the set is always safe —
+    * unlike the dictionary, whose size is unbounded corpus-independent
+    * input. Production value ~1e6; driver/spec fixtures pass a small
+    * one so both branches are exercised at test scale.
+    */
+  val HeavyThreshold: Long = 1000000L
+
+  /** TARGETED salting — the SURVEY §4 design (pre-computed heavy-hitter
+    * list broadcast) that `linkTriplesSaltedFused` approximates by
+    * salting everything. Exploding the whole surface-link table ×nSalts
+    * multiplies the dict-side exchange by nSalts for keys that were
+    * never skewed; here only mentions whose A1 occurrence count (free —
+    * the gate already computed it) reaches `heavyThreshold` explode,
+    * so the dict-side exchange is |links| + (nSalts-1)·|heavy| rows and
+    * the probe side pays one extra broadcast-join lookup against the
+    * bounded heavy list. The ONLY broadcast in the plan is that list —
+    * never the dictionary (plan-asserted: exactly one BroadcastExchange
+    * carrying the single heavy_mention column). Rows identical to
+    * `linkTriples` / `linkTriplesSaltedFused` (LinkingSpec).
+    */
+  def linkTriplesSaltedTargetedWithHandle(
+      annotated: Dataset[Sentence],
+      dictArr: Array[ChemDictEntry],
+      nSalts: Int = 8,
+      heavyThreshold: Long = HeavyThreshold,
+      minOccurrences: Int = MinOccurrences
+  ): (DataFrame, () => Unit) = {
+    val spark = annotated.sparkSession
+    val dict = dictDs(spark, dictArr)
+    val (combined, eligible, triples) = fusedParts(annotated, minOccurrences)
+    val links = eligible
+      .join(dictNames(dict).hint("shuffle_hash"), Seq("name_norm"))
+      .join(dictProps(dict).hint("shuffle_hash"), Seq("cid"))
+      .drop("name_norm")
+    // heavy explodes to all salts; the long tail keeps one row at salt 0
+    val saltedDict = links
+      .withColumn("salt", explode(when(col("occurrences") >= heavyThreshold,
+        lit((0 until nSalts).toArray)).otherwise(array(lit(0)))))
+      .drop("occurrences")
+    val heavy = eligible.filter(col("occurrences") >= heavyThreshold)
+      .select(col("mention").as("heavy_mention"))
+    val probe = triples
+      .withColumn("head_surface", when(col("headLabel") === "CHEM", col("headText")))
+      .join(broadcast(heavy), col("head_surface") === col("heavy_mention"), "left_outer")
+      .withColumn("salt", when(col("heavy_mention").isNotNull,
+        pmod(hash(col("url")), lit(nSalts))).otherwise(lit(0)))
+      .drop("heavy_mention")
     val out = probe
       .hint("shuffle_hash")
       .join(saltedDict,

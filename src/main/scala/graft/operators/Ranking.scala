@@ -84,12 +84,22 @@ object Ranking {
     * (doc_id, avg_lp, rank, bucket) with bucket 0=head, 1=middle,
     * 2=tail.
     */
-  def perplexityBuckets(scored: DataFrame, nBuckets: Int = 3): DataFrame = {
-    val ranked = globalRank(
+  def perplexityBuckets(scored: DataFrame, nBuckets: Int = 3): DataFrame =
+    perplexityBucketsWithHandle(scored, nBuckets)._1
+
+  /** `perplexityBuckets` with the rank intermediate's unpersist handle
+    * (release only after the caller's action — the handle contract).
+    * The internal `count()` for N reads the persisted intermediate, so
+    * releasing earlier could resample range boundaries and misalign
+    * the prefix offsets.
+    */
+  def perplexityBucketsWithHandle(
+      scored: DataFrame, nBuckets: Int = 3): (DataFrame, () => Unit) = {
+    val (ranked, release) = globalRankWithHandle(
       scored.select(col("doc_id"), col("avg_lp")),
       Seq(col("avg_lp").desc, col("doc_id").asc))
     val n = ranked.count()
-    rankBuckets(ranked, n, nBuckets)
-      .select("doc_id", "avg_lp", "rank", "bucket")
+    (rankBuckets(ranked, n, nBuckets)
+      .select("doc_id", "avg_lp", "rank", "bucket"), release)
   }
 }

@@ -163,6 +163,56 @@ class LinkingSpec extends AnyFunSuite {
     } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("targeted salting: identical rows; the ONLY broadcast is the bounded heavy list") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    def broadcasts(p: SparkPlan): Seq[BroadcastExchangeLike] = p match {
+      case a: AdaptiveSparkPlanExec => broadcasts(a.executedPlan)
+      case q: QueryStageExec => broadcasts(q.plan)
+      case e: BroadcastExchangeLike => e +: p.children.flatMap(broadcasts)
+      case _ => p.children.flatMap(broadcasts)
+    }
+    // threshold at the median eligible occurrence count: both the
+    // explode-all-salts branch and the single-salt branch are live
+    val occs = Linking.mentionCounts(annotated).filter(col("occurrences") >= 3)
+      .select("occurrences").as[Long].collect().sorted
+    val thr = occs(occs.length / 2)
+    assert(occs.exists(_ >= thr) && occs.exists(_ < thr), "fixture must split")
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = Linking.linkTriples(triples, annotated, ChemDict.entries)
+      // at a splitting threshold, at MaxValue (nothing heavy — everything
+      // salt 0) and at 0 (everything heavy — degenerates to full salting):
+      // rows must be identical in every regime
+      for (t <- Seq(thr, Long.MaxValue, 0L)) {
+        val (b, unpersist) = Linking.linkTriplesSaltedTargetedWithHandle(
+          annotated, ChemDict.entries, nSalts = 4, heavyThreshold = t)
+        try {
+          b.collect() // finalize adaptive plan
+          val bx = broadcasts(b.queryExecution.executedPlan)
+          // any broadcast in the plan must be the heavy-mention list —
+          // one string column, never dict payload. (With an EMPTY heavy
+          // set AQE's empty-relation propagation removes the join and
+          // its broadcast altogether, so only require presence when
+          // something is heavy.)
+          if (t != Long.MaxValue) assert(bx.nonEmpty, "heavy list should broadcast")
+          bx.foreach { e =>
+            assert(e.child.output.map(_.name) == Seq("heavy_mention"),
+              s"only the heavy list may broadcast, saw: ${e.child.output.map(_.name)}")
+          }
+          val cols = a.columns.sorted.toSeq
+          val ka = a.select(cols.map(col): _*).collect().map(_.toString).sorted
+          val kb = b.select(cols.map(col): _*).collect().map(_.toString).sorted
+          assert(ka.sameElements(kb), s"row mismatch at heavyThreshold=$t")
+        } finally unpersist()
+      }
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("broadcast path plans a BroadcastHashJoin with no shuffle on the probe side") {
     val linked = Linking.linkTriples(triples, annotated, ChemDict.entries)
     val plan = linked.queryExecution.executedPlan.toString

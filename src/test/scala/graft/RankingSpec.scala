@@ -72,4 +72,15 @@ class RankingSpec extends AnyFunSuite {
     assert(r.count() === 50)
     release()
   }
+
+  test("perplexityBucketsWithHandle matches the handle-free variant") {
+    val df = scored(80)
+    val expect = Ranking.perplexityBuckets(df)
+      .select("doc_id", "rank", "bucket").as[(Long, Long, Int)].collect().toSet
+    val (b, release) = Ranking.perplexityBucketsWithHandle(df)
+    try {
+      val got = b.select("doc_id", "rank", "bucket").as[(Long, Long, Int)].collect().toSet
+      assert(got === expect)
+    } finally release()
+  }
 }
