@@ -88,6 +88,14 @@ object Bench {
         val emb = Dedup.plantNearDups(spark.read.parquet(s"$sfDir/embeddings.parquet"))
         Dedup.embeddingPairs(emb, threshold = 0.95).count(); ()
       }),
+      "semdedup" -> (() => {
+        // cluster-scoped semantic dedup: Lloyd train + assign +
+        // within-cell exact-cosine pairs + CC survivor rule
+        val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val (surv, release) = graft.operators.SemDedup.survivorsWithHandle(
+          Dedup.plantNearDups(raw), Similarity.ivfCentroids(raw, 16), 0.95)
+        try { surv.count(); () } finally release()
+      }),
       "ann_brute" -> (() => {
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         Similarity.bruteForceTopK(emb, emb.orderBy("vec_id").limit(20), 10).count(); ()

@@ -392,6 +392,28 @@ object SparkEntry {
         Dedup.plantNearDups(s.read.parquet(s"$dir/embeddings.parquet")))
         .select("id", "bucket")
         .orderBy("id")),
+    // ---------- SemDeDup (cluster-scoped semantic dedup) ----------
+    // same planted corpus as the LSH path, same trained coarse
+    // quantizer as the IVF ANN path (so the centroid dump is shared);
+    // assignment + centroid cosine replayed bit-exactly, pairs and the
+    // keep-lowest-centroid-cosine survivor rule chained off the dumps
+    "semdedup_cells" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      SemDedup.assignCos(Dedup.plantNearDups(emb),
+        Similarity.ivfCentroids(emb, 16)).orderBy("id")
+    }),
+    "semdedup_pairs" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      SemDedup.pairs(Dedup.plantNearDups(emb),
+        Similarity.ivfCentroids(emb, 16), threshold = 0.95)
+        .orderBy("cell", "a", "b")
+    }),
+    "semdedup_keep" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      SemDedup.survivors(Dedup.plantNearDups(emb),
+        Similarity.ivfCentroids(emb, 16), threshold = 0.95)
+        .orderBy("id")
+    }),
 
     "dedup_jaccard_pairs" -> ((s, dir) =>
       // EXACT all-pairs n-gram Jaccard via prefix filtering (AllPairs/
@@ -1520,7 +1542,74 @@ object SparkEntry {
       s"\nSELECT node, prq, CAST(prq AS DOUBLE) / 4294967296 AS pr FROM pr$iters ORDER BY node"
   }
 
+  /** The planted embedding corpus (`Dedup.plantNearDups`) rebuilt from
+    * the embeddings table — shared by the SemDeDup oracles (the same
+    * text appears inline in the dedup_embedding_pairs oracle).
+    * float(double(x)+0.25) is bit-identical to the engine's float add.
+    */
+  private val PlantedVecsSql =
+    """vecs AS (
+      |  SELECT vec_id::BIGINT AS id, embedding AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 2000000,
+      |         list_prepend(CAST(embedding[1] + 0.25 AS FLOAT), embedding[2:])
+      |  FROM embeddings WHERE vec_id % 50 = 25)""".stripMargin
+
+  /** Spelled pair cosine over DuckDB lists `$a` and `$b` — per-dim
+    * FLOAT product widened to DOUBLE, left-to-right sums, norms
+    * multiplied before the division: exactly `SemDedup.cosF`.
+    */
+  private def pairCosSql(a: String, b: String): String =
+    s"""list_sum([CAST($a[i] * $b[i] AS FLOAT)::DOUBLE for i in range(1, len($a) + 1)]) /
+       |      (sqrt(list_sum([CAST(x * x AS FLOAT)::DOUBLE for x in $a])) *
+       |       sqrt(list_sum([CAST(x * x AS FLOAT)::DOUBLE for x in $b])))""".stripMargin
+
   private val MoreOracleSql: Map[String, String] = Map(
+    // ---------- SemDeDup ----------
+    // assignment + centroid cosine replayed INDEPENDENTLY: planted
+    // corpus from the embeddings table, trained centroids from the
+    // shared ann_ivf_centroids dump, argmax cosine with the engine's
+    // (-cos, cell) tie-break, cent_cos emitted bit-exactly
+    "semdedup_cells" ->
+      s"""WITH $IvfCentsSql,
+        |$PlantedVecsSql,
+        |scored AS (SELECT vecs.id, cents.cell, $IvfCosSql AS cos
+        |  FROM vecs CROSS JOIN cents)
+        |SELECT id, cell, cos AS cent_cos FROM (
+        |  SELECT id, cell, cos,
+        |    row_number() OVER (PARTITION BY id ORDER BY cos DESC, cell) AS rn
+        |  FROM scored) WHERE rn = 1 ORDER BY id""".stripMargin,
+    // within-cluster pairs: chain the cells dump, rebuild the planted
+    // vectors, spell the exact pair cosine at the engine's threshold
+    "semdedup_pairs" ->
+      s"""WITH cells AS (SELECT id, cell FROM read_parquet('{OUT}/semdedup_cells/*.parquet')),
+        |$PlantedVecsSql,
+        |m AS (SELECT c.cell, c.id, vecs.v FROM cells c JOIN vecs USING (id))
+        |SELECT x.cell, x.id AS a, y.id AS b
+        |FROM m x JOIN m y ON x.cell = y.cell AND x.id < y.id
+        |WHERE ${pairCosSql("x.v", "y.v")} >= 0.95
+        |ORDER BY x.cell, a, b""".stripMargin,
+    // survivors: connected components over the pairs dump (recursive
+    // min-label closure), keeper = lowest (cent_cos, id) per component,
+    // everything else survives
+    "semdedup_keep" ->
+      """WITH RECURSIVE pr AS (SELECT a, b FROM read_parquet('{OUT}/semdedup_pairs/*.parquet')),
+        |cellsk AS (SELECT id, cent_cos FROM read_parquet('{OUT}/semdedup_cells/*.parquet')),
+        |edges AS (SELECT a AS s, b AS d FROM pr UNION ALL SELECT b, a FROM pr),
+        |members AS (SELECT DISTINCT s AS id FROM edges),
+        |reach(src, node) AS (
+        |  SELECT id, id FROM members
+        |  UNION
+        |  SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s),
+        |comp AS (SELECT src AS id, min(node) AS cluster_id FROM reach GROUP BY src),
+        |cc AS (SELECT c.id, c.cluster_id, k.cent_cos FROM comp c JOIN cellsk k USING (id)),
+        |keepers AS (SELECT id FROM (
+        |  SELECT id, row_number() OVER (PARTITION BY cluster_id ORDER BY cent_cos, id) AS rn
+        |  FROM cc) WHERE rn = 1),
+        |dropped AS (SELECT id FROM members WHERE id NOT IN (SELECT id FROM keepers))
+        |SELECT id FROM cellsk WHERE id NOT IN (SELECT id FROM dropped) ORDER BY id""".stripMargin,
     // ---------- KG graph analytics ----------
     // arcs rebuilt from the kg_linked dump: the tuple-key fingerprint
     // (fingerprint64 over the chr(1)-joined key — same HUGEINT fold as

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+  * deduplication by k-means clustering + within-cluster cosine pruning —
+  * the CLUSTER-SCOPED member of the embedding-dedup family, next to the
+  * sign-LSH blocking of `Dedup.embeddingPairs`. LSH finds pairs whose
+  * random projections collide; SemDeDup instead trains a coarse
+  * quantizer (the SAME deterministic Lloyd trainer the IVF ANN path
+  * uses — `Similarity.ivfCentroidsTrained`), assigns every vector to
+  * its nearest centroid, and verifies exact cosine only WITHIN a
+  * cluster. Near-dup groups (connected components of the pair graph)
+  * keep exactly one member: the paper's rule keeps the example with the
+  * LOWEST cosine to its cluster centroid (preserving atypical examples);
+  * ties break on id ascending, so the survivor set is deterministic.
+  *
+  * Scale discipline:
+  *  - centroids are nlist-bounded and broadcast (the IVF contract);
+  *    assignment + centroid-cosine is a ZERO-EXCHANGE projection;
+  *  - the quadratic term is bounded per cluster: vectors ride exactly
+  *    ONE exchange (the cell aggregation), and pair generation is
+  *    in-row over the sorted member list — nlist is the dial that
+  *    bounds expected cluster size (paper uses ~sqrt(N) clusters; a
+  *    pathological hub cluster concentrates cost the same way a hub
+  *    LSH bucket does, which is inherent to the method);
+  *  - the component/survivor stage runs over the PAIR table (near-dup
+  *    density-bounded, far smaller than the corpus) via the same
+  *    join-based convergence-guarded connected components the entity
+  *    canonicalization uses (`Canonicalize.connectedComponents`).
+  *
+  * Determinism/oracle contract: assignment cosine uses float products
+  * accumulated into doubles in ascending dim order (exactly
+  * `Similarity.nearestCells`'s loop, replayed bit-exactly in SQL by the
+  * IVF-cells oracle technique), so `cent_cos` hash-matches in DuckDB;
+  * the pair threshold compare replays with the same spelled arithmetic.
+  */
+object SemDedup {
+
+  /** Default cosine threshold above which two same-cluster documents
+    * count as semantic duplicates (paper operating range 0.9-0.95 for
+    * web text).
+    */
+  val DefaultThreshold: Double = 0.95
+
+  /** Exact cosine with the engine-wide spelled order: per-dim FLOAT
+    * product widened to DOUBLE, accumulated left-to-right, norms the
+    * same way, `dot / (sqrt(na) * sqrt(nb))`.
+    */
+  private[graft] def cosF(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var j = 0
+    while (j < a.length) {
+      dot += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** (id, cell, cent_cos): nearest-centroid assignment plus the exact
+    * cosine to that centroid (the keep-rule key), in ONE zero-exchange
+    * projection over the broadcast centroids. Tie-break on (-cos, cell)
+    * — identical to `Similarity.nearestCells`.
+    */
+  def assignCos(
+      corpus: DataFrame, cents: Array[(Int, Array[Float])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+    val f = udf { (v: Seq[Float]) =>
+      var bestCell = -1; var bestCos = Double.NegativeInfinity
+      bc.value.foreach { case (cell, c) =>
+        val cos = cosF(v, c.toSeq)
+        if (cos > bestCos || (cos == bestCos && cell < bestCell)) {
+          bestCell = cell; bestCos = cos
+        }
+      }
+      (bestCell, bestCos)
+    }
+    corpus.select(col(idCol).cast("long").as("id"), f(col(vecCol)).as("ac"))
+      .select(col("id"), col("ac._1").as("cell"), col("ac._2").as("cent_cos"))
+  }
+
+  /** Within-cluster near-dup pairs (cell, a, b) with a < b and exact
+    * cosine >= threshold. One wide exchange: the per-cell member
+    * aggregation; pairing is in-row over the id-sorted member list, so
+    * the output is partition-invariant.
+    */
+  def pairs(
+      corpus: DataFrame, cents: Array[(Int, Array[Float])],
+      threshold: Double = DefaultThreshold,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val assigned = assignCos(corpus, cents, idCol, vecCol)
+      .select(col("id"), col("cell"))
+      .join(corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")), Seq("id"))
+    assigned
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("id").as("_1"), col("v").as("_2"))).as("ms"))
+      .select(col("cell").as("_1"), col("ms").as("_2"))
+      .as[(Int, Seq[(Long, Seq[Float])])]
+      .flatMap { case (cell, ms0) =>
+        val ms = ms0.sortBy(_._1).toArray
+        for {
+          i <- ms.indices.iterator
+          j <- (i + 1) until ms.length
+          if cosF(ms(i)._2, ms(j)._2) >= threshold
+        } yield (cell, ms(i)._1, ms(j)._1)
+      }
+      .toDF("cell", "a", "b")
+  }
+
+  def survivors(
+      corpus: DataFrame, cents: Array[(Int, Array[Float])],
+      threshold: Double = DefaultThreshold,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    survivorsWithHandle(corpus, cents, threshold, idCol, vecCol)._1
+
+  /** Survivor ids after semantic dedup: every near-dup component
+    * (connected components over `pairs`) keeps ONLY the member with the
+    * lowest (cent_cos, id); documents in no pair survive untouched.
+    * Returns the unpersist handle for the pair table (it feeds both the
+    * component loop and the membership anti-join).
+    */
+  def survivorsWithHandle(
+      corpus: DataFrame, cents: Array[(Int, Array[Float])],
+      threshold: Double = DefaultThreshold,
+      idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, () => Unit) = {
+    val p = pairs(corpus, cents, threshold, idCol, vecCol).persist()
+    p.count() // materialize: CC + keeper + anti-join all read it
+    val members = p.select(col("a").as("cid"))
+      .union(p.select(col("b").as("cid"))).distinct()
+    val cc = Canonicalize.connectedComponents(
+      members, p.select(col("a").as("cid_a"), col("b").as("cid_b")))
+    val withKey = cc.join(
+      assignCos(corpus, cents, idCol, vecCol).select(col("id"), col("cent_cos")),
+      cc("cid") === col("id"))
+    // min(struct) orders lexicographically: lowest cent_cos, then id
+    val keepers = withKey.groupBy(col("cluster_id"))
+      .agg(min(struct(col("cent_cos"), col("cid"))).as("k"))
+      .select(col("k.cid").as("keep_id"))
+    val dropped = members
+      .join(keepers, members("cid") === keepers("keep_id"), "left_anti")
+    val out = corpus.select(col(idCol).cast("long").as("id"))
+      .join(dropped, col("id") === dropped("cid"), "left_anti")
+    (out, () => { p.unpersist(); () })
+  }
+}
