@@ -1617,9 +1617,11 @@ object SparkEntry {
     // DISTINCTs, the support count, and the two-direction union
     "kg_graph_edges" ->
       """WITH linked AS (SELECT * FROM read_parquet('{OUT}/kg_linked/*.parquet')),
+        |-- the engine hex-encodes the key before fingerprint64 (case
+        |-- folding hex is injective, whitespace squash is a no-op), so
+        |-- the replay is lower(hex(...)) then the raw polynomial fold
         |keyed AS (SELECT headLabel, cid, propType,
-        |    trim(regexp_replace(lower(concat_ws(chr(1), url, CAST(sentId AS VARCHAR), valueLabel, valueText, unit)),
-        |         '[ \t\n\x0b\f\r]+', ' ', 'g')) AS ks
+        |    lower(hex(concat_ws(chr(1), url, CAST(sentId AS VARCHAR), valueLabel, valueText, unit))) AS ks
         |  FROM linked),
         |codes AS (SELECT *, [unicode(c) for c in string_split_regex(ks, '') if c <> ''] AS cs FROM keyed),
         |tk AS (SELECT headLabel, cid, propType,

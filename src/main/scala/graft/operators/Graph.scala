@@ -70,10 +70,16 @@ object Graph {
     * trade as `Lines`). `value` (a double that can be NaN) is
     * deliberately excluded — valueText/unit carry the same identity
     * textually and NaN-in-join-key semantics differ across engines.
+    *
+    * The key is HEX-ENCODED before fingerprinting: `fingerprint64`
+    * case-folds and squashes whitespace (right for content dedup,
+    * wrong for an identity key — "mPa" and "MPa" are different units),
+    * and lowercasing a hex string is injective, so the encoding makes
+    * the normalization a no-op without a second hash implementation.
     */
   private def tupleKey: org.apache.spark.sql.Column =
-    graft.functions.GraftFunctions.fingerprint64(concat_ws("\u0001",
-      col("url"), col("sentId"), col("valueLabel"), col("valueText"), col("unit")))
+    graft.functions.GraftFunctions.fingerprint64(hex(concat_ws("\u0001",
+      col("url"), col("sentId"), col("valueLabel"), col("valueText"), col("unit"))))
 
   /** Support-weighted arcs of the chem↔prop co-occurrence graph, both
     * directions. Input is the linked triple table
@@ -196,6 +202,11 @@ object Graph {
     val nodes = arcs.select(col("src").as("node")).distinct()
     val n = nodes.count()
     require(n > 0, "pageRank on an empty graph")
+    // beyond PrScale nodes, init = PrScale/n floors to 0 and every rank
+    // degenerates to 0 — fail loudly like the CC convergence guard
+    // (a >2^32-node graph needs a wider fixed-point scale)
+    require(n <= PrScale,
+      s"pageRank fixed-point scale 2^32 cannot represent 1/N for N=$n nodes; raise PrScale")
     val init = PrScale / n
     val teleport = (100L - DampNum) * init / 100L
     var pr = nodes.select(col("node"), lit(init).as("prq"))

@@ -45,14 +45,30 @@ object Ranking {
     * `Linking.linkTriplesFusedWithHandle`.
     */
   def globalRankWithHandle(df: DataFrame, keys: Seq[Column]): (DataFrame, () => Unit) = {
+    val (out, _, release) = globalRankWithTotalAndHandle(df, keys)
+    (out, release)
+  }
+
+  /** `globalRankWithHandle` + the exact total row count N, which the
+    * offset collect already knows — callers that need N (bucketing)
+    * must not pay a second full scan to recount it.
+    */
+  def globalRankWithTotalAndHandle(
+      df: DataFrame, keys: Seq[Column]): (DataFrame, Long, () => Unit) = {
     val spark = df.sparkSession
     val parted = df.repartitionByRange(keys: _*)
       .sortWithinPartitions(keys: _*)
       .persist()
     // per-partition counts: bounded by the partition count — the same
-    // "bounded manifest collect" contract as Materialize
+    // "bounded manifest collect" contract as Materialize. Count with a
+    // Long: Iterator.size is an Int and a >2^31-row partition would
+    // silently wrap it negative.
     val counts = parted.rdd
-      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+      .mapPartitionsWithIndex { case (i, it) =>
+        var c = 0L
+        while (it.hasNext) { it.next(); c += 1 }
+        Iterator((i, c))
+      }
       .collect().sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2).dropRight(1)
     val bc = spark.sparkContext.broadcast(offsets)
@@ -66,7 +82,7 @@ object Ranking {
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
       }
     }(enc)
-    (out, () => { parted.unpersist(); () })
+    (out, counts.map(_._2).sum, () => { parted.unpersist(); () })
   }
 
   /** Equal-frequency buckets 0..n-1 over an exact global rank:
@@ -75,8 +91,11 @@ object Ranking {
     * descending (best first).
     */
   def rankBuckets(ranked: DataFrame, total: Long, nBuckets: Int): DataFrame =
+    // `div`, not `/`: Spark's Divide casts bigints to double, which
+    // only floors correctly while N stays under ~2^51 — the same
+    // integer-division rule pageRank's flow term follows
     ranked.withColumn("bucket",
-      ((col("rank") - 1L) * nBuckets.toLong / total).cast("int"))
+      expr(s"cast(((rank - 1) * ${nBuckets.toLong}) div ${total}L as int)"))
 
   /** CCNet-style perplexity terciles over the bigram-LM score table
     * (`NgramLm.scoreDocs` output): rank by avg_lp DESC (higher log-prob
@@ -95,10 +114,9 @@ object Ranking {
     */
   def perplexityBucketsWithHandle(
       scored: DataFrame, nBuckets: Int = 3): (DataFrame, () => Unit) = {
-    val (ranked, release) = globalRankWithHandle(
+    val (ranked, n, release) = globalRankWithTotalAndHandle(
       scored.select(col("doc_id"), col("avg_lp")),
       Seq(col("avg_lp").desc, col("doc_id").asc))
-    val n = ranked.count()
     (rankBuckets(ranked, n, nBuckets)
       .select("doc_id", "avg_lp", "rank", "bucket"), release)
   }

@@ -44,18 +44,11 @@ object SemDedup {
     */
   val DefaultThreshold: Double = 0.95
 
-  /** Exact cosine with the engine-wide spelled order: per-dim FLOAT
-    * product widened to DOUBLE, accumulated left-to-right, norms the
-    * same way, `dot / (sqrt(na) * sqrt(nb))`.
+  /** The engine-wide exact cosine (see `Similarity.cosExact` — the one
+    * implementation both oracle families replay).
     */
-  private[graft] def cosF(a: Seq[Float], b: Seq[Float]): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var j = 0
-    while (j < a.length) {
-      dot += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
+  private[graft] def cosF(a: Seq[Float], b: Seq[Float]): Double =
+    Similarity.cosExact(a, b)
 
   /** (id, cell, cent_cos): nearest-centroid assignment plus the exact
     * cosine to that centroid (the keep-rule key), in ONE zero-exchange
@@ -64,21 +57,9 @@ object SemDedup {
     */
   def assignCos(
       corpus: DataFrame, cents: Array[(Int, Array[Float])],
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
-    val f = udf { (v: Seq[Float]) =>
-      var bestCell = -1; var bestCos = Double.NegativeInfinity
-      bc.value.foreach { case (cell, c) =>
-        val cos = cosF(v, c.toSeq)
-        if (cos > bestCos || (cos == bestCos && cell < bestCell)) {
-          bestCell = cell; bestCos = cos
-        }
-      }
-      (bestCell, bestCos)
-    }
-    corpus.select(col(idCol).cast("long").as("id"), f(col(vecCol)).as("ac"))
-      .select(col("id"), col("ac._1").as("cell"), col("ac._2").as("cent_cos"))
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignedVectors(corpus, cents, idCol, vecCol)
+      .select(col("id"), col("cell"), col("cent_cos"))
 
   /** Within-cluster near-dup pairs (cell, a, b) with a < b and exact
     * cosine >= threshold. One wide exchange: the per-cell member
@@ -88,13 +69,36 @@ object SemDedup {
   def pairs(
       corpus: DataFrame, cents: Array[(Int, Array[Float])],
       threshold: Double = DefaultThreshold,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pairsFromAssigned(
+      assignedVectors(corpus, cents, idCol, vecCol), threshold)
+
+  /** (id, cell, cent_cos, v): the one corpus projection every SemDeDup
+    * stage reads — assignment, keep-rule key, and the vector payload in
+    * a single pass (no join back onto the corpus: the udf emits cell
+    * and cosine next to the vector it scored).
+    */
+  private def assignedVectors(
+      corpus: DataFrame, cents: Array[(Int, Array[Float])],
+      idCol: String, vecCol: String): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+    val f = udf { (v: Seq[Float]) =>
+      // same scoring + (-cos, cell) tie-break as Similarity.nearestCells
+      Similarity.cellCosines(v, bc.value)
+        .minBy { case (cell, cos) => (-cos, cell) }
+    }
+    corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("v"), f(col(vecCol)).as("ac"))
+      .select(col("id"), col("ac._1").as("cell"),
+        col("ac._2").as("cent_cos"), col("v"))
+  }
+
+  private def pairsFromAssigned(
+      assigned: DataFrame, threshold: Double): DataFrame = {
+    val spark = assigned.sparkSession
     import spark.implicits._
-    val assigned = assignCos(corpus, cents, idCol, vecCol)
-      .select(col("id"), col("cell"))
-      .join(corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")), Seq("id"))
     assigned
+      .select(col("id"), col("cell"), col("v"))
       .groupBy(col("cell"))
       .agg(collect_list(struct(col("id").as("_1"), col("v").as("_2"))).as("ms"))
       .select(col("cell").as("_1"), col("ms").as("_2"))
@@ -119,21 +123,24 @@ object SemDedup {
   /** Survivor ids after semantic dedup: every near-dup component
     * (connected components over `pairs`) keeps ONLY the member with the
     * lowest (cent_cos, id); documents in no pair survive untouched.
-    * Returns the unpersist handle for the pair table (it feeds both the
-    * component loop and the membership anti-join).
+    * ONE corpus pass (the shared assigned projection is persisted and
+    * feeds the pair build, the keep-rule join, and the survivor
+    * anti-join); the returned handle releases both persists after the
+    * caller's action.
     */
   def survivorsWithHandle(
       corpus: DataFrame, cents: Array[(Int, Array[Float])],
       threshold: Double = DefaultThreshold,
       idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, () => Unit) = {
-    val p = pairs(corpus, cents, threshold, idCol, vecCol).persist()
+    val assigned = assignedVectors(corpus, cents, idCol, vecCol).persist()
+    val p = pairsFromAssigned(assigned, threshold).persist()
     p.count() // materialize: CC + keeper + anti-join all read it
     val members = p.select(col("a").as("cid"))
       .union(p.select(col("b").as("cid"))).distinct()
     val cc = Canonicalize.connectedComponents(
       members, p.select(col("a").as("cid_a"), col("b").as("cid_b")))
     val withKey = cc.join(
-      assignCos(corpus, cents, idCol, vecCol).select(col("id"), col("cent_cos")),
+      assigned.select(col("id"), col("cent_cos")),
       cc("cid") === col("id"))
     // min(struct) orders lexicographically: lowest cent_cos, then id
     val keepers = withKey.groupBy(col("cluster_id"))
@@ -141,8 +148,8 @@ object SemDedup {
       .select(col("k.cid").as("keep_id"))
     val dropped = members
       .join(keepers, members("cid") === keepers("keep_id"), "left_anti")
-    val out = corpus.select(col(idCol).cast("long").as("id"))
+    val out = assigned.select(col("id"))
       .join(dropped, col("id") === dropped("cid"), "left_anti")
-    (out, () => { p.unpersist(); () })
+    (out, () => { p.unpersist(); assigned.unpersist(); () })
   }
 }

@@ -163,16 +163,29 @@ object Similarity {
   ): Array[(Int, Array[Float])] =
     ivfCentroidsTrained(corpus, nlist, IvfTrainIters, idCol, vecCol)
 
-  private def nearestCells(v: Seq[Float], cents: Array[(Int, Array[Float])], n: Int): Array[Int] = {
-    cents.map { case (cell, c) =>
-      var dot = 0.0; var na = 0.0; var nc = 0.0
-      var j = 0
-      while (j < v.length) {
-        dot += v(j) * c(j); na += v(j) * v(j); nc += c(j) * c(j); j += 1
-      }
-      (cell, dot / (math.sqrt(na) * math.sqrt(nc)))
-    }.sortBy { case (cell, cos) => (-cos, cell) }.take(n).map(_._1)
+  /** Exact cosine in the engine-wide spelled order — per-dim FLOAT
+    * product widened to DOUBLE, accumulated left-to-right, norms the
+    * same way, `dot / (sqrt(na) * sqrt(nb))`. The ONE implementation
+    * behind the IVF assignment AND SemDeDup: both DuckDB oracle
+    * families (IvfCosSql, the SemDeDup pair/centroid replays) spell
+    * exactly this arithmetic, so it must not fork.
+    */
+  private[graft] def cosExact(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var j = 0
+    while (j < a.length) {
+      dot += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** (cell, cosExact(v, centroid)) for every centroid. */
+  private[graft] def cellCosines(
+      v: Seq[Float], cents: Array[(Int, Array[Float])]): Array[(Int, Double)] =
+    cents.map { case (cell, c) => (cell, cosExact(v, scala.collection.immutable.ArraySeq.unsafeWrapArray(c))) }
+
+  private def nearestCells(v: Seq[Float], cents: Array[(Int, Array[Float])], n: Int): Array[Int] =
+    cellCosines(v, cents).sortBy { case (cell, cos) => (-cos, cell) }.take(n).map(_._1)
 
   /** (id, cell) inverted-file assignment — each corpus vector goes to
     * its nearest centroid cell. Exposed for the driver dump so the
