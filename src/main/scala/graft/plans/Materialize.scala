@@ -209,6 +209,29 @@ object Materialize {
   def readTriples(spark: SparkSession, outDir: String): DataFrame =
     readTriplesWithSeq(spark, outDir).drop("seq")
 
+  /** SNAPSHOT READ (Iceberg time travel): the table as of crawl-version
+    * time `asOfMs` (epoch millis, inclusive). A row is visible iff its
+    * crawl sequence is <= asOfMs AND no committed version of its url
+    * with warc_ts_ms in (seq, asOfMs] supersedes it — i.e. exactly the
+    * latest-crawl-wins state the table had once every batch with
+    * versions <= asOfMs (and none after) was applied. Because batch
+    * visibility is the versions write and stale redelivery is a no-op,
+    * the snapshot is independent of batch arrival ORDER — it is a pure
+    * function of (content, asOfMs), spec-asserted.
+    *
+    * Retention = the compaction horizon, exactly like Iceberg snapshot
+    * expiration: `compact()` (and COW's inline compaction of affected
+    * buckets) physically removes superseded rows and consolidates their
+    * versions into batch=base, so an asOfMs older than a fold returns
+    * the folded state of those buckets, not the pre-fold one. History
+    * is complete for every batch applied merge-on-read since the last
+    * fold.
+    */
+  def readTriplesAsOf(spark: SparkSession, outDir: String, asOfMs: Long): DataFrame =
+    resolveAsOfOpt(spark, outDir, asOfMs)
+      .getOrElse(sys.error(s"no triple data under $outDir"))
+      .drop("origin").drop("seq")
+
   /** Resolution variant that keeps the internal per-row crawl sequence
     * (warc_ts_ms of the crawl that produced the row; 0 for rows that
     * predate incremental updates) — the COW rewrite and `compact` need
@@ -227,7 +250,15 @@ object Materialize {
     * in compact/COW needs to distinguish the two storages.
     */
   private def readTriplesWithSeqOriginOpt(
-      spark: SparkSession, outDir: String): Option[DataFrame] = {
+      spark: SparkSession, outDir: String): Option[DataFrame] =
+    resolveAsOfOpt(spark, outDir, Long.MaxValue)
+
+  /** The one resolution routine behind both the current-state read
+    * (asOfMs = Long.MaxValue) and the time-travel read: rows newer than
+    * asOfMs are invisible, and only tombstones up to asOfMs apply.
+    */
+  private def resolveAsOfOpt(
+      spark: SparkSession, outDir: String, asOfMs: Long): Option[DataFrame] = {
     val fs = new org.apache.hadoop.fs.Path(dataPath(outDir))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def read(p: String): Option[DataFrame] =
@@ -260,19 +291,23 @@ object Materialize {
       case (None, None) => None
     }
     withDelta.map { wd =>
-      val raw = wd.withColumn("seq", coalesce(col("seq"), lit(0L)))
+      val visible = wd.withColumn("seq", coalesce(col("seq"), lit(0L)))
+        .filter(col("seq") <= asOfMs) // rows crawled after the snapshot
       read(versionsPath(outDir)) match {
-        case None => raw
+        case None => visible
         case Some(v) =>
           // tombstones ARE the versions rows of un-compacted batches
           // (batch != base): a row is live iff its seq is not below the
-          // newest applied version of its url. Volume is bounded by the
-          // deltas since the last compaction (compact()/COW consolidate
-          // into batch=base, which kills nothing — compacted rows carry
-          // seq = their version) — broadcastable by contract.
+          // newest applied version of its url — restricted to versions
+          // within the snapshot for time travel. Volume is bounded by
+          // the deltas since the last compaction (compact()/COW
+          // consolidate into batch=base, which kills nothing —
+          // compacted rows carry seq = their version) — broadcastable
+          // by contract.
           val dead = v.filter(col("batch") =!= lit(BaseBatch))
+            .filter(col("warc_ts_ms") <= asOfMs)
             .groupBy("url").agg(max("warc_ts_ms").as("upto_ms"))
-          raw.join(broadcast(dead), Seq("url"), "left_outer")
+          visible.join(broadcast(dead), Seq("url"), "left_outer")
             .filter(col("upto_ms").isNull || col("seq") >= col("upto_ms"))
             .drop("upto_ms")
       }

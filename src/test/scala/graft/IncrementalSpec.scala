@@ -393,4 +393,75 @@ class IncrementalSpec extends AnyFunSuite {
     assert(!bkDir.exists() || bkDir.listFiles().forall(!_.getName.endsWith(".parquet")),
       "a fully-emptied bucket partition must not keep stale parquet files")
   }
+
+  test("time travel: as-of snapshots equal the state after each MoR commit, independent of arrival order") {
+    // brand-new url whose crawl ts is shifted like the re-crawls, so
+    // snapshot boundaries separate batches cleanly
+    def newShifted(i: Long, tsPlusDays: Int): Page = {
+      val p = PageGen.genPage(i).page
+      p.copy(warc_ts = new Timestamp(p.warc_ts.getTime + tsPlusDays * 86400000L))
+    }
+    val base = (0L until 20L).map(PageGen.genPage(_).page)
+    val v1 = Seq(recrawl(3, 503, tsPlusDays = 1000), recrawl(4, 504, tsPlusDays = 1000),
+      newShifted(20, 1000))
+    val v2 = Seq(recrawl(3, 603, tsPlusDays = 2000), newShifted(21, 2000))
+    val t0 = v1.map(_.warc_ts.getTime).min - 1 // just before any v1 version
+    val t1 = v1.map(_.warc_ts.getTime).max // v1 fully applied, v2 not yet
+
+    val dir = Files.createTempDirectory("graft-incr-tt").toString
+    Materialize.runResumable(spark, ds(base), dir, B)
+    val snap0 = tripleKeys(Materialize.readTriples(spark, dir))
+    assert(Materialize.incrementalUpdate(spark, ds(v1), dir, B,
+      mergeOnRead = true).appliedUrls == 3)
+    val snap1 = tripleKeys(Materialize.readTriples(spark, dir))
+    assert(Materialize.incrementalUpdate(spark, ds(v2), dir, B,
+      mergeOnRead = true).appliedUrls == 2)
+    val snap2 = tripleKeys(Materialize.readTriples(spark, dir))
+    assert(snap0 != snap1 && snap1 != snap2)
+
+    assert(tripleKeys(Materialize.readTriplesAsOf(spark, dir, t0)) == snap0)
+    assert(tripleKeys(Materialize.readTriplesAsOf(spark, dir, t1)) == snap1)
+    assert(tripleKeys(Materialize.readTriplesAsOf(spark, dir, Long.MaxValue)) == snap2)
+
+    // arrival-order independence: apply v2 FIRST, then v1 — every
+    // snapshot is a pure function of (content, asOfMs)
+    val dirR = Files.createTempDirectory("graft-incr-tt-rev").toString
+    Materialize.runResumable(spark, ds(base), dirR, B)
+    assert(Materialize.incrementalUpdate(spark, ds(v2), dirR, B,
+      mergeOnRead = true).appliedUrls == 2)
+    // url 3's v1 crawl is now STALE (v2 already holds a newer version);
+    // urls 4 and 20 still apply
+    val sR = Materialize.incrementalUpdate(spark, ds(v1), dirR, B, mergeOnRead = true)
+    assert(sR.appliedUrls == 2 && sR.staleUrls == 1)
+    assert(tripleKeys(Materialize.readTriplesAsOf(spark, dirR, t0)) == snap0)
+    assert(tripleKeys(Materialize.readTriplesAsOf(spark, dirR, Long.MaxValue)) == snap2)
+    // at t1 the reversed table MUST show v1-but-not-v2 for the urls v1
+    // carried... except url 3, whose v1 crawl was never applied (stale
+    // under v2) — exactly Iceberg semantics: a snapshot reflects
+    // COMMITTED batches, and the stale v1 row of url 3 never committed.
+    val snap1R = tripleKeys(Materialize.readTriplesAsOf(spark, dirR, t1))
+    val snap1NoUrl3 = snap1.filterNot(_.startsWith(PageGen.genPage(3).page.url + "|"))
+    val snap0Url3 = snap0.filter(_.startsWith(PageGen.genPage(3).page.url + "|"))
+    assert(snap1R == snap1NoUrl3 ++ snap0Url3,
+      "reversed arrival: t1 snapshot = v1 state except never-committed stale rows")
+  }
+
+  test("time travel: compaction is the retention horizon (folded history reads as the folded state)") {
+    val base = (0L until 12L).map(PageGen.genPage(_).page)
+    val v1 = Seq(recrawl(2, 502, tsPlusDays = 1000))
+    val t0 = v1.map(_.warc_ts.getTime).min - 1
+    val dir = Files.createTempDirectory("graft-incr-tt-compact").toString
+    Materialize.runResumable(spark, ds(base), dir, B)
+    val snap0 = tripleKeys(Materialize.readTriples(spark, dir))
+    Materialize.incrementalUpdate(spark, ds(v1), dir, B, mergeOnRead = true)
+    val snap1 = tripleKeys(Materialize.readTriples(spark, dir))
+    // pre-compaction: full history
+    assert(tripleKeys(Materialize.readTriplesAsOf(spark, dir, t0)) == snap0)
+    Materialize.compact(spark, dir)
+    // post-compaction: superseded rows are physically gone — the old
+    // snapshot now reads as the folded state (Iceberg snapshot expiry)
+    assert(tripleKeys(Materialize.readTriplesAsOf(spark, dir, t0)) != snap0)
+    assert(tripleKeys(Materialize.readTriplesAsOf(spark, dir, Long.MaxValue)) == snap1)
+    assert(tripleKeys(Materialize.readTriples(spark, dir)) == snap1)
+  }
 }
