@@ -247,6 +247,13 @@ object SparkEntry {
       Graph.pageRank(
         Graph.propertyEdges(Linking.linkTriplesFused(annotated(s, dir), ChemDict.entries)))
         .orderBy("node")),
+    "kg_related_chems" -> ((s, dir) =>
+      // weighted-Jaccard related chemicals over property profiles —
+      // integer num/den (den = tot_q + tot_c - num), so the oracle
+      // replays EXACTLY off the kg_graph_edges dump
+      Graph.relatedChems(
+        Graph.propertyEdges(Linking.linkTriplesFused(annotated(s, dir), ChemDict.entries)))
+        .orderBy("query_cid", "rank")),
     "kg_entity_table" -> ((s, dir) =>
       Canonicalize.entityTable(s, ChemDict.entries).toDF()
         .select("clusterId", "cid", "canonicalName", "molecularFormula",
@@ -1641,6 +1648,27 @@ object SparkEntry {
       """SELECT src AS node, count(*) AS deg, CAST(sum(support) AS BIGINT) AS wdeg
         |FROM read_parquet('{OUT}/kg_graph_edges/*.parquet') GROUP BY src ORDER BY node""".stripMargin,
     "kg_pagerank" -> pageRankOracle(Graph.DefaultIters),
+    // weighted Jaccard = Σ min / (tot_q + tot_c − Σ min): exact longs;
+    // the one division is two exact integers — correctly rounded IEEE
+    // on both engines, so even the rank ordering replays bit-for-bit
+    "kg_related_chems" ->
+      """WITH e AS (SELECT * FROM read_parquet('{OUT}/kg_graph_edges/*.parquet')),
+        |chems AS (SELECT src AS cid, dst AS node, support FROM e WHERE src > 0),
+        |tot AS (SELECT cid, CAST(sum(support) AS BIGINT) AS tot FROM chems GROUP BY cid),
+        |qids AS (SELECT cid FROM tot ORDER BY cid LIMIT 10),
+        |qarcs AS (SELECT c.cid AS qcid, c.node, c.support AS wq
+        |  FROM chems c JOIN qids ON c.cid = qids.cid),
+        |num AS (SELECT qa.qcid, c.cid, CAST(sum(least(qa.wq, c.support)) AS BIGINT) AS num
+        |  FROM chems c JOIN qarcs qa ON c.node = qa.node AND c.cid <> qa.qcid
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT n.qcid AS query_cid, n.cid AS cand_cid, n.num,
+        |    tq.tot + tc.tot - n.num AS den
+        |  FROM num n JOIN tot tq ON tq.cid = n.qcid JOIN tot tc ON tc.cid = n.cid),
+        |ranked AS (SELECT *, row_number() OVER (
+        |    PARTITION BY query_cid ORDER BY CAST(num AS DOUBLE) / den DESC, cand_cid) AS rank
+        |  FROM scored)
+        |SELECT query_cid, CAST(rank AS INT) AS rank, cand_cid, num, CAST(den AS BIGINT) AS den
+        |FROM ranked WHERE rank <= 5 ORDER BY query_cid, rank""".stripMargin,
     // exact global rank + integer tercile rule, replayed off the
     // engine's own lm_score dump (avg_lp is passthrough data here —
     // no float recompute)

@@ -145,6 +145,54 @@ object Graph {
     edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"), sum("support").as("wdeg"))
 
+  /** Related chemicals by WEIGHTED JACCARD over property-support
+    * profiles: sim(a, b) = Σ_p min(w_a(p), w_b(p)) / Σ_p max(w_a(p),
+    * w_b(p)). The denominator never needs the per-property max walk —
+    * Σ max = tot_a + tot_b − Σ min — so the whole similarity is two
+    * integer sums, EXACT in 64-bit arithmetic, and the oracle
+    * hash-matches bit-for-bit (the final sim ordering divides two
+    * exact longs < 2^53: one correctly-rounded IEEE division on both
+    * engines).
+    *
+    * Scale shape (the property vocabulary is bounded, so every chem
+    * shares hub properties with every other — inverted-index pair
+    * pruning degenerates; the honest path is query-driven): the
+    * `nQueries` lowest cids form the query set; their arcs (≤
+    * nQueries·|vocab| rows) BROADCAST against the corpus arc list, the
+    * only wide exchange is the (query, candidate)-keyed partial-agg
+    * sum, and per-query cost is one corpus-arc pass — the
+    * bruteForceTopK contract applied to profile space.
+    *
+    * Returns (query_cid, rank, cand_cid, num, den), rank 1..k per
+    * query by (sim desc, cand_cid asc); candidates sharing no
+    * property (num = 0) are not candidates at all.
+    */
+  def relatedChems(edges: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val chems = edges.filter(col("src") > 0)
+      .select(col("src").as("cid"), col("dst").as("node"), col("support"))
+    val tot = chems.groupBy("cid").agg(sum("support").as("tot"))
+    val qids = tot.select("cid").orderBy("cid").limit(nQueries)
+      .withColumnRenamed("cid", "qcid")
+    val qarcs = chems.join(qids, col("cid") === col("qcid"))
+      .select(col("qcid"), col("node"), col("support").as("wq"))
+    val qtot = tot.join(qids, col("cid") === col("qcid"))
+      .select(col("qcid"), col("tot").as("tot_q"))
+    val num = chems.join(broadcast(qarcs), Seq("node"))
+      .filter(col("cid") =!= col("qcid"))
+      .groupBy(col("qcid"), col("cid"))
+      .agg(sum(least(col("wq"), col("support"))).as("num"))
+    val scored = num
+      .join(tot, Seq("cid"))
+      .join(broadcast(qtot), Seq("qcid"))
+      .select(col("qcid").as("query_cid"), col("cid").as("cand_cid"),
+        col("num"), (col("tot_q") + col("tot") - col("num")).as("den"))
+    val w = Window.partitionBy("query_cid")
+      .orderBy((col("num").cast("double") / col("den")).desc, col("cand_cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_cid"), col("rank"), col("cand_cid"), col("num"), col("den"))
+  }
+
   /** Support-weighted PageRank by fixed-point power iteration.
     *
     * Recurrence (all integer arithmetic, every division a positive

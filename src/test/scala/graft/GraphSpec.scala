@@ -124,6 +124,62 @@ class GraphSpec extends AnyFunSuite {
     assert(pr.sum <= Graph.PrScale) // floors only lose mass
   }
 
+  test("relatedChems: weighted Jaccard equals a driver-side brute force; rank/tie semantics exact") {
+    // a denser random-ish graph: 12 chems × up to 6 props with varied supports
+    val arcs = (1 to 12).flatMap { c =>
+      (1 to 6).filter(p => (c * 7 + p) % 3 != 0).map { p =>
+        (c.toLong, -p.toLong, ((c * p) % 5 + 1).toLong)
+      }
+    }
+    val edges = arcs.flatMap { case (c, p, w) => Seq((c, p, w), (p, c, w)) }
+      .toDF("src", "dst", "support")
+    val got = Graph.relatedChems(edges, nQueries = 4, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // brute force
+    val prof = arcs.groupBy(_._1).map { case (c, as) =>
+      c -> as.map(a => a._2 -> a._3).toMap
+    }
+    val tot = prof.map { case (c, m) => c -> m.values.sum }
+    val qs = prof.keys.toSeq.sorted.take(4)
+    val expect = qs.flatMap { q =>
+      val sims = prof.keys.filter(_ != q).flatMap { c =>
+        val num = (prof(q).keySet & prof(c).keySet).toSeq
+          .map(p => math.min(prof(q)(p), prof(c)(p))).sum
+        if (num == 0) None
+        else Some((c, num, tot(q) + tot(c) - num))
+      }.toSeq
+      sims.sortBy { case (c, n, d) => (-(n.toDouble / d), c) }
+        .take(3).zipWithIndex
+        .map { case ((c, n, d), i) => (q, i + 1, c, n, d) }
+    }.toSet
+    assert(got.toSet === expect)
+  }
+
+  test("relatedChems is partition-invariant and long-only in every exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.StringType
+    def exchanges(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case q: QueryStageExec => exchanges(q.plan)
+      case e: ShuffleExchangeLike => e +: p.children.flatMap(exchanges)
+      case _ => p.children.flatMap(exchanges)
+    }
+    val edges = Graph.propertyEdges(fixture)
+    val a = Graph.relatedChems(edges, 3, 2).collect().map(_.toString).sorted
+    val b = Graph.relatedChems(edges.repartition(7), 3, 2).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    val q = Graph.relatedChems(edges, 3, 2)
+    q.collect()
+    exchanges(q.queryExecution.executedPlan).foreach { e =>
+      e.child.output.foreach { attr =>
+        assert(attr.dataType != StringType || attr.name == "prop_type",
+          s"text column ${attr.name} rides a relatedChems exchange")
+      }
+    }
+  }
+
   test("plan: no unbounded text column rides a graph exchange") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
