@@ -190,4 +190,45 @@ object EventStream {
       }
       .start()
   }
+
+  /** Stream pages → an INCREMENTALLY MAINTAINED triple table: each
+    * micro-batch applies as a latest-crawl-wins merge-on-read commit
+    * (`Materialize.incrementalUpdate`), so the continuously-updated KG
+    * inherits the batch path's whole safety story —
+    *
+    *  - Structured Streaming's foreachBatch is AT-LEAST-ONCE; the
+    *    content-derived batch id makes a replayed micro-batch
+    *    dynamic-overwrite its own partitions (idempotent commits →
+    *    exactly-once TABLE state);
+    *  - repeated or out-of-order crawls of a url are stale no-ops
+    *    (versions sidecar), so replays and late file discovery cannot
+    *    regress a url to older content;
+    *  - write amplification is O(micro-batch) regardless of how the
+    *    batch scatters over buckets (merge-on-read), which is the only
+    *    viable shape for a stream of small batches; run `compact()` on
+    *    whatever schedule read-amplification warrants;
+    *  - `readTriples` serves the live table and `readTriplesAsOf`
+    *    time-travels it while the stream keeps committing.
+    *
+    * The table may start empty (first micro-batch bootstraps) or from
+    * a `runResumable` bootstrap.
+    */
+  def maintainTriples(
+      spark: SparkSession, pagesDir: String, tableDir: String,
+      checkpointDir: String, buckets: Int
+  ): StreamingQuery = {
+    spark.readStream.schema(pageSchema).parquet(pagesDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        if (!batch.isEmpty) {
+          graft.plans.Materialize.incrementalUpdate(
+            s, batch.as[Page], tableDir, buckets, mergeOnRead = true)
+          ()
+        }
+      }
+      .start()
+  }
 }

@@ -54,6 +54,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(keys(spark.read.parquet(outDir)) == keys(Pipeline.run(pages).toDF()))
   }
 
+  test("streaming incremental maintenance: commits == batch latest-crawl-wins; full replay is idempotent") {
+    import graft.plans.Materialize
+    import graft.model.Page
+    def recrawl(i: Long, contentFrom: Long, tsPlusDays: Int): Page = {
+      val orig = PageGen.genPage(i).page
+      PageGen.genPage(contentFrom).page.copy(url = orig.url,
+        warc_ts = new java.sql.Timestamp(orig.warc_ts.getTime + tsPlusDays * 86400000L))
+    }
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("concat_ws('|', url, sentId, headText, valueText)")
+        .collect().map(_.getString(0)).toSet
+    import spark.implicits._
+    val B = 8
+    val pagesDir = Files.createTempDirectory("graft-maint-pages").toString
+    val tableDir = Files.createTempDirectory("graft-maint-table").toString
+    val ckDir = Files.createTempDirectory("graft-maint-ck").toString
+
+    val base = (0L until 20L).map(PageGen.genPage(_).page)
+    Materialize.runResumable(spark, spark.createDataset(base), tableDir, B)
+
+    // crawl batch A arrives as files; the stream applies it
+    val batchA = Seq(recrawl(3, 503, 1000), recrawl(4, 504, 1000))
+    spark.createDataset(batchA).toDF().write.mode("append").parquet(pagesDir)
+    val q1 = EventStream.maintainTriples(spark, pagesDir, tableDir, ckDir, B)
+    try q1.processAllAvailable() finally q1.stop()
+
+    // batch B later (url 3 crawled again); RESTART from the checkpoint —
+    // only the new files process
+    val batchB = Seq(recrawl(3, 603, 2000))
+    spark.createDataset(batchB).toDF().write.mode("append").parquet(pagesDir)
+    val q2 = EventStream.maintainTriples(spark, pagesDir, tableDir, ckDir, B)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val world = base.filterNot(p => p.url == PageGen.genPage(3).page.url ||
+        p.url == PageGen.genPage(4).page.url) ++
+      Seq(recrawl(3, 603, 2000), recrawl(4, 504, 1000))
+    val expected = keys(Pipeline.run(spark.createDataset(world)).toDF())
+    assert(keys(Materialize.readTriples(spark, tableDir)) == expected)
+
+    // FULL REPLAY with a fresh checkpoint: every file reprocesses, every
+    // commit is stale-or-idempotent — table state unchanged
+    val ckDir2 = Files.createTempDirectory("graft-maint-ck2").toString
+    val q3 = EventStream.maintainTriples(spark, pagesDir, tableDir, ckDir2, B)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(keys(Materialize.readTriples(spark, tableDir)) == expected)
+  }
+
   test("streaming exact dedup: one survivor per distinct text, state bounded by watermark") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-dedup").toString
