@@ -1652,10 +1652,10 @@ object SparkEntry {
     // the one division is two exact integers — correctly rounded IEEE
     // on both engines, so even the rank ordering replays bit-for-bit
     "kg_related_chems" ->
-      """WITH e AS (SELECT * FROM read_parquet('{OUT}/kg_graph_edges/*.parquet')),
+      s"""WITH e AS (SELECT * FROM read_parquet('{OUT}/kg_graph_edges/*.parquet')),
         |chems AS (SELECT src AS cid, dst AS node, support FROM e WHERE src > 0),
         |tot AS (SELECT cid, CAST(sum(support) AS BIGINT) AS tot FROM chems GROUP BY cid),
-        |qids AS (SELECT cid FROM tot ORDER BY cid LIMIT 10),
+        |qids AS (SELECT cid FROM tot ORDER BY cid LIMIT ${Graph.DefaultRelQueries}),
         |qarcs AS (SELECT c.cid AS qcid, c.node, c.support AS wq
         |  FROM chems c JOIN qids ON c.cid = qids.cid),
         |num AS (SELECT qa.qcid, c.cid, CAST(sum(least(qa.wq, c.support)) AS BIGINT) AS num
@@ -1668,7 +1668,7 @@ object SparkEntry {
         |    PARTITION BY query_cid ORDER BY CAST(num AS DOUBLE) / den DESC, cand_cid) AS rank
         |  FROM scored)
         |SELECT query_cid, CAST(rank AS INT) AS rank, cand_cid, num, CAST(den AS BIGINT) AS den
-        |FROM ranked WHERE rank <= 5 ORDER BY query_cid, rank""".stripMargin,
+        |FROM ranked WHERE rank <= ${Graph.DefaultRelK} ORDER BY query_cid, rank""".stripMargin,
     // exact global rank + integer tercile rule, replayed off the
     // engine's own lm_score dump (avg_lp is passthrough data here —
     // no float recompute)

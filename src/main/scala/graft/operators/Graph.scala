@@ -49,6 +49,19 @@ object Graph {
     */
   val DefaultIters: Int = 5
 
+  /** relatedChems defaults — shared with the DuckDB oracle SQL (which
+    * interpolates them) so engine and oracle can never drift apart.
+    */
+  val DefaultRelQueries: Int = 10
+  val DefaultRelK: Int = 5
+
+  /** Largest per-chem total support for which the weighted-Jaccard
+    * ordering is replayable: den = tot_q + tot_c − num ≤ 2·maxTot must
+    * stay ≤ 2^53 so the one IEEE division sees exactly-representable
+    * integers on both engines.
+    */
+  val MaxExactTot: Long = 1L << 52
+
   /** Property-type node ids: (prop_type, node) with node = -1, -2, …
     * by ascending prop_type. The window runs AFTER a distinct() that
     * reduces the input to the bounded property vocabulary, so the
@@ -167,10 +180,32 @@ object Graph {
     * query by (sim desc, cand_cid asc); candidates sharing no
     * property (num = 0) are not candidates at all.
     */
-  def relatedChems(edges: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val chems = edges.filter(col("src") > 0)
+  def relatedChems(edges: DataFrame,
+      nQueries: Int = DefaultRelQueries, k: Int = DefaultRelK): DataFrame = {
+    // `chems` feeds four consumers (tot, qarcs, num, and tot's three
+    // join sites) — persist + a LogicalRDD leaf, exactly the pageRank
+    // discipline above: without the cut the final plan embeds ~5 copies
+    // of the caller's whole upstream arc-build tree (Catalyst
+    // re-analyzes each per action, and the arc aggregation re-executes
+    // where exchange reuse does not apply)
+    val chemsPlan = edges.filter(col("src") > 0)
       .select(col("src").as("cid"), col("dst").as("node"), col("support"))
-    val tot = chems.groupBy("cid").agg(sum("support").as("tot"))
+      .persist()
+    chemsPlan.count() // eager: consumers scan it from subtrees of one job
+    val chems = edges.sparkSession.createDataFrame(chemsPlan.rdd, chemsPlan.schema)
+    val totPlan = chems.groupBy("cid").agg(sum("support").as("tot")).persist()
+    totPlan.count()
+    val tot = edges.sparkSession.createDataFrame(totPlan.rdd, totPlan.schema)
+    // bit-exact-replay guard (the pageRank require discipline): the sim
+    // ordering divides two exact longs only while den = tot_q + tot_c −
+    // num ≤ 2·maxTot stays ≤ 2^53 — beyond that the double cast rounds
+    // and near-tie ranks become engine-dependent. Fail loudly instead.
+    val maxTotRow = tot.agg(max("tot")).head()
+    val maxTot = if (maxTotRow.isNullAt(0)) 0L else maxTotRow.getLong(0)
+    require(maxTot <= MaxExactTot,
+      s"relatedChems exact-arithmetic bound exceeded: max per-chem total " +
+        s"support $maxTot > 2^52 — num/den would round in the IEEE " +
+        s"division and the rank ordering stops being replayable")
     val qids = tot.select("cid").orderBy("cid").limit(nQueries)
       .withColumnRenamed("cid", "qcid")
     val qarcs = chems.join(qids, col("cid") === col("qcid"))
@@ -188,9 +223,13 @@ object Graph {
         col("num"), (col("tot_q") + col("tot") - col("num")).as("den"))
     val w = Window.partitionBy("query_cid")
       .orderBy((col("num").cast("double") / col("den")).desc, col("cand_cid"))
-    scored.withColumn("rank", row_number().over(w))
+    val out = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_cid"), col("rank"), col("cand_cid"), col("num"), col("den"))
+      .localCheckpoint() // ≤ nQueries·k rows; lets the persists release now
+    chemsPlan.unpersist()
+    totPlan.unpersist()
+    out
   }
 
   /** Support-weighted PageRank by fixed-point power iteration.

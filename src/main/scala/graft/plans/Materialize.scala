@@ -220,17 +220,46 @@ object Materialize {
     * function of (content, asOfMs), spec-asserted.
     *
     * Retention = the compaction horizon, exactly like Iceberg snapshot
-    * expiration: `compact()` (and COW's inline compaction of affected
-    * buckets) physically removes superseded rows and consolidates their
-    * versions into batch=base, so an asOfMs older than a fold returns
-    * the folded state of those buckets, not the pre-fold one. History
-    * is complete for every batch applied merge-on-read since the last
-    * fold.
+    * expiration: `compact()` (and COW upserts, which rewrite rows in
+    * place and inline-compact affected buckets) physically removes
+    * superseded rows and consolidates their versions into batch=base.
+    * An asOfMs BELOW the horizon (the newest version folded into base)
+    * is an EXPIRED snapshot and fails loudly — the folded rows carry
+    * seq = their version, so an older asOfMs would filter them out
+    * while their superseded predecessors no longer exist: the read
+    * would silently return a state the table never had (re-crawled
+    * urls absent entirely). Iceberg errors on expired snapshot ids for
+    * the same reason. History is complete for every batch applied
+    * merge-on-read since the last fold.
     */
-  def readTriplesAsOf(spark: SparkSession, outDir: String, asOfMs: Long): DataFrame =
+  def readTriplesAsOf(spark: SparkSession, outDir: String, asOfMs: Long): DataFrame = {
+    val horizon = compactionHorizonMs(spark, outDir)
+    require(asOfMs >= horizon,
+      s"expired snapshot: asOfMs=$asOfMs predates the compaction " +
+        s"horizon $horizon — superseded rows below it were physically " +
+        s"removed (compact()/COW), so that table state no longer exists")
     resolveAsOfOpt(spark, outDir, asOfMs)
       .getOrElse(sys.error(s"no triple data under $outDir"))
       .drop("origin").drop("seq")
+  }
+
+  /** The snapshot-retention floor: the newest per-url version ever
+    * consolidated into `versions/batch=base` by a fold (compact or a
+    * COW upsert's inline compaction) — snapshots at or after it are
+    * fully reconstructable from base + committed deltas, snapshots
+    * before it are physically gone. 0 when nothing was ever folded.
+    */
+  private def compactionHorizonMs(spark: SparkSession, outDir: String): Long = {
+    val base = new org.apache.hadoop.fs.Path(
+      s"${versionsPath(outDir)}/batch=$BaseBatch")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) 0L
+    else {
+      val row = spark.read.parquet(base.toString)
+        .agg(max("warc_ts_ms")).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+  }
 
   /** Resolution variant that keeps the internal per-row crawl sequence
     * (warc_ts_ms of the crawl that produced the row; 0 for rows that
@@ -272,14 +301,19 @@ object Materialize {
       b.withColumn("origin", lit("b"))
     }
     // COMMIT GATE: a delta batch is visible only once its versions
-    // batch exists — morCommit writes delta first, versions second, so
-    // the versions write is the commit point. A crash in between leaves
-    // an invisible (uncommitted) delta dir: without this gate its rows
-    // would be live with no tombstone killing the old rows of the same
-    // urls, permanently violating latest-crawl-wins if the batch is
-    // never redelivered. Uncommitted dirs are replay-overwritten by
-    // redelivery (same content-derived id) or GC'd by compact().
-    val committed = batchIdsUnder(spark, versionsPath(outDir))
+    // batch is FULLY written (its job's _SUCCESS marker exists —
+    // committedBatchIds) — morCommit writes delta first, versions
+    // second, so the versions job commit is the commit point. A crash
+    // before or DURING the versions write leaves an invisible
+    // (uncommitted) delta dir: without this gate its rows would be live
+    // with no tombstone (or a partial one) killing the old rows of the
+    // same urls, violating latest-crawl-wins. Uncommitted dirs are
+    // replay-overwritten by redelivery (same content-derived id) or
+    // GC'd by compact(). The same gate applies to the TOMBSTONES below:
+    // a half-written versions dir must not kill anything either, or a
+    // concurrent reader mid-commit would see rows vanish before the
+    // batch becomes visible.
+    val committed = committedBatchIds(spark, outDir)
     val delta = read(deltaPath(outDir)).map { d =>
       d.filter(col("batch").isin(committed.toSeq: _*)).drop("batch")
         .withColumn("origin", lit("d"))
@@ -304,7 +338,7 @@ object Materialize {
           // consolidate into batch=base, which kills nothing —
           // compacted rows carry seq = their version) — broadcastable
           // by contract.
-          val dead = v.filter(col("batch") =!= lit(BaseBatch))
+          val dead = v.filter(col("batch").isin(committed.toSeq: _*))
             .filter(col("warc_ts_ms") <= asOfMs)
             .groupBy("url").agg(max("warc_ts_ms").as("upto_ms"))
           visible.join(broadcast(dead), Seq("url"), "left_outer")
@@ -353,6 +387,30 @@ object Materialize {
     if (!fs.exists(p)) Set.empty
     else fs.listStatus(p).filter(_.isDirectory)
       .map(_.getPath.getName.stripPrefix("batch=")).toSet
+  }
+
+  /** Batch ids whose VERSIONS write JOB completed — the `_SUCCESS`
+    * marker Spark's committer drops at job commit is the commit record.
+    * Directory existence is NOT enough: the batch dir appears at job
+    * start and part-files land as tasks commit, so a concurrent reader
+    * (or a crash mid-write) would otherwise observe a HALF-WRITTEN
+    * tombstone set — some re-crawled urls' old rows killed, others
+    * still live next to the already-visible delta rows. Gating every
+    * consumer (delta visibility, tombstone resolution, stale
+    * rejection, compaction fold) on the marker makes the versions
+    * `_SUCCESS` creation the single atomic commit point.
+    * `batch=base` is excluded by construction: it is written by
+    * dynamic partition overwrite (whose `_SUCCESS` lands at the
+    * versions ROOT) and is never a delta gate nor a tombstone source.
+    */
+  private def committedBatchIds(spark: SparkSession, outDir: String): Set[String] = {
+    val root = new org.apache.hadoop.fs.Path(versionsPath(outDir))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Set.empty
+    else fs.listStatus(root).filter(_.isDirectory)
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("batch="))
+      .toSet - BaseBatch
   }
 
   /** Versions batch holding the consolidated (compacted) per-url
@@ -491,11 +549,20 @@ object Materialize {
     val path = new org.apache.hadoop.fs.Path(versionsPath(outDir))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) Seq.empty[(String, Long, Int)].toDF("url", "warc_ts_ms", "bucket")
-    else spark.read.parquet(versionsPath(outDir))
-      .filter(col("bucket").isin(buckets.toSeq: _*))
-      .groupBy(col("url"), col("bucket").cast("int").as("bucket"))
-      .agg(max("warc_ts_ms").as("warc_ts_ms"))
-      .select("url", "warc_ts_ms", "bucket")
+    else {
+      // only COMMITTED batches (plus the consolidated base) count as
+      // stored versions: a half-written versions dir of a crashed
+      // commit would otherwise stale-reject its own redelivery — the
+      // batch could then never commit, losing its data permanently
+      val committed = committedBatchIds(spark, outDir)
+      spark.read.parquet(versionsPath(outDir))
+        .filter(col("batch") === lit(BaseBatch) ||
+          col("batch").isin(committed.toSeq: _*))
+        .filter(col("bucket").isin(buckets.toSeq: _*))
+        .groupBy(col("url"), col("bucket").cast("int").as("bucket"))
+        .agg(max("warc_ts_ms").as("warc_ts_ms"))
+        .select("url", "warc_ts_ms", "bucket")
+    }
   }
 
   /** Incremental graph maintenance — the only operation mode that
@@ -713,6 +780,17 @@ object Materialize {
     probe("versions")(aligned(appliedKeys)
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"${versionsPath(outDir)}/batch=$batchId"))
+    // the _SUCCESS marker IS the commit record every reader gates on
+    // (committedBatchIds) — if the committer was configured not to
+    // write it (marksuccessfuljobs=false), every batch would read as
+    // uncommitted forever; fail the commit loudly instead
+    val okPath = new org.apache.hadoop.fs.Path(
+      s"${versionsPath(outDir)}/batch=$batchId/_SUCCESS")
+    require(okPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(okPath),
+      "versions commit marker missing after the write — the committer " +
+        "must emit _SUCCESS (mapreduce.fileoutputcommitter." +
+        "marksuccessfuljobs) for merge-on-read commits to be visible")
 
     val t1 = System.currentTimeMillis()
     probe("lineage")(acc.value.toSeq.sortBy(_._1).toDF("bucket", "rows")
@@ -817,18 +895,27 @@ object Materialize {
             .filter(_.startsWith("bucket="))
             .map(_.stripPrefix("bucket=").toInt)).toSet
     }
-    // GC uncommitted delta batches first (crash window between the
-    // delta and versions writes): the commit gate hides them from every
-    // reader, their tombstones do not exist, and a redelivery rewrites
-    // the same dir — folding them would resurrect an uncommitted batch.
-    val committed = batchIdsUnder(spark, versionsPath(outDir))
+    // GC uncommitted batches first (crash window between the delta
+    // write and the versions job COMMIT): the _SUCCESS-gated commit
+    // point hides them from every reader, their tombstones never took
+    // effect, and a redelivery rewrites the same dirs — folding them
+    // would resurrect an uncommitted batch. Both halves go: the delta
+    // dir AND any half-written versions dir (partial part-files, no
+    // _SUCCESS) of the same crashed commit.
+    val committed = committedBatchIds(spark, outDir)
     (batchIdsUnder(spark, deltaPath(outDir)) -- committed).foreach { id =>
       fs.delete(new org.apache.hadoop.fs.Path(
         s"${deltaPath(outDir)}/batch=$id"), true)
     }
-    val deltaRoot = new org.apache.hadoop.fs.Path(deltaPath(outDir))
-    if (fs.exists(deltaRoot) && fs.listStatus(deltaRoot).isEmpty)
-      fs.delete(deltaRoot, true)
+    (batchIdsUnder(spark, versionsPath(outDir)) - BaseBatch -- committed)
+      .foreach { id =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${versionsPath(outDir)}/batch=$id"), true)
+      }
+    for (root <- Seq(deltaPath(outDir), versionsPath(outDir))) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true)
+    }
 
     val affected = bucketsUnder(deltaPath(outDir), Set.empty) ++
       bucketsUnder(versionsPath(outDir), Set(BaseBatch))

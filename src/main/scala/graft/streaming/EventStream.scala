@@ -208,7 +208,11 @@ object EventStream {
     *    viable shape for a stream of small batches; run `compact()` on
     *    whatever schedule read-amplification warrants;
     *  - `readTriples` serves the live table and `readTriplesAsOf`
-    *    time-travels it while the stream keeps committing.
+    *    time-travels it while the stream keeps committing: a batch
+    *    becomes visible atomically at its versions job's _SUCCESS
+    *    marker (the commit record every reader gates delta rows AND
+    *    tombstones on), so a reader mid-commit sees the pre-batch
+    *    state, never a half-applied one.
     *
     * The table may start empty (first micro-batch bootstraps) or from
     * a `runResumable` bootstrap.

@@ -22,19 +22,7 @@ class IncrementalSpec extends AnyFunSuite {
     spark.createDataset(ps)
   }
 
-  private def tripleKeys(df: org.apache.spark.sql.DataFrame): Set[String] =
-    df.selectExpr("concat_ws('|', url, sentId, headLabel, headText, propType, valueText, unit)")
-      .collect().map(_.getString(0)).toSet
-
-  /** Deterministic "re-crawl with changed content" of page i: the body
-    * of page i+offset under page i's url, warc_ts shifted forward.
-    */
-  private def recrawl(i: Long, contentFrom: Long, tsPlusDays: Int): Page = {
-    val orig = PageGen.genPage(i).page
-    val other = PageGen.genPage(contentFrom).page
-    other.copy(url = orig.url,
-      warc_ts = new Timestamp(orig.warc_ts.getTime + tsPlusDays * 86400000L))
-  }
+  import TripleFixtures.{tripleKeys, recrawl}
 
   test("bootstrap + recrawl/new batch == full recompute over the latest world") {
     val dir = Files.createTempDirectory("graft-incr").toString
@@ -446,10 +434,11 @@ class IncrementalSpec extends AnyFunSuite {
       "reversed arrival: t1 snapshot = v1 state except never-committed stale rows")
   }
 
-  test("time travel: compaction is the retention horizon (folded history reads as the folded state)") {
+  test("time travel: compaction is the retention horizon (expired snapshots fail loudly, valid ones serve)") {
     val base = (0L until 12L).map(PageGen.genPage(_).page)
     val v1 = Seq(recrawl(2, 502, tsPlusDays = 1000))
     val t0 = v1.map(_.warc_ts.getTime).min - 1
+    val tV1 = v1.map(_.warc_ts.getTime).max
     val dir = Files.createTempDirectory("graft-incr-tt-compact").toString
     Materialize.runResumable(spark, ds(base), dir, B)
     val snap0 = tripleKeys(Materialize.readTriples(spark, dir))
@@ -458,10 +447,56 @@ class IncrementalSpec extends AnyFunSuite {
     // pre-compaction: full history
     assert(tripleKeys(Materialize.readTriplesAsOf(spark, dir, t0)) == snap0)
     Materialize.compact(spark, dir)
-    // post-compaction: superseded rows are physically gone — the old
-    // snapshot now reads as the folded state (Iceberg snapshot expiry)
-    assert(tripleKeys(Materialize.readTriplesAsOf(spark, dir, t0)) != snap0)
+    // post-compaction: superseded rows are physically gone — an asOf
+    // below the fold's newest version is an EXPIRED snapshot and must
+    // error (Iceberg semantics), never silently return a state the
+    // table never had (url 2 absent entirely: its folded rows carry
+    // seq > t0 and its pre-fold rows no longer exist)
+    val e = intercept[IllegalArgumentException] {
+      Materialize.readTriplesAsOf(spark, dir, t0)
+    }
+    assert(e.getMessage.contains("expired snapshot"))
+    // at/after the horizon the folded state serves exactly
+    assert(tripleKeys(Materialize.readTriplesAsOf(spark, dir, tV1)) == snap1)
     assert(tripleKeys(Materialize.readTriplesAsOf(spark, dir, Long.MaxValue)) == snap1)
     assert(tripleKeys(Materialize.readTriples(spark, dir)) == snap1)
+  }
+
+  test("MoR commit gate: a half-written versions dir (no _SUCCESS) is uncommitted — no partial tombstones, redelivery applies") {
+    val dir = Files.createTempDirectory("graft-incr-halfv").toString
+    val base = (0L until 20L).map(PageGen.genPage(_).page)
+    Materialize.runResumable(spark, ds(base), dir, B)
+    val keys0 = tripleKeys(Materialize.readTriples(spark, dir))
+    val batch = Seq(recrawl(4, 504, tsPlusDays = 30), PageGen.genPage(20).page)
+    Materialize.incrementalUpdate(spark, ds(batch), dir, B, mergeOnRead = true)
+    // crash DURING the versions job: part-files present, job never
+    // committed — simulated by removing only the _SUCCESS marker
+    val vRoot = new java.io.File(Materialize.versionsPath(dir))
+    val vBatch = vRoot.listFiles().filter(_.isDirectory)
+      .filterNot(_.getName == s"batch=${Materialize.BaseBatch}").head
+    assert(new java.io.File(vBatch, "_SUCCESS").delete())
+    // the batch must be fully invisible: delta rows gated out AND its
+    // tombstones inert (a dir-existence gate would kill url 4's old
+    // rows while the batch itself stays dark)
+    assert(tripleKeys(Materialize.readTriples(spark, dir)) == keys0,
+      "a half-committed versions write leaked into the read path")
+    // stale rejection must not count the half-written versions either —
+    // otherwise this very redelivery would be dropped and the batch
+    // could never commit; same content → same batch id → clean rewrite
+    val s = Materialize.incrementalUpdate(spark, ds(batch), dir, B, mergeOnRead = true)
+    assert(s.appliedUrls == 2, "redelivery was stale-rejected by an uncommitted versions dir")
+    val world = base.filterNot(_.url == batch.head.url) ++ batch
+    assert(tripleKeys(Materialize.readTriples(spark, dir)) ==
+      tripleKeys(Pipeline.run(ds(world)).toDF()))
+    // and the crash state is also GC-able: recreate it, then compact
+    val vBatch2 = vRoot.listFiles().filter(_.isDirectory)
+      .filterNot(_.getName == s"batch=${Materialize.BaseBatch}").head
+    assert(new java.io.File(vBatch2, "_SUCCESS").delete())
+    assert(Materialize.compact(spark, dir).isEmpty)
+    assert(!new java.io.File(Materialize.deltaPath(dir)).exists(),
+      "compact must GC the delta half of an uncommitted batch")
+    assert(!vBatch2.exists(),
+      "compact must GC the half-written versions dir of an uncommitted batch")
+    assert(tripleKeys(Materialize.readTriples(spark, dir)) == keys0)
   }
 }

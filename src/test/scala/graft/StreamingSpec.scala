@@ -48,23 +48,14 @@ class StreamingSpec extends AnyFunSuite {
     val q = EventStream.streamTriples(spark, pagesDir, outDir, ckDir)
     try q.processAllAvailable() finally q.stop()
 
-    def keys(df: org.apache.spark.sql.DataFrame) =
-      df.selectExpr("concat_ws('|', url, sentId, headText, valueText)")
-        .collect().map(_.getString(0)).toSet
-    assert(keys(spark.read.parquet(outDir)) == keys(Pipeline.run(pages).toDF()))
+    import TripleFixtures.tripleKeys
+    assert(tripleKeys(spark.read.parquet(outDir)) ==
+      tripleKeys(Pipeline.run(pages).toDF()))
   }
 
   test("streaming incremental maintenance: commits == batch latest-crawl-wins; full replay is idempotent") {
     import graft.plans.Materialize
-    import graft.model.Page
-    def recrawl(i: Long, contentFrom: Long, tsPlusDays: Int): Page = {
-      val orig = PageGen.genPage(i).page
-      PageGen.genPage(contentFrom).page.copy(url = orig.url,
-        warc_ts = new java.sql.Timestamp(orig.warc_ts.getTime + tsPlusDays * 86400000L))
-    }
-    def keys(df: org.apache.spark.sql.DataFrame) =
-      df.selectExpr("concat_ws('|', url, sentId, headText, valueText)")
-        .collect().map(_.getString(0)).toSet
+    import TripleFixtures.{tripleKeys => keys, recrawl}
     import spark.implicits._
     val B = 8
     val pagesDir = Files.createTempDirectory("graft-maint-pages").toString
