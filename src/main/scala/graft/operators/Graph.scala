@@ -191,45 +191,48 @@ object Graph {
     val chemsPlan = edges.filter(col("src") > 0)
       .select(col("src").as("cid"), col("dst").as("node"), col("support"))
       .persist()
-    chemsPlan.count() // eager: consumers scan it from subtrees of one job
     val chems = edges.sparkSession.createDataFrame(chemsPlan.rdd, chemsPlan.schema)
     val totPlan = chems.groupBy("cid").agg(sum("support").as("tot")).persist()
-    totPlan.count()
-    val tot = edges.sparkSession.createDataFrame(totPlan.rdd, totPlan.schema)
-    // bit-exact-replay guard (the pageRank require discipline): the sim
-    // ordering divides two exact longs only while den = tot_q + tot_c −
-    // num ≤ 2·maxTot stays ≤ 2^53 — beyond that the double cast rounds
-    // and near-tie ranks become engine-dependent. Fail loudly instead.
-    val maxTotRow = tot.agg(max("tot")).head()
-    val maxTot = if (maxTotRow.isNullAt(0)) 0L else maxTotRow.getLong(0)
-    require(maxTot <= MaxExactTot,
-      s"relatedChems exact-arithmetic bound exceeded: max per-chem total " +
-        s"support $maxTot > 2^52 — num/den would round in the IEEE " +
-        s"division and the rank ordering stops being replayable")
-    val qids = tot.select("cid").orderBy("cid").limit(nQueries)
-      .withColumnRenamed("cid", "qcid")
-    val qarcs = chems.join(qids, col("cid") === col("qcid"))
-      .select(col("qcid"), col("node"), col("support").as("wq"))
-    val qtot = tot.join(qids, col("cid") === col("qcid"))
-      .select(col("qcid"), col("tot").as("tot_q"))
-    val num = chems.join(broadcast(qarcs), Seq("node"))
-      .filter(col("cid") =!= col("qcid"))
-      .groupBy(col("qcid"), col("cid"))
-      .agg(sum(least(col("wq"), col("support"))).as("num"))
-    val scored = num
-      .join(tot, Seq("cid"))
-      .join(broadcast(qtot), Seq("qcid"))
-      .select(col("qcid").as("query_cid"), col("cid").as("cand_cid"),
-        col("num"), (col("tot_q") + col("tot") - col("num")).as("den"))
-    val w = Window.partitionBy("query_cid")
-      .orderBy((col("num").cast("double") / col("den")).desc, col("cand_cid"))
-    val out = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_cid"), col("rank"), col("cand_cid"), col("num"), col("den"))
-      .localCheckpoint() // ≤ nQueries·k rows; lets the persists release now
-    chemsPlan.unpersist()
-    totPlan.unpersist()
-    out
+    try {
+      // bit-exact-replay guard (the pageRank require discipline): the sim
+      // ordering divides two exact longs only while den = tot_q + tot_c −
+      // num ≤ 2·maxTot stays ≤ 2^53 — beyond that the double cast rounds
+      // and near-tie ranks become engine-dependent. Fail loudly instead.
+      // This action also warms BOTH caches from one subtree before the
+      // multi-consumer final job — no separate eager count needed.
+      val maxTotRow = totPlan.agg(max("tot")).head()
+      val maxTot = if (maxTotRow.isNullAt(0)) 0L else maxTotRow.getLong(0)
+      require(maxTot <= MaxExactTot,
+        s"relatedChems exact-arithmetic bound exceeded: max per-chem total " +
+          s"support $maxTot > 2^52 — num/den would round in the IEEE " +
+          s"division and the rank ordering stops being replayable")
+      val tot = edges.sparkSession.createDataFrame(totPlan.rdd, totPlan.schema)
+      val qids = tot.select("cid").orderBy("cid").limit(nQueries)
+        .withColumnRenamed("cid", "qcid")
+      val qarcs = chems.join(qids, col("cid") === col("qcid"))
+        .select(col("qcid"), col("node"), col("support").as("wq"))
+      val qtot = tot.join(qids, col("cid") === col("qcid"))
+        .select(col("qcid"), col("tot").as("tot_q"))
+      val num = chems.join(broadcast(qarcs), Seq("node"))
+        .filter(col("cid") =!= col("qcid"))
+        .groupBy(col("qcid"), col("cid"))
+        .agg(sum(least(col("wq"), col("support"))).as("num"))
+      val scored = num
+        .join(tot, Seq("cid"))
+        .join(broadcast(qtot), Seq("qcid"))
+        .select(col("qcid").as("query_cid"), col("cid").as("cand_cid"),
+          col("num"), (col("tot_q") + col("tot") - col("num")).as("den"))
+      val w = Window.partitionBy("query_cid")
+        .orderBy((col("num").cast("double") / col("den")).desc, col("cand_cid"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_cid"), col("rank"), col("cand_cid"), col("num"), col("den"))
+        .localCheckpoint() // ≤ nQueries·k rows; lets the persists release now
+    } finally {
+      // unpersist in finally: the MaxExactTot require throwing must not
+      // leave the full arc projection pinned in executor storage
+      chemsPlan.unpersist(); totPlan.unpersist(); ()
+    }
   }
 
   /** Support-weighted PageRank by fixed-point power iteration.

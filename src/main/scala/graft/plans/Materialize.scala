@@ -151,7 +151,14 @@ object Materialize {
       .filter(col("bucket").isin(attempted.toSeq: _*))
       .drop("bucket").as[Page](pages.encoder)
 
-    appendBucketedWithManifest(spark, Pipeline.run(remaining).toDF(), b,
+    // bootstrap rows carry an explicit seq=0 (crawl-version epoch): every
+    // triples data file then has the SAME schema as incrementally-written
+    // ones. Without it, a partial fold leaves the table with MIXED
+    // schemas (some files with seq, some without) and non-merged parquet
+    // schema inference may pick a no-seq file — zeroing every row's
+    // version and making post-snapshot rows visible to time travel.
+    appendBucketedWithManifest(spark,
+      Pipeline.run(remaining).toDF().withColumn("seq", lit(0L)), b,
       s"$outDir/$StageTriples", StageTriples, attempted)
   }
 
@@ -223,17 +230,21 @@ object Materialize {
     * expiration: `compact()` (and COW upserts, which rewrite rows in
     * place and inline-compact affected buckets) physically removes
     * superseded rows and consolidates their versions into batch=base.
-    * An asOfMs BELOW the horizon (the newest version folded into base)
-    * is an EXPIRED snapshot and fails loudly — the folded rows carry
-    * seq = their version, so an older asOfMs would filter them out
-    * while their superseded predecessors no longer exist: the read
-    * would silently return a state the table never had (re-crawled
-    * urls absent entirely). Iceberg errors on expired snapshot ids for
-    * the same reason. History is complete for every batch applied
-    * merge-on-read since the last fold.
+    * The horizon is the newest version whose fold actually REMOVED an
+    * older row — an asOfMs below it is an EXPIRED snapshot and fails
+    * loudly: the folded rows carry seq = their version, so an older
+    * asOfMs would filter them out while their superseded predecessors
+    * no longer exist — the read would silently return a state the
+    * table never had (re-crawled urls absent entirely). Iceberg errors
+    * on expired snapshot ids for the same reason. Folds that remove
+    * nothing (append-only batches: every url new) do NOT raise the
+    * horizon — every pre-fold snapshot is still exactly
+    * reconstructable (the new rows simply filter out by seq) and still
+    * serves. History is complete for every snapshot at or above the
+    * horizon.
     */
   def readTriplesAsOf(spark: SparkSession, outDir: String, asOfMs: Long): DataFrame = {
-    val horizon = compactionHorizonMs(spark, outDir)
+    val horizon = readHorizonMs(spark, outDir)
     require(asOfMs >= horizon,
       s"expired snapshot: asOfMs=$asOfMs predates the compaction " +
         s"horizon $horizon — superseded rows below it were physically " +
@@ -243,22 +254,85 @@ object Materialize {
       .drop("origin").drop("seq")
   }
 
-  /** The snapshot-retention floor: the newest per-url version ever
-    * consolidated into `versions/batch=base` by a fold (compact or a
-    * COW upsert's inline compaction) — snapshots at or after it are
-    * fully reconstructable from base + committed deltas, snapshots
-    * before it are physically gone. 0 when nothing was ever folded.
+  /** The snapshot-retention floor, stored as marker files
+    * `horizon/h_<ms>` next to the data (max filename wins): raising it
+    * is an atomic empty-file CREATE — never a read-modify-rewrite of
+    * table metadata that a crash could corrupt — and reading it is an
+    * O(1) directory listing instead of a scan over the consolidated
+    * versions sidecar (O(table urls) at target scale). Monotone by
+    * construction. 0 when no fold ever removed a row.
     */
-  private def compactionHorizonMs(spark: SparkSession, outDir: String): Long = {
-    val base = new org.apache.hadoop.fs.Path(
-      s"${versionsPath(outDir)}/batch=$BaseBatch")
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(base)) 0L
-    else {
-      val row = spark.read.parquet(base.toString)
-        .agg(max("warc_ts_ms")).head()
-      if (row.isNullAt(0)) 0L else row.getLong(0)
+  def horizonPath(outDir: String): String = s"$outDir/$StageTriples/horizon"
+
+  private def readHorizonMs(spark: SparkSession, outDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(horizonPath(outDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("h_") => n.stripPrefix("h_").toLong }
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Raise the retention floor BEFORE the fold commits (a crash between
+    * the raise and the fold over-rejects — conservative — never the
+    * reverse, which would silently serve a state the table never had).
+    */
+  private def raiseHorizonMs(spark: SparkSession, outDir: String, h: Long): Unit = {
+    if (h <= 0 || h <= readHorizonMs(spark, outDir)) return
+    val dir = new org.apache.hadoop.fs.Path(horizonPath(outDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir, s"h_$h"), true).close()
+    // best-effort GC of superseded markers (readers take the max anyway)
+    fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("h_") &&
+        p.getName.stripPrefix("h_").toLong < h)
+      .foreach(p => fs.delete(p, false))
+  }
+
+  /** The horizon contribution of folding the given buckets' outstanding
+    * tombstones: the newest committed tombstone version that kills at
+    * least one PHYSICALLY PRESENT row (base or committed delta). A
+    * tombstone that kills nothing — a brand-new url's own version row —
+    * expires no snapshot: pre-fold states never contained that url.
+    * One broadcast-join aggregate over the affected buckets, run only
+    * at fold time (compaction cadence, not read cadence).
+    */
+  private def foldKillHorizonMs(spark: SparkSession, outDir: String,
+      affected: Set[Int], committed: Set[String]): Long = {
+    def readOpt(p: String): Option[DataFrame] = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) None
+      else try Some(spark.read.parquet(p))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
     }
+    val dead = readOpt(versionsPath(outDir)).map {
+      _.filter(col("batch") =!= lit(BaseBatch) &&
+          col("batch").isin(committed.toSeq: _*))
+        .filter(col("bucket").isin(affected.toSeq: _*))
+        .groupBy("url").agg(max("warc_ts_ms").as("upto_ms"))
+    }
+    if (dead.isEmpty) return 0L
+    val baseRows = readOpt(dataPath(outDir)).map { b =>
+      val s = if (b.columns.contains("seq")) b else b.withColumn("seq", lit(0L))
+      s.select(col("url"), coalesce(col("seq"), lit(0L)).as("seq"), col("bucket"))
+    }
+    val deltaRows = readOpt(deltaPath(outDir)).map {
+      _.filter(col("batch").isin(committed.toSeq: _*))
+        .select(col("url"), coalesce(col("seq"), lit(0L)).as("seq"), col("bucket"))
+    }
+    val rows = (baseRows, deltaRows) match {
+      case (Some(a), Some(d)) => Some(a.unionByName(d))
+      case (a, d) => a.orElse(d)
+    }
+    rows.map { r =>
+      val row = r.filter(col("bucket").isin(affected.toSeq: _*))
+        .join(broadcast(dead.get), Seq("url"))
+        .filter(col("seq") < col("upto_ms"))
+        .agg(max("upto_ms")).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }.getOrElse(0L)
   }
 
   /** Resolution variant that keeps the internal per-row crawl sequence
@@ -279,15 +353,21 @@ object Materialize {
     * in compact/COW needs to distinguish the two storages.
     */
   private def readTriplesWithSeqOriginOpt(
-      spark: SparkSession, outDir: String): Option[DataFrame] =
-    resolveAsOfOpt(spark, outDir, Long.MaxValue)
+      spark: SparkSession, outDir: String,
+      committedSnap: Option[Set[String]] = None): Option[DataFrame] =
+    resolveAsOfOpt(spark, outDir, Long.MaxValue, committedSnap)
 
   /** The one resolution routine behind both the current-state read
     * (asOfMs = Long.MaxValue) and the time-travel read: rows newer than
     * asOfMs are invisible, and only tombstones up to asOfMs apply.
+    * `committedSnap` lets a maintenance operation (compact/COW) pin ONE
+    * committed-batch snapshot across its whole read-fold-drop sequence —
+    * recomputing it per step would let a batch that commits mid-fold be
+    * half-included.
     */
   private def resolveAsOfOpt(
-      spark: SparkSession, outDir: String, asOfMs: Long): Option[DataFrame] = {
+      spark: SparkSession, outDir: String, asOfMs: Long,
+      committedSnap: Option[Set[String]] = None): Option[DataFrame] = {
     val fs = new org.apache.hadoop.fs.Path(dataPath(outDir))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def read(p: String): Option[DataFrame] =
@@ -313,7 +393,7 @@ object Materialize {
     // a half-written versions dir must not kill anything either, or a
     // concurrent reader mid-commit would see rows vanish before the
     // batch becomes visible.
-    val committed = committedBatchIds(spark, outDir)
+    val committed = committedSnap.getOrElse(committedBatchIds(spark, outDir))
     val delta = read(deltaPath(outDir)).map { d =>
       d.filter(col("batch").isin(committed.toSeq: _*)).drop("batch")
         .withColumn("origin", lit("d"))
@@ -465,9 +545,16 @@ object Materialize {
     * away the affected buckets' outstanding delta dirs, consolidate
     * staged versions into batch=base and drop those buckets'
     * un-compacted version dirs, then remove staging.
+    *
+    * `foldBatches` is the committed-batch snapshot whose content the
+    * staged rewrite actually folded: ONLY those batch dirs lose their
+    * affected-bucket subdirs. A batch that committed (or is still
+    * mid-commit) after the fold read must keep both its delta rows and
+    * its tombstones — dropping them here would permanently lose a
+    * committed batch that was never part of the fold.
     */
   private def commitStaged(spark: SparkSession, outDir: String,
-      affected: Set[Int]): Unit = {
+      affected: Set[Int], foldBatches: Set[String]): Unit = {
     val staging = stagingPath(outDir)
     val fsData = new org.apache.hadoop.fs.Path(dataPath(outDir))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -497,17 +584,17 @@ object Materialize {
           s"${dataPath(outDir)}/bucket=$bk"), true)
       }
       // the rewrite folded the affected buckets' outstanding deltas
-      // into the base — drop them
-      dropBucketDirsUnderBatches(spark, deltaPath(outDir), affected)
+      // into the base — drop them (folded batches only)
+      dropBucketDirsUnderBatches(spark, deltaPath(outDir), affected, foldBatches)
       // versions: consolidated rows land in batch=base, then the
       // affected buckets' un-compacted batch rows (now folded) drop.
-      // Staged versions may be legitimately absent.
+      // Staged versions may be legitimately absent. foldBatches never
+      // contains BaseBatch, so the consolidated batch is safe.
       try spark.read.parquet(s"$staging/versions")
         .write.mode(SaveMode.Overwrite).partitionBy("batch", "bucket")
         .parquet(versionsPath(outDir))
       catch { case _: org.apache.spark.sql.AnalysisException => () }
-      dropBucketDirsUnderBatches(spark, versionsPath(outDir), affected,
-        excludeBatch = Set(BaseBatch))
+      dropBucketDirsUnderBatches(spark, versionsPath(outDir), affected, foldBatches)
       fsData.delete(new org.apache.hadoop.fs.Path(staging), true)
     } finally spark.conf.set(
       "spark.sql.sources.partitionOverwriteMode", prevMode)
@@ -544,24 +631,30 @@ object Materialize {
     * default for a table whose rows all came from one crawl batch).
     */
   def readVersions(spark: SparkSession, outDir: String,
-      buckets: Set[Int]): DataFrame = {
+      buckets: Set[Int], committedSnap: Option[Set[String]] = None): DataFrame = {
     import spark.implicits._
+    val empty = Seq.empty[(String, Long, Int)].toDF("url", "warc_ts_ms", "bucket")
     val path = new org.apache.hadoop.fs.Path(versionsPath(outDir))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) Seq.empty[(String, Long, Int)].toDF("url", "warc_ts_ms", "bucket")
+    if (!fs.exists(path)) empty
     else {
       // only COMMITTED batches (plus the consolidated base) count as
       // stored versions: a half-written versions dir of a crashed
       // commit would otherwise stale-reject its own redelivery — the
       // batch could then never commit, losing its data permanently
-      val committed = committedBatchIds(spark, outDir)
-      spark.read.parquet(versionsPath(outDir))
+      val committed = committedSnap.getOrElse(committedBatchIds(spark, outDir))
+      // a versions root holding only a crashed batch dir with ZERO
+      // committed part-files (_temporary only) has no inferable schema —
+      // that state must read as "no stored versions" (the redelivery
+      // then applies), not crash-loop every retry
+      try spark.read.parquet(versionsPath(outDir))
         .filter(col("batch") === lit(BaseBatch) ||
           col("batch").isin(committed.toSeq: _*))
         .filter(col("bucket").isin(buckets.toSeq: _*))
         .groupBy(col("url"), col("bucket").cast("int").as("bucket"))
         .agg(max("warc_ts_ms").as("warc_ts_ms"))
         .select("url", "warc_ts_ms", "bucket")
+      catch { case _: org.apache.spark.sql.AnalysisException => empty }
     }
   }
 
@@ -667,7 +760,10 @@ object Materialize {
     val batchBuckets = probe("bucketPrune")(newPages.toDF()
       .select(pmod(hash(col("url")), lit(b)).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSet)
-    val stored = readVersions(spark, outDir, batchBuckets)
+    // one committed-batch snapshot pins the whole operation (stale
+    // rejection + COW fold + drop) to a single consistent view
+    val committed = committedBatchIds(spark, outDir)
+    val stored = readVersions(spark, outDir, batchBuckets, Some(committed))
 
     // mark rather than filter: one cached compact table serves the
     // applied/stale split, the stats, and the batch id — one Spark job
@@ -729,7 +825,8 @@ object Materialize {
         probe("morCommit")(morCommit(spark, outDir, fresh, appliedKeys,
           batchId, nApplied))
       else
-        cowCommit(spark, outDir, b, fresh, appliedKeys, stored, affected)
+        cowCommit(spark, outDir, b, fresh, appliedKeys, stored, affected,
+          committed)
       IncrementalStats(nApplied, nStale, affected)
     } finally { marked.unpersist(); latest.unpersist(); () }
   }
@@ -809,7 +906,7 @@ object Materialize {
     */
   private def cowCommit(spark: SparkSession, outDir: String, b: Int,
       fresh: DataFrame, appliedKeys: DataFrame, stored: DataFrame,
-      affected: Set[Int]): Unit = {
+      affected: Set[Int], committed: Set[String]): Unit = {
     import spark.implicits._
     val t0 = System.currentTimeMillis()
     // survivors: affected buckets' current LIVE rows minus re-crawled
@@ -819,7 +916,8 @@ object Materialize {
     // table). No broadcast hint on the O(delta) key set — 10^8 urls for
     // a 1% batch at target scale; AQE upgrades small deltas at runtime.
     val hasDeltas = batchIdsUnder(spark, deltaPath(outDir)).nonEmpty
-    val survivors = readTriplesWithSeqOriginOpt(spark, outDir) match {
+    val prior = readTriplesWithSeqOriginOpt(spark, outDir, Some(committed))
+    val survivors = prior match {
       case Some(cur) =>
         val live = cur.filter(col("bucket").isin(affected.toSeq: _*))
         val healed = if (hasDeltas) healFold(live) else live.drop("origin")
@@ -842,22 +940,38 @@ object Materialize {
       .write.mode(SaveMode.Overwrite).partitionBy("batch", "bucket")
       .parquet(s"$staging/versions")
 
-    commitStaged(spark, outDir, affected)
+    // retention floor: the rewrite physically removes (a) re-crawled
+    // urls' live rows — killed by this batch's own new versions — and
+    // (b) already-superseded rows swept out by the inline fold. Append-
+    // only batches (every url new) kill nothing and expire no snapshot.
+    val killCow = prior.map { cur =>
+      val row = cur.filter(col("bucket").isin(affected.toSeq: _*))
+        .join(appliedKeys.select(col("url"), col("warc_ts_ms").as("new_ms")),
+          Seq("url"))
+        .agg(max("new_ms")).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }.getOrElse(0L)
+    val killFold =
+      if (hasDeltas) foldKillHorizonMs(spark, outDir, affected, committed)
+      else 0L
+    raiseHorizonMs(spark, outDir, math.max(killCow, killFold))
+
+    commitStaged(spark, outDir, affected, committed)
     appendLineage(spark, outDir, StageTriplesUpsert, affected, t0,
       System.currentTimeMillis())
   }
 
   /** Delete `bucket=<bk>` subdirectories for the given buckets under
-    * every `batch=<id>` directory of a delta/deletes root, then prune
-    * batch dirs (and the root) that became empty.
+    * the named `batch=<id>` directories of a delta/versions root, then
+    * prune batch dirs (and the root) that became empty.
     */
   private def dropBucketDirsUnderBatches(spark: SparkSession, root: String,
-      buckets: Set[Int], excludeBatch: Set[String] = Set.empty): Unit = {
+      buckets: Set[Int], onlyBatches: Set[String]): Unit = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return
     fs.listStatus(rootPath).filter(_.isDirectory)
-      .filterNot(d => excludeBatch.contains(
+      .filter(d => onlyBatches.contains(
         d.getPath.getName.stripPrefix("batch=")))
       .foreach { batchDir =>
         buckets.foreach { bk =>
@@ -871,24 +985,44 @@ object Materialize {
     if (fs.listStatus(rootPath).isEmpty) fs.delete(rootPath, true)
   }
 
+  /** Uncommitted-batch GC waits at least this long after the batch
+    * dirs' last modification (default 1h): a writer whose morCommit is
+    * still in flight — delta written, versions job running, `_SUCCESS`
+    * not yet dropped — looks exactly like a crashed commit, and GC'ing
+    * it would destroy a batch whose commit then succeeds (checkpoint
+    * advances, batch never redelivered — permanent loss). Any grace
+    * comfortably above the longest expected commit duration closes the
+    * race; tests that synthesize crash states pass 0.
+    */
+  val DefaultGcGraceMs: Long = 60L * 60 * 1000
+
   /** Fold all outstanding merge-on-read deltas and tombstones into the
     * base table — the periodic maintenance job that keeps the MoR read
     * path cheap (the tombstone broadcast is bounded by deltas since the
     * last compaction). Rewrites only buckets that have outstanding
-    * delta/tombstone state; exact-duplicate rows (possible only from a
-    * crash-replayed half-commit) are healed here via dropDuplicates —
+    * COMMITTED delta/tombstone state; exact-duplicate rows (possible
+    * only from a crash-replayed half-commit) are healed via healFold —
     * a full-row shuffle, disclosed and bounded to the affected buckets;
     * a crash inside compact() itself is healed by re-running it.
     * Returns the compacted bucket set.
+    *
+    * Safe to run concurrently with a committing stream: one committed
+    * snapshot pins the fold, drops touch only folded batches, and
+    * uncommitted-dir GC is grace-gated (see [[DefaultGcGraceMs]]) plus
+    * re-checked against the commit marker immediately before each
+    * delete — versions half first, so a straggler versions job whose
+    * dir vanishes fails its own commit (and redelivers) rather than
+    * committing tombstones whose delta was GC'd.
     */
-  def compact(spark: SparkSession, outDir: String): Set[Int] = {
+  def compact(spark: SparkSession, outDir: String,
+      gcGraceMs: Long = DefaultGcGraceMs): Set[Int] = {
     val fs = new org.apache.hadoop.fs.Path(dataPath(outDir))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def bucketsUnder(root: String, excludeBatch: Set[String]): Set[Int] = {
+    def bucketsUnder(root: String, onlyBatches: Set[String]): Set[Int] = {
       val p = new org.apache.hadoop.fs.Path(root)
       if (!fs.exists(p)) Set.empty
       else fs.listStatus(p).filter(_.isDirectory)
-        .filterNot(d => excludeBatch.contains(
+        .filter(d => onlyBatches.contains(
           d.getPath.getName.stripPrefix("batch=")))
         .flatMap(batchDir =>
           fs.listStatus(batchDir.getPath).map(_.getPath.getName)
@@ -901,24 +1035,37 @@ object Materialize {
     // effect, and a redelivery rewrites the same dirs — folding them
     // would resurrect an uncommitted batch. Both halves go: the delta
     // dir AND any half-written versions dir (partial part-files, no
-    // _SUCCESS) of the same crashed commit.
+    // _SUCCESS) of the same crashed commit. Grace-gated: an in-flight
+    // commit younger than gcGraceMs is NOT a crash and must survive.
     val committed = committedBatchIds(spark, outDir)
-    (batchIdsUnder(spark, deltaPath(outDir)) -- committed).foreach { id =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"${deltaPath(outDir)}/batch=$id"), true)
-    }
-    (batchIdsUnder(spark, versionsPath(outDir)) - BaseBatch -- committed)
-      .foreach { id =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"${versionsPath(outDir)}/batch=$id"), true)
+    val now = System.currentTimeMillis()
+    val uncommitted = (batchIdsUnder(spark, deltaPath(outDir)) ++
+      (batchIdsUnder(spark, versionsPath(outDir)) - BaseBatch)) -- committed
+    uncommitted.foreach { id =>
+      val vDir = new org.apache.hadoop.fs.Path(
+        s"${versionsPath(outDir)}/batch=$id")
+      val dDir = new org.apache.hadoop.fs.Path(
+        s"${deltaPath(outDir)}/batch=$id")
+      val age = Seq(vDir, dDir).filter(fs.exists)
+        .map(p => now - fs.getFileStatus(p).getModificationTime)
+        .foldLeft(Long.MaxValue)(math.min)
+      val ok = new org.apache.hadoop.fs.Path(vDir, "_SUCCESS")
+      // re-check the marker right before each delete: a commit that
+      // landed after the listing above must survive untouched
+      if (age >= gcGraceMs && !fs.exists(ok)) {
+        if (fs.exists(vDir)) fs.delete(vDir, true)
+        if (!fs.exists(ok) && fs.exists(dDir)) fs.delete(dDir, true)
       }
+    }
     for (root <- Seq(deltaPath(outDir), versionsPath(outDir))) {
       val p = new org.apache.hadoop.fs.Path(root)
       if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true)
     }
 
-    val affected = bucketsUnder(deltaPath(outDir), Set.empty) ++
-      bucketsUnder(versionsPath(outDir), Set(BaseBatch))
+    // fold COMMITTED state only — an uncommitted batch still inside its
+    // grace window neither marks buckets affected nor loses its dirs
+    val affected = bucketsUnder(deltaPath(outDir), committed) ++
+      bucketsUnder(versionsPath(outDir), committed)
     if (affected.isEmpty) return Set.empty
     val t0 = System.currentTimeMillis()
 
@@ -928,20 +1075,26 @@ object Materialize {
     // crash-half-commit double counts while preserving legitimate
     // duplicate-row multiplicity.
     val resolved = healFold(
-      readTriplesWithSeqOriginOpt(spark, outDir)
+      readTriplesWithSeqOriginOpt(spark, outDir, Some(committed))
         .getOrElse(sys.error(s"no triple data under $outDir"))
         .filter(col("bucket").isin(affected.toSeq: _*)))
       .repartition(col("bucket"))
     val staging = stagingPath(outDir)
     resolved.write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$staging/data")
-    readVersions(spark, outDir, affected)
+    readVersions(spark, outDir, affected, Some(committed))
       .withColumn("batch", lit(BaseBatch))
       .repartition(col("bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("batch", "bucket")
       .parquet(s"$staging/versions")
 
-    commitStaged(spark, outDir, affected)
+    // retention floor BEFORE the fold commits (crash ⇒ over-reject,
+    // never silent wrong time travel); folds that remove no row —
+    // append-only batches — leave it untouched
+    raiseHorizonMs(spark, outDir,
+      foldKillHorizonMs(spark, outDir, affected, committed))
+
+    commitStaged(spark, outDir, affected, committed)
     appendLineage(spark, outDir, "compact", affected, t0,
       System.currentTimeMillis())
     affected
@@ -1041,7 +1194,9 @@ object Materialize {
           .withColumn("bucket", pmod(hash(col("url")), lit(b)))
           .filter(col("bucket").isin(remainingT.toSeq: _*))
           .drop("bucket").as[Sentence]
-        appendBucketedWithManifest(spark, Pipeline.triples(todo).toDF(), b,
+        // seq=0 for the same schema-uniformity invariant as runResumable
+        appendBucketedWithManifest(spark,
+          Pipeline.triples(todo).toDF().withColumn("seq", lit(0L)), b,
           s"$outDir/$StageTriples", StageTriples, remainingT)
       }
       if (remainingL.nonEmpty) {

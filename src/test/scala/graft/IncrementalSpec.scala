@@ -267,8 +267,9 @@ class IncrementalSpec extends AnyFunSuite {
     // both crawls of url 4 returned at once
     assert(tripleKeys(Materialize.readTriples(spark, dir)) == keys0,
       "uncommitted delta rows leaked into the read path")
-    // compact GCs the uncommitted dir instead of folding it
-    assert(Materialize.compact(spark, dir).isEmpty)
+    // compact GCs the uncommitted dir instead of folding it (grace 0:
+    // the test synthesizes a crash, so age-gating is waived)
+    assert(Materialize.compact(spark, dir, gcGraceMs = 0L).isEmpty)
     assert(!new java.io.File(Materialize.deltaPath(dir)).exists(),
       "compact must GC uncommitted delta batches")
     assert(tripleKeys(Materialize.readTriples(spark, dir)) == keys0)
@@ -492,11 +493,80 @@ class IncrementalSpec extends AnyFunSuite {
     val vBatch2 = vRoot.listFiles().filter(_.isDirectory)
       .filterNot(_.getName == s"batch=${Materialize.BaseBatch}").head
     assert(new java.io.File(vBatch2, "_SUCCESS").delete())
+    // within the GC grace window the same state is INDISTINGUISHABLE
+    // from an in-flight commit and must survive compact untouched —
+    // GC'ing it would destroy a batch whose commit succeeds a moment
+    // later (checkpoint advances, never redelivered: permanent loss)
     assert(Materialize.compact(spark, dir).isEmpty)
+    assert(vBatch2.exists() &&
+      new java.io.File(Materialize.deltaPath(dir)).exists(),
+      "compact must not GC an uncommitted batch inside the grace window")
+    assert(tripleKeys(Materialize.readTriples(spark, dir)) == keys0)
+    // past the grace (0 here) the crashed halves are GC'd
+    assert(Materialize.compact(spark, dir, gcGraceMs = 0L).isEmpty)
     assert(!new java.io.File(Materialize.deltaPath(dir)).exists(),
       "compact must GC the delta half of an uncommitted batch")
     assert(!vBatch2.exists(),
       "compact must GC the half-written versions dir of an uncommitted batch")
     assert(tripleKeys(Materialize.readTriples(spark, dir)) == keys0)
+  }
+
+  test("time travel: folds that remove no row (append-only batches) expire no snapshot") {
+    // a MoR batch of ONLY new urls, compacted: nothing was physically
+    // superseded, so every pre-fold snapshot is still exactly
+    // reconstructable (the new rows filter out by seq) and must serve —
+    // a horizon keyed to "newest folded version" would wrongly reject it
+    val base = (0L until 12L).map(PageGen.genPage(_).page)
+    def newShifted(i: Long, tsPlusDays: Int): Page = {
+      val p = PageGen.genPage(i).page
+      p.copy(warc_ts = new Timestamp(p.warc_ts.getTime + tsPlusDays * 86400000L))
+    }
+    val v1 = Seq(newShifted(20, 1000), newShifted(21, 1000))
+    val t0 = v1.map(_.warc_ts.getTime).min - 1
+    val dir = Files.createTempDirectory("graft-incr-tt-append").toString
+    Materialize.runResumable(spark, ds(base), dir, B)
+    val snap0 = tripleKeys(Materialize.readTriples(spark, dir))
+    assert(Materialize.incrementalUpdate(spark, ds(v1), dir, B,
+      mergeOnRead = true).appliedUrls == 2)
+    val snap1 = tripleKeys(Materialize.readTriples(spark, dir))
+    Materialize.compact(spark, dir)
+    assert(tripleKeys(Materialize.readTriplesAsOf(spark, dir, t0)) == snap0,
+      "append-only fold must keep pre-fold snapshots serving")
+    assert(tripleKeys(Materialize.readTriplesAsOf(spark, dir, Long.MaxValue)) == snap1)
+
+    // COW flavor of the same guarantee: append-only upserts rewrite
+    // nothing pre-existing, so old snapshots stay valid...
+    val v2 = Seq(newShifted(22, 2000))
+    assert(Materialize.incrementalUpdate(spark, ds(v2), dir, B).appliedUrls == 1)
+    assert(tripleKeys(Materialize.readTriplesAsOf(spark, dir, t0)) == snap0)
+    // ...but a COW RE-crawl physically removes the url's old rows —
+    // snapshots below that version are expired and must fail loudly
+    val re = recrawl(2, 502, tsPlusDays = 3000)
+    assert(Materialize.incrementalUpdate(spark, ds(Seq(re)), dir, B).appliedUrls == 1)
+    val e = intercept[IllegalArgumentException] {
+      Materialize.readTriplesAsOf(spark, dir, re.warc_ts.getTime - 1)
+    }
+    assert(e.getMessage.contains("expired snapshot"))
+    assert(tripleKeys(Materialize.readTriplesAsOf(spark, dir, Long.MaxValue)) ==
+      tripleKeys(Materialize.readTriples(spark, dir)))
+  }
+
+  test("a versions root holding only a zero-part-file crashed batch does not crash-loop the redelivery") {
+    // crash early in the FIRST-ever versions job: the batch dir exists
+    // with only _temporary inside — no readable parquet anywhere under
+    // versions/. readVersions must treat that as "no stored versions"
+    // (so the redelivery applies), not throw schema-inference errors
+    val dir = Files.createTempDirectory("graft-incr-novparq").toString
+    val base = (0L until 12L).map(PageGen.genPage(_).page)
+    Materialize.runResumable(spark, ds(base), dir, B)
+    val vBatch = new java.io.File(Materialize.versionsPath(dir), "batch=deadbeef")
+    assert(new java.io.File(vBatch, "_temporary").mkdirs())
+    val batch = Seq(recrawl(4, 504, tsPlusDays = 30))
+    val s = Materialize.incrementalUpdate(spark, ds(batch), dir, B, mergeOnRead = true)
+    assert(s.appliedUrls == 1,
+      "a schema-less crashed versions dir must not block the redelivery")
+    val world = base.filterNot(_.url == batch.head.url) ++ batch
+    assert(tripleKeys(Materialize.readTriples(spark, dir)) ==
+      tripleKeys(Pipeline.run(ds(world)).toDF()))
   }
 }
