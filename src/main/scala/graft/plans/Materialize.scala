@@ -254,6 +254,20 @@ object Materialize {
       .drop("origin").drop("seq")
   }
 
+  /** Guarded parquet read shared by every sidecar/data reader: None
+    * when the path is absent OR exists with no inferable schema — the
+    * state a crash early in a write job leaves behind (`_temporary`
+    * only). ONLY the read itself is guarded; downstream column
+    * resolution errors (a genuinely corrupt sidecar) stay loud.
+    */
+  private def readParquetOpt(spark: SparkSession, p: String): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else try Some(spark.read.parquet(p))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
   /** The snapshot-retention floor, stored as marker files
     * `horizon/h_<ms>` next to the data (max filename wins): raising it
     * is an atomic empty-file CREATE — never a read-modify-rewrite of
@@ -261,27 +275,57 @@ object Materialize {
     * O(1) directory listing instead of a scan over the consolidated
     * versions sidecar (O(table urls) at target scale). Monotone by
     * construction. 0 when no fold ever removed a row.
+    *
+    * Every fold creates the directory even when it removes nothing, so
+    * the dir's EXISTENCE marks a marker-era table. A table folded
+    * before markers existed (consolidated `versions/batch=base`
+    * present, no horizon dir) cannot distinguish removing folds from
+    * append-only ones — for it the floor falls back to the
+    * conservative pre-marker rule, the max version ever consolidated
+    * into base (over-rejects append-only history rather than silently
+    * serving states that removing folds destroyed).
     */
   def horizonPath(outDir: String): String = s"$outDir/$StageTriples/horizon"
 
   private def readHorizonMs(spark: SparkSession, outDir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(horizonPath(outDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
-    else fs.listStatus(p).map(_.getPath.getName)
-      .collect { case n if n.startsWith("h_") => n.stripPrefix("h_").toLong }
-      .foldLeft(0L)(math.max)
+    if (fs.exists(p))
+      fs.listStatus(p).map(_.getPath.getName)
+        .collect { case n if n.startsWith("h_") => n.stripPrefix("h_").toLong }
+        .foldLeft(0L)(math.max)
+    else {
+      // legacy fallback: pre-marker folds left no record of what they
+      // removed — the consolidated base's max version is the loudest
+      // safe floor. Marker-era tables never reach this scan.
+      val base = new org.apache.hadoop.fs.Path(
+        s"${versionsPath(outDir)}/batch=$BaseBatch")
+      if (!fs.exists(base)) 0L
+      else readParquetOpt(spark, base.toString).map { v =>
+        val row = v.agg(max("warc_ts_ms")).head()
+        if (row.isNullAt(0)) 0L else row.getLong(0)
+      }.getOrElse(0L)
+    }
   }
 
   /** Raise the retention floor BEFORE the fold commits (a crash between
     * the raise and the fold over-rejects — conservative — never the
     * reverse, which would silently serve a state the table never had).
+    * Called by every fold, including h=0 ones: creating the horizon dir
+    * is what opts the table out of the legacy conservative fallback.
     */
   private def raiseHorizonMs(spark: SparkSession, outDir: String, h: Long): Unit = {
-    if (h <= 0 || h <= readHorizonMs(spark, outDir)) return
     val dir = new org.apache.hadoop.fs.Path(horizonPath(outDir))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(dir)
+    if (!fs.exists(dir)) {
+      // first fold of a legacy (pre-marker) table must carry the old
+      // floor forward before the dir's existence switches the read rule
+      val legacy = readHorizonMs(spark, outDir)
+      fs.mkdirs(dir)
+      if (legacy > 0)
+        fs.create(new org.apache.hadoop.fs.Path(dir, s"h_$legacy"), true).close()
+    }
+    if (h <= 0 || h <= readHorizonMs(spark, outDir)) return
     fs.create(new org.apache.hadoop.fs.Path(dir, s"h_$h"), true).close()
     // best-effort GC of superseded markers (readers take the max anyway)
     fs.listStatus(dir).map(_.getPath)
@@ -291,34 +335,31 @@ object Materialize {
   }
 
   /** The horizon contribution of folding the given buckets' outstanding
-    * tombstones: the newest committed tombstone version that kills at
-    * least one PHYSICALLY PRESENT row (base or committed delta). A
-    * tombstone that kills nothing — a brand-new url's own version row —
-    * expires no snapshot: pre-fold states never contained that url.
-    * One broadcast-join aggregate over the affected buckets, run only
-    * at fold time (compaction cadence, not read cadence).
+    * tombstones: over all PHYSICALLY PRESENT rows (base or committed
+    * delta) being removed, the newest FIRST-superseding version — each
+    * killed row's smallest tombstone above its seq, because the row's
+    * visibility range ends exactly there; attributing the kill to the
+    * url's newest tombstone would over-raise the floor past states
+    * that remain reconstructable. A tombstone that kills nothing — a
+    * brand-new url's own version row — expires no snapshot: pre-fold
+    * states never contained that url. One broadcast-join aggregate
+    * over the affected buckets, run only at fold time (compaction
+    * cadence, not read cadence).
     */
   private def foldKillHorizonMs(spark: SparkSession, outDir: String,
       affected: Set[Int], committed: Set[String]): Long = {
-    def readOpt(p: String): Option[DataFrame] = {
-      val path = new org.apache.hadoop.fs.Path(p)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(path)) None
-      else try Some(spark.read.parquet(p))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
-    }
-    val dead = readOpt(versionsPath(outDir)).map {
+    val dead = readParquetOpt(spark, versionsPath(outDir)).map {
       _.filter(col("batch") =!= lit(BaseBatch) &&
           col("batch").isin(committed.toSeq: _*))
         .filter(col("bucket").isin(affected.toSeq: _*))
-        .groupBy("url").agg(max("warc_ts_ms").as("upto_ms"))
+        .select(col("url"), col("warc_ts_ms"))
     }
     if (dead.isEmpty) return 0L
-    val baseRows = readOpt(dataPath(outDir)).map { b =>
+    val baseRows = readParquetOpt(spark, dataPath(outDir)).map { b =>
       val s = if (b.columns.contains("seq")) b else b.withColumn("seq", lit(0L))
       s.select(col("url"), coalesce(col("seq"), lit(0L)).as("seq"), col("bucket"))
     }
-    val deltaRows = readOpt(deltaPath(outDir)).map {
+    val deltaRows = readParquetOpt(spark, deltaPath(outDir)).map {
       _.filter(col("batch").isin(committed.toSeq: _*))
         .select(col("url"), coalesce(col("seq"), lit(0L)).as("seq"), col("bucket"))
     }
@@ -329,8 +370,10 @@ object Materialize {
     rows.map { r =>
       val row = r.filter(col("bucket").isin(affected.toSeq: _*))
         .join(broadcast(dead.get), Seq("url"))
-        .filter(col("seq") < col("upto_ms"))
-        .agg(max("upto_ms")).head()
+        .filter(col("seq") < col("warc_ts_ms"))
+        .groupBy(col("url"), col("seq"))
+        .agg(min("warc_ts_ms").as("first_killer"))
+        .agg(max("first_killer")).head()
       if (row.isNullAt(0)) 0L else row.getLong(0)
     }.getOrElse(0L)
   }
@@ -368,14 +411,7 @@ object Materialize {
   private def resolveAsOfOpt(
       spark: SparkSession, outDir: String, asOfMs: Long,
       committedSnap: Option[Set[String]] = None): Option[DataFrame] = {
-    val fs = new org.apache.hadoop.fs.Path(dataPath(outDir))
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def read(p: String): Option[DataFrame] =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(p))) None
-      else try Some(spark.read.parquet(p))
-      catch { // dir exists but holds no readable parquet (all-empty write)
-        case _: org.apache.spark.sql.AnalysisException => None
-      }
+    def read(p: String): Option[DataFrame] = readParquetOpt(spark, p)
     val base = read(dataPath(outDir)).map { b0 =>
       val b = if (b0.columns.contains("seq")) b0 else b0.withColumn("seq", lit(0L))
       b.withColumn("origin", lit("b"))
@@ -565,9 +601,7 @@ object Materialize {
       // an all-empty staged union (every affected row re-crawled into
       // zero triples) leaves no readable parquet under staging — every
       // affected partition is then a pure delete
-      val staged =
-        try Some(spark.read.parquet(s"$staging/data").persist())
-        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      val staged = readParquetOpt(spark, s"$staging/data").map(_.persist())
       staged.foreach {
         _.write.mode(SaveMode.Overwrite).partitionBy("bucket")
           .parquet(dataPath(outDir))
@@ -590,10 +624,10 @@ object Materialize {
       // affected buckets' un-compacted batch rows (now folded) drop.
       // Staged versions may be legitimately absent. foldBatches never
       // contains BaseBatch, so the consolidated batch is safe.
-      try spark.read.parquet(s"$staging/versions")
-        .write.mode(SaveMode.Overwrite).partitionBy("batch", "bucket")
-        .parquet(versionsPath(outDir))
-      catch { case _: org.apache.spark.sql.AnalysisException => () }
+      readParquetOpt(spark, s"$staging/versions").foreach {
+        _.write.mode(SaveMode.Overwrite).partitionBy("batch", "bucket")
+          .parquet(versionsPath(outDir))
+      }
       dropBucketDirsUnderBatches(spark, versionsPath(outDir), affected, foldBatches)
       fsData.delete(new org.apache.hadoop.fs.Path(staging), true)
     } finally spark.conf.set(
@@ -646,15 +680,18 @@ object Materialize {
       // a versions root holding only a crashed batch dir with ZERO
       // committed part-files (_temporary only) has no inferable schema —
       // that state must read as "no stored versions" (the redelivery
-      // then applies), not crash-loop every retry
-      try spark.read.parquet(versionsPath(outDir))
-        .filter(col("batch") === lit(BaseBatch) ||
-          col("batch").isin(committed.toSeq: _*))
-        .filter(col("bucket").isin(buckets.toSeq: _*))
-        .groupBy(col("url"), col("bucket").cast("int").as("bucket"))
-        .agg(max("warc_ts_ms").as("warc_ts_ms"))
-        .select("url", "warc_ts_ms", "bucket")
-      catch { case _: org.apache.spark.sql.AnalysisException => empty }
+      // then applies), not crash-loop every retry. Guard ONLY the read:
+      // a resolvable-but-corrupt sidecar (missing columns) must fail
+      // loudly, or stale rejection silently turns off and an old batch
+      // redelivery rolls the table back.
+      readParquetOpt(spark, versionsPath(outDir)).map {
+        _.filter(col("batch") === lit(BaseBatch) ||
+            col("batch").isin(committed.toSeq: _*))
+          .filter(col("bucket").isin(buckets.toSeq: _*))
+          .groupBy(col("url"), col("bucket").cast("int").as("bucket"))
+          .agg(max("warc_ts_ms").as("warc_ts_ms"))
+          .select("url", "warc_ts_ms", "bucket")
+      }.getOrElse(empty)
     }
   }
 
@@ -916,45 +953,58 @@ object Materialize {
     // table). No broadcast hint on the O(delta) key set — 10^8 urls for
     // a 1% batch at target scale; AQE upgrades small deltas at runtime.
     val hasDeltas = batchIdsUnder(spark, deltaPath(outDir)).nonEmpty
+    // outstanding COMMITTED tombstones can exist with NO delta dir (a
+    // re-crawl that extracted zero triples writes versions buckets but
+    // no delta buckets) — the inline fold still physically removes the
+    // rows they killed, so the horizon pass keys off tombstones, not
+    // delta dirs
+    val hasTombs = (batchIdsUnder(spark, versionsPath(outDir)) - BaseBatch)
+      .exists(committed.contains)
     val prior = readTriplesWithSeqOriginOpt(spark, outDir, Some(committed))
-    val survivors = prior match {
-      case Some(cur) =>
-        val live = cur.filter(col("bucket").isin(affected.toSeq: _*))
-        val healed = if (hasDeltas) healFold(live) else live.drop("origin")
-        healed.join(appliedKeys.select("url"), Seq("url"), "left_anti")
-      case None =>
-        withBucket(spark.emptyDataset[Triple].toDF(), b)
-          .withColumn("seq", lit(0L))
-    }
-    val union = survivors.unionByName(fresh.select(survivors.columns.map(col): _*))
+    // the affected buckets' resolved rows feed TWO actions (the staged
+    // survivors write and the kill-horizon aggregate) — persist once
+    // instead of resolving base+delta+tombstones twice
+    val liveOpt = prior.map(
+      _.filter(col("bucket").isin(affected.toSeq: _*)).persist())
+    try {
+      val survivors = liveOpt match {
+        case Some(live) =>
+          val healed = if (hasDeltas) healFold(live) else live.drop("origin")
+          healed.join(appliedKeys.select("url"), Seq("url"), "left_anti")
+        case None =>
+          withBucket(spark.emptyDataset[Triple].toDF(), b)
+            .withColumn("seq", lit(0L))
+      }
+      val union = survivors.unionByName(fresh.select(survivors.columns.map(col): _*))
 
-    // stage → commit (cannot overwrite the path being read)
-    val staging = stagingPath(outDir)
-    union.write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(s"$staging/data")
-    val newVersions = appliedKeys
-      .unionByName(stored.join(appliedKeys.select("url"),
-        Seq("url"), "left_anti"))
-      .withColumn("batch", lit(BaseBatch))
-    newVersions.repartition(col("bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("batch", "bucket")
-      .parquet(s"$staging/versions")
+      // stage → commit (cannot overwrite the path being read)
+      val staging = stagingPath(outDir)
+      union.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(s"$staging/data")
+      val newVersions = appliedKeys
+        .unionByName(stored.join(appliedKeys.select("url"),
+          Seq("url"), "left_anti"))
+        .withColumn("batch", lit(BaseBatch))
+      newVersions.repartition(col("bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("batch", "bucket")
+        .parquet(s"$staging/versions")
 
-    // retention floor: the rewrite physically removes (a) re-crawled
-    // urls' live rows — killed by this batch's own new versions — and
-    // (b) already-superseded rows swept out by the inline fold. Append-
-    // only batches (every url new) kill nothing and expire no snapshot.
-    val killCow = prior.map { cur =>
-      val row = cur.filter(col("bucket").isin(affected.toSeq: _*))
-        .join(appliedKeys.select(col("url"), col("warc_ts_ms").as("new_ms")),
-          Seq("url"))
-        .agg(max("new_ms")).head()
-      if (row.isNullAt(0)) 0L else row.getLong(0)
-    }.getOrElse(0L)
-    val killFold =
-      if (hasDeltas) foldKillHorizonMs(spark, outDir, affected, committed)
-      else 0L
-    raiseHorizonMs(spark, outDir, math.max(killCow, killFold))
+      // retention floor: the rewrite physically removes (a) re-crawled
+      // urls' live rows — killed by this batch's own new versions — and
+      // (b) already-superseded rows swept out by the inline fold. Append-
+      // only batches (every url new) kill nothing and expire no snapshot.
+      val killCow = liveOpt.map { live =>
+        val row = live
+          .join(appliedKeys.select(col("url"), col("warc_ts_ms").as("new_ms")),
+            Seq("url"))
+          .agg(max("new_ms")).head()
+        if (row.isNullAt(0)) 0L else row.getLong(0)
+      }.getOrElse(0L)
+      val killFold =
+        if (hasTombs) foldKillHorizonMs(spark, outDir, affected, committed)
+        else 0L
+      raiseHorizonMs(spark, outDir, math.max(killCow, killFold))
+    } finally liveOpt.foreach { l => l.unpersist(); () }
 
     commitStaged(spark, outDir, affected, committed)
     appendLineage(spark, outDir, StageTriplesUpsert, affected, t0,
@@ -1050,11 +1100,17 @@ object Materialize {
         .map(p => now - fs.getFileStatus(p).getModificationTime)
         .foldLeft(Long.MaxValue)(math.min)
       val ok = new org.apache.hadoop.fs.Path(vDir, "_SUCCESS")
-      // re-check the marker right before each delete: a commit that
-      // landed after the listing above must survive untouched
+      // ONE marker observation decides both halves (a second look after
+      // deleting vDir would be vacuously "absent" — the marker lived
+      // inside it). This re-check narrows the commit-vs-GC race to the
+      // instant between the observation and the deletes; it cannot
+      // close it — no filesystem-only protocol can — which is why the
+      // grace window is the real guarantee: correctness requires
+      // gcGraceMs > the longest possible commit duration, same contract
+      // as Iceberg's orphan-file retention vs job runtime.
       if (age >= gcGraceMs && !fs.exists(ok)) {
         if (fs.exists(vDir)) fs.delete(vDir, true)
-        if (!fs.exists(ok) && fs.exists(dDir)) fs.delete(dDir, true)
+        if (fs.exists(dDir)) fs.delete(dDir, true)
       }
     }
     for (root <- Seq(deltaPath(outDir), versionsPath(outDir))) {

@@ -461,6 +461,70 @@ class IncrementalSpec extends AnyFunSuite {
     assert(tripleKeys(Materialize.readTriplesAsOf(spark, dir, tV1)) == snap1)
     assert(tripleKeys(Materialize.readTriplesAsOf(spark, dir, Long.MaxValue)) == snap1)
     assert(tripleKeys(Materialize.readTriples(spark, dir)) == snap1)
+    // legacy tables (folded before horizon markers existed) must not
+    // silently lose the floor: with the marker dir gone the read falls
+    // back to the conservative pre-marker rule (max consolidated
+    // version) and still rejects the expired snapshot
+    def rmRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRec); f.delete(); ()
+    }
+    rmRec(new java.io.File(Materialize.horizonPath(dir)))
+    val e2 = intercept[IllegalArgumentException] {
+      Materialize.readTriplesAsOf(spark, dir, t0)
+    }
+    assert(e2.getMessage.contains("expired snapshot"),
+      "legacy fallback must keep rejecting snapshots below the pre-marker floor")
+  }
+
+  test("horizon survives a zero-triple tombstone whose delta dir was pruned before the fold") {
+    // a re-crawl that extracts ZERO triples commits a tombstone with no
+    // delta bucket dirs; once another commit prunes the empty delta
+    // batch dir, a later COW fold of the tombstone's bucket physically
+    // removes the dead rows with NO delta dirs present — the horizon
+    // pass must key off tombstones, not delta dirs, or time travel
+    // below the kill silently serves a state missing the url entirely
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-incr-zombstone").toString
+    val base = (0L until 20L).map(PageGen.genPage(_).page)
+    Materialize.runResumable(spark, ds(base), dir, B)
+    def bucketOf(url: String): Int =
+      ds(Seq(PageGen.genPage(0).page)).sparkSession.range(1).toDF()
+        .select(pmod(hash(lit(url)), lit(B)).cast("int")).collect()(0).getInt(0)
+    val uPage = base.find(_.lang == "en").get
+    val bkU = bucketOf(uPage.url)
+    // v1 (MoR): url U re-crawled as non-English — zero triples, pure
+    // tombstone at +2000 days
+    val v1 = uPage.copy(lang = "de",
+      warc_ts = new Timestamp(uPage.warc_ts.getTime + 2000L * 86400000L))
+    assert(Materialize.incrementalUpdate(spark, ds(Seq(v1)), dir, B,
+      mergeOnRead = true).appliedUrls == 1)
+    // v2 (COW, EARLIER ts than v1, different bucket): its commit prunes
+    // the empty delta batch dir of v1
+    val wPage = base.find(p => p.url != uPage.url && bucketOf(p.url) != bkU).get
+    val v2 = recrawl(base.indexOf(wPage).toLong, 555, tsPlusDays = 1000)
+    assert(Materialize.incrementalUpdate(spark, ds(Seq(v2)), dir, B)
+      .appliedUrls == 1)
+    assert(!new java.io.File(Materialize.deltaPath(dir)).exists(),
+      "precondition: the zero-triple batch's empty delta dir is pruned")
+    // v3 (COW): a brand-new url hashing into U's bucket — its fold
+    // physically removes U's dead rows while contributing no kill of
+    // its own (new url, no prior rows)
+    val x = (100L until 200L).map(PageGen.genPage(_).page)
+      .find(p => bucketOf(p.url) == bkU && p.lang == "en").get
+    assert(Materialize.incrementalUpdate(spark, ds(Seq(x)), dir, B)
+      .appliedUrls == 1)
+    // the horizon must now be v1's version: snapshots below it lost U's
+    // pre-recrawl rows to the fold
+    val e = intercept[IllegalArgumentException] {
+      Materialize.readTriplesAsOf(spark, dir, v1.warc_ts.getTime - 1)
+    }
+    assert(e.getMessage.contains("expired snapshot"),
+      "a tombstone-only (zero-triple) kill must raise the horizon even with no delta dirs")
+    // at/above the horizon the table serves the exact folded state
+    val world = base.filterNot(p => p.url == uPage.url || p.url == wPage.url) ++
+      Seq(v2, x)
+    assert(tripleKeys(Materialize.readTriples(spark, dir)) ==
+      tripleKeys(Pipeline.run(ds(world :+ v1)).toDF()))
   }
 
   test("MoR commit gate: a half-written versions dir (no _SUCCESS) is uncommitted — no partial tombstones, redelivery applies") {
