@@ -206,7 +206,12 @@ object EventStream {
     *  - write amplification is O(micro-batch) regardless of how the
     *    batch scatters over buckets (merge-on-read), which is the only
     *    viable shape for a stream of small batches; run `compact()` on
-    *    whatever schedule read-amplification warrants;
+    *    whatever schedule read-amplification warrants — it is safe
+    *    concurrent with the committing stream (one committed-batch
+    *    snapshot pins its fold, drops touch only folded batches, and
+    *    uncommitted-dir GC is grace-gated, so keep
+    *    `Materialize.DefaultGcGraceMs` above the longest micro-batch
+    *    commit);
     *  - `readTriples` serves the live table and `readTriplesAsOf`
     *    time-travels it while the stream keeps committing: a batch
     *    becomes visible atomically at its versions job's _SUCCESS
