@@ -297,15 +297,32 @@ object Materialize {
     else {
       // legacy fallback: pre-marker folds left no record of what they
       // removed — the consolidated base's max version is the loudest
-      // safe floor. Marker-era tables never reach this scan.
+      // safe floor. Self-migrating: the scanned value is materialized
+      // as a marker (best effort — a read-only reader still gets the
+      // value) so the O(table-urls) scan runs once, not per read.
       val base = new org.apache.hadoop.fs.Path(
         s"${versionsPath(outDir)}/batch=$BaseBatch")
       if (!fs.exists(base)) 0L
-      else readParquetOpt(spark, base.toString).map { v =>
-        val row = v.agg(max("warc_ts_ms")).head()
-        if (row.isNullAt(0)) 0L else row.getLong(0)
-      }.getOrElse(0L)
+      else {
+        val legacy = readParquetOpt(spark, base.toString).map { v =>
+          val row = v.agg(max("warc_ts_ms")).head()
+          if (row.isNullAt(0)) 0L else row.getLong(0)
+        }.getOrElse(0L)
+        if (legacy > 0) try writeHorizonMarker(fs, p, legacy)
+        catch { case _: java.io.IOException => () }
+        legacy
+      }
     }
+  }
+
+  /** MARKER FIRST, never an empty dir: `fs.create` makes parent dirs,
+    * so the directory can never exist without its floor — an empty
+    * horizon dir would read as 0 and silently serve destroyed states
+    * (the exact inversion of the raise-before-fold invariant).
+    */
+  private def writeHorizonMarker(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, h: Long): Unit = {
+    fs.create(new org.apache.hadoop.fs.Path(dir, s"h_$h"), true).close()
   }
 
   /** Raise the retention floor BEFORE the fold commits (a crash between
@@ -317,16 +334,13 @@ object Materialize {
   private def raiseHorizonMs(spark: SparkSession, outDir: String, h: Long): Unit = {
     val dir = new org.apache.hadoop.fs.Path(horizonPath(outDir))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) {
-      // first fold of a legacy (pre-marker) table must carry the old
-      // floor forward before the dir's existence switches the read rule
-      val legacy = readHorizonMs(spark, outDir)
-      fs.mkdirs(dir)
-      if (legacy > 0)
-        fs.create(new org.apache.hadoop.fs.Path(dir, s"h_$legacy"), true).close()
-    }
-    if (h <= 0 || h <= readHorizonMs(spark, outDir)) return
-    fs.create(new org.apache.hadoop.fs.Path(dir, s"h_$h"), true).close()
+    // readHorizonMs self-migrates a legacy floor into a marker before
+    // the dir's existence switches the read rule; only a floor-0 table
+    // gets a bare mkdirs (an empty dir correctly reads as 0 there)
+    val current = readHorizonMs(spark, outDir)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    if (h <= 0 || h <= current) return
+    writeHorizonMarker(fs, dir, h)
     // best-effort GC of superseded markers (readers take the max anyway)
     fs.listStatus(dir).map(_.getPath)
       .filter(p => p.getName.startsWith("h_") &&
@@ -668,31 +682,23 @@ object Materialize {
       buckets: Set[Int], committedSnap: Option[Set[String]] = None): DataFrame = {
     import spark.implicits._
     val empty = Seq.empty[(String, Long, Int)].toDF("url", "warc_ts_ms", "bucket")
-    val path = new org.apache.hadoop.fs.Path(versionsPath(outDir))
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) empty
-    else {
-      // only COMMITTED batches (plus the consolidated base) count as
-      // stored versions: a half-written versions dir of a crashed
-      // commit would otherwise stale-reject its own redelivery — the
-      // batch could then never commit, losing its data permanently
+    // only COMMITTED batches (plus the consolidated base) count as
+    // stored versions: a half-written versions dir of a crashed
+    // commit would otherwise stale-reject its own redelivery — the
+    // batch could then never commit, losing its data permanently.
+    // readParquetOpt guards ONLY absence / no inferable schema (the
+    // states a crashed write leaves); a resolvable-but-corrupt sidecar
+    // (missing columns) must fail loudly, or stale rejection silently
+    // turns off and an old batch redelivery rolls the table back.
+    readParquetOpt(spark, versionsPath(outDir)).map { v =>
       val committed = committedSnap.getOrElse(committedBatchIds(spark, outDir))
-      // a versions root holding only a crashed batch dir with ZERO
-      // committed part-files (_temporary only) has no inferable schema —
-      // that state must read as "no stored versions" (the redelivery
-      // then applies), not crash-loop every retry. Guard ONLY the read:
-      // a resolvable-but-corrupt sidecar (missing columns) must fail
-      // loudly, or stale rejection silently turns off and an old batch
-      // redelivery rolls the table back.
-      readParquetOpt(spark, versionsPath(outDir)).map {
-        _.filter(col("batch") === lit(BaseBatch) ||
-            col("batch").isin(committed.toSeq: _*))
-          .filter(col("bucket").isin(buckets.toSeq: _*))
-          .groupBy(col("url"), col("bucket").cast("int").as("bucket"))
-          .agg(max("warc_ts_ms").as("warc_ts_ms"))
-          .select("url", "warc_ts_ms", "bucket")
-      }.getOrElse(empty)
-    }
+      v.filter(col("batch") === lit(BaseBatch) ||
+          col("batch").isin(committed.toSeq: _*))
+        .filter(col("bucket").isin(buckets.toSeq: _*))
+        .groupBy(col("url"), col("bucket").cast("int").as("bucket"))
+        .agg(max("warc_ts_ms").as("warc_ts_ms"))
+        .select("url", "warc_ts_ms", "bucket")
+    }.getOrElse(empty)
   }
 
   /** Incremental graph maintenance — the only operation mode that
@@ -957,9 +963,10 @@ object Materialize {
     // re-crawl that extracted zero triples writes versions buckets but
     // no delta buckets) — the inline fold still physically removes the
     // rows they killed, so the horizon pass keys off tombstones, not
-    // delta dirs
-    val hasTombs = (batchIdsUnder(spark, versionsPath(outDir)) - BaseBatch)
-      .exists(committed.contains)
+    // delta dirs. committedBatchIds IS the set of tombstone batches
+    // (versions dirs with _SUCCESS, minus base), so the pinned snapshot
+    // answers this without another listing.
+    val hasTombs = committed.nonEmpty
     val prior = readTriplesWithSeqOriginOpt(spark, outDir, Some(committed))
     // the affected buckets' resolved rows feed TWO actions (the staged
     // survivors write and the kill-horizon aggregate) — persist once

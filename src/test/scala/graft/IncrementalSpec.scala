@@ -474,6 +474,16 @@ class IncrementalSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("expired snapshot"),
       "legacy fallback must keep rejecting snapshots below the pre-marker floor")
+    // the fallback self-migrates: the scanned floor is materialized as
+    // a marker so the O(table) scan runs once, and the dir can never
+    // exist empty (marker-first) — the floor survives the migration
+    val hDir = new java.io.File(Materialize.horizonPath(dir))
+    assert(hDir.exists() && hDir.listFiles().exists(_.getName.startsWith("h_")),
+      "legacy fallback must materialize its floor as a marker")
+    val e3 = intercept[IllegalArgumentException] {
+      Materialize.readTriplesAsOf(spark, dir, t0)
+    }
+    assert(e3.getMessage.contains("expired snapshot"))
   }
 
   test("horizon survives a zero-triple tombstone whose delta dir was pruned before the fold") {
