@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Linking, Similarity}
+import graft.operators.{Dedup, IncrDedup, Linking, Similarity}
 import graft.plans.{Materialize, Pipeline}
 import graft.sources.{ChemDict, PageGen}
 import org.apache.spark.sql.SparkSession
@@ -51,6 +51,10 @@ object Bench {
     val incrDir = java.nio.file.Files.createTempDirectory("graft-bench-incr").toString
     var incrRound = 0
 
+    // dedup_incr state: the seen-corpus band index, built once on the
+    // discarded warmup round (a deployment reads it from rest)
+    var incrDedupIdx: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = null
+
     val thunks: Seq[(String, () => Unit)] = Seq(
       "kg_pipeline" -> (() => {
         nTriples = Pipeline.run(PageGen.pages(spark, nPages)).count()
@@ -70,6 +74,27 @@ object Bench {
       "dedup_minhash" -> (() => {
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         Dedup.minhashPairs(docs, threshold = 0.5).count(); ()
+      }),
+      "dedup_incr" -> (() => {
+        // the per-crawl marginal cost: delta (10%) deduped against the
+        // persisted seen-corpus band index — the number a 10^12-doc
+        // deployment pays per crawl, vs dedup_minhash's full-batch
+        // rerun of the same decision. Index builds once (the discarded
+        // warmup round) and persists, exactly like the at-rest index a
+        // real deployment reads instead of recomputing.
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+        val delta = docs.filter(col("doc_id") % 10 === 7)
+        if (incrDedupIdx == null) {
+          val b = IncrDedup.bandIndex(corpus).persist()
+          val c = IncrDedup.bucketCounts(b).persist()
+          b.count(); c.count()
+          incrDedupIdx = (b, c)
+        }
+        val (pairs, release) = IncrDedup.incrementalPairsWithHandle(
+          incrDedupIdx._1, incrDedupIdx._2, corpus, delta, threshold = 0.5)
+        try { IncrDedup.survivors(delta, pairs).count(); () }
+        finally release()
       }),
       "dedup_jaccard" -> (() => {
         // the EXACT near-dup path (prefix-filtered all-pairs) — tracked

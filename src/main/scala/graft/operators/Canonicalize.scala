@@ -142,11 +142,20 @@ object Canonicalize {
     * Returns (cid, cluster_id = min cid of component).
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 40): DataFrame = {
-    // undirected edge list, both directions
+    // undirected edge list, both directions. localCheckpoint (eager),
+    // NOT persist: a cached frame keeps its full analyzed lineage, and
+    // every iteration's action re-runs analysis/optimization over that
+    // subtree on the driver — with an expensive upstream (e.g. the LSH
+    // + verify chain feeding IncrDedup.survivors) the re-planning alone
+    // dominated the loop (measured 12.2s vs 2.0s for an identical graph
+    // with leaf inputs at sf0.1; same lesson as pageRank's per-iteration
+    // planning fix). Checkpointing makes each iteration plan over a
+    // lineage-free leaf.
     val edges = pairs.select(col("cid_a").as("src"), col("cid_b").as("dst"))
       .union(pairs.select(col("cid_b").as("src"), col("cid_a").as("dst")))
-      .persist()
-    var labels = nodes.select(col("cid"), col("cid").as("cluster_id")).persist()
+      .localCheckpoint()
+    var labels = nodes.select(col("cid"), col("cid").as("cluster_id"))
+      .localCheckpoint()
     var changedCount = 1L
     var iter = 0
     while (changedCount > 0 && iter < maxIter) {
@@ -172,11 +181,9 @@ object Canonicalize {
             < col("old_label")).as("changed"))
         .localCheckpoint() // cut lineage each iteration
       changedCount = updated.filter(col("changed")).count()
-      labels.unpersist()
-      labels = updated.select("cid", "cluster_id").persist()
+      labels = updated.select("cid", "cluster_id")
       iter += 1
     }
-    edges.unpersist()
     require(changedCount == 0,
       s"connectedComponents did not converge within $maxIter iterations " +
         s"($changedCount labels still changing) — result would be silently " +

@@ -257,7 +257,7 @@ object Dedup {
     * tuple element releases it; callers invoke it after their action
     * (mirrors Linking.linkTriplesFusedWithHandle).
     */
-  private def fetchCandidatePayload(
+  private[operators] def fetchCandidatePayload(
       cand: DataFrame,
       payload: DataFrame,
       useBroadcast: Boolean,

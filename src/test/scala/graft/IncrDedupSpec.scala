@@ -1,0 +1,133 @@
+package graft
+
+import graft.operators.{Dedup, IncrDedup}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental dedup against the seen-corpus band index: batch-exact
+  * pairs, chunking invariance, seen-semantics survivors.
+  */
+class IncrDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  private def split(m: Int) = (
+    docs.filter(col("doc_id") % 10 =!= m),
+    docs.filter(col("doc_id") % 10 === m))
+
+  test("incremental pairs == the delta-touching subset of the batch run") {
+    import spark.implicits._
+    val (corpus, delta) = split(0)
+    val idx = IncrDedup.bandIndex(corpus).cache()
+    val got = IncrDedup.incrementalPairs(idx, IncrDedup.bucketCounts(idx),
+      corpus, delta, threshold = 0.5).as[(Long, Long)].collect().toSet
+    val deltaIds = delta.select(col("doc_id").cast("long")).as[Long]
+      .collect().toSet
+    val batch: Set[(Long, Long)] = Dedup.minhashPairs(docs, threshold = 0.5)
+      .as[(Long, Long)].collect().toSet
+    val want = batch.filter { case (a, b) => deltaIds(a) || deltaIds(b) }
+    assert(want.exists { case (a, b) => deltaIds(a) && deltaIds(b) },
+      "fixture must exercise delta-vs-delta pairs")
+    assert(want.exists { case (a, b) => deltaIds(a) ^ deltaIds(b) },
+      "fixture must exercise delta-vs-corpus pairs")
+    assert(got == want,
+      s"missed=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    idx.unpersist()
+  }
+
+  test("chunked deltas (index updated between chunks) emit the same pair union as one shot") {
+    import spark.implicits._
+    val (corpus, delta) = split(0)
+    val oneShotIdx = IncrDedup.bandIndex(corpus).cache()
+    val counts0 = IncrDedup.bucketCounts(oneShotIdx)
+    val oneShot = IncrDedup.incrementalPairs(oneShotIdx, counts0,
+      corpus, delta, threshold = 0.5).as[(Long, Long)].collect().toSet
+
+    val chunk1 = delta.filter(col("doc_id") % 20 === 0)
+    val chunk2 = delta.filter(col("doc_id") % 20 === 10)
+    assert(chunk1.count() > 0 && chunk2.count() > 0)
+    val p1 = IncrDedup.incrementalPairs(oneShotIdx, counts0,
+      corpus, chunk1, threshold = 0.5).as[(Long, Long)].collect().toSet
+    val (idx2, counts2) = IncrDedup.updatedIndex(oneShotIdx, counts0,
+      IncrDedup.bandIndex(chunk1))
+    val seenDocs2 = corpus.unionByName(chunk1)
+    val p2 = IncrDedup.incrementalPairs(idx2, counts2,
+      seenDocs2, chunk2, threshold = 0.5).as[(Long, Long)].collect().toSet
+    assert((p1 ++ p2) == oneShot,
+      s"missed=${(oneShot -- p1 -- p2).take(3)} extra=${((p1 ++ p2) -- oneShot).take(3)}")
+    // the two chunks can never emit the same pair twice: chunk2 pairs
+    // always touch a chunk2 id, chunk1 pairs never do
+    assert((p1 & p2).isEmpty)
+    oneShotIdx.unpersist()
+  }
+
+  // crafted 3-doc chain: A (seen) ~ B, B ~ C, but A !~ C at t=0.7 —
+  // sliding 20-word windows over a shared vocab, so the Jaccards are
+  // exactly 16/20 = 0.8 (adjacent) and 14/22 ≈ 0.64 (two apart)
+  private def windowDoc(start: Int): String =
+    (start until start + 20).map(i => s"w$i").mkString(" ")
+
+  test("seen-corpus semantics: a near-dup of a DROPPED doc is still dropped; pairs chain through dropped docs") {
+    import spark.implicits._
+    val a = windowDoc(1) // seen corpus
+    val b = windowDoc(3) // crawl 1: J(a,b)=0.8 -> dropped
+    val c = windowDoc(5) // crawl 2: J(b,c)=0.8, J(a,c)<0.7 -> must still drop
+    assert(Dedup.ngramJaccard(a, b) >= 0.7 && Dedup.ngramJaccard(b, c) >= 0.7)
+    assert(Dedup.ngramJaccard(a, c) < 0.7)
+    val corpus = Seq((1L, a)).toDF("doc_id", "text")
+    val idx0 = IncrDedup.bandIndex(corpus)
+    val counts0 = IncrDedup.bucketCounts(idx0)
+
+    val crawl1 = Seq((101L, b)).toDF("doc_id", "text")
+    val pairs1 = IncrDedup.incrementalPairs(idx0, counts0, corpus, crawl1,
+      threshold = 0.7)
+    assert(pairs1.as[(Long, Long)].collect().toSet == Set((1L, 101L)))
+    assert(IncrDedup.survivors(crawl1, pairs1).count() == 0) // B dropped
+
+    // B is dropped but SEEN: its bands enter the index anyway
+    val (idx1, counts1) = IncrDedup.updatedIndex(idx0, counts0,
+      IncrDedup.bandIndex(crawl1))
+    val seen1 = corpus.unionByName(crawl1)
+    val crawl2 = Seq((201L, c)).toDF("doc_id", "text")
+    val pairs2 = IncrDedup.incrementalPairs(idx1, counts1, seen1, crawl2,
+      threshold = 0.7)
+    // C pairs with the dropped B (not with A), and is dropped for it
+    assert(pairs2.as[(Long, Long)].collect().toSet == Set((101L, 201L)))
+    assert(IncrDedup.survivors(crawl2, pairs2).count() == 0)
+  }
+
+  test("survivors: all-new components keep their min id; singletons survive; seen contact drops the whole component") {
+    import spark.implicits._
+    val corpus = Seq((1L, windowDoc(1))).toDF("doc_id", "text")
+    val idx = IncrDedup.bandIndex(corpus)
+    val delta = Seq(
+      (301L, windowDoc(100)), (302L, windowDoc(102)), // new near-dup pair
+      (303L, windowDoc(200)),                         // singleton
+      (304L, windowDoc(3))                            // near-dup of seen A
+    ).toDF("doc_id", "text")
+    val pairs = IncrDedup.incrementalPairs(idx, IncrDedup.bucketCounts(idx),
+      corpus, delta, threshold = 0.7)
+    assert(pairs.as[(Long, Long)].collect().toSet == Set((301L, 302L), (1L, 304L)))
+    val kept = IncrDedup.survivors(delta, pairs).as[Long].collect().toSet
+    assert(kept == Set(301L, 303L))
+  }
+
+  test("empty delta and pair-free delta degrade cleanly") {
+    import spark.implicits._
+    val corpus = Seq((1L, windowDoc(1))).toDF("doc_id", "text")
+    val idx = IncrDedup.bandIndex(corpus)
+    val counts = IncrDedup.bucketCounts(idx)
+    val lonely = Seq((401L, windowDoc(500))).toDF("doc_id", "text")
+    val pairs = IncrDedup.incrementalPairs(idx, counts, corpus, lonely,
+      threshold = 0.7)
+    assert(pairs.count() == 0)
+    assert(IncrDedup.survivors(lonely, pairs).as[Long].collect().toSet == Set(401L))
+    val empty = lonely.filter(lit(false))
+    val pairsE = IncrDedup.incrementalPairs(idx, counts, corpus, empty,
+      threshold = 0.7)
+    assert(pairsE.count() == 0)
+    assert(IncrDedup.survivors(empty, pairsE).count() == 0)
+  }
+}

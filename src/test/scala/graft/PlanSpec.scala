@@ -72,6 +72,13 @@ class PlanSpec extends AnyFunSuite {
       "minhashPairs" -> graft.operators.Dedup.minhashPairs(docs, threshold = 0.5),
       "jaccardPairs" -> graft.operators.Dedup.jaccardPairs(docs, threshold = 0.5),
       "simhashPairs" -> graft.operators.Dedup.simhashPairs(docs),
+      "incrementalPairs" -> {
+        val corpus = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0)
+        val delta = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+        val idx = graft.operators.IncrDedup.bandIndex(corpus)
+        graft.operators.IncrDedup.incrementalPairs(idx,
+          graft.operators.IncrDedup.bucketCounts(idx), corpus, delta, threshold = 0.5)
+      },
       "embeddingPairs" -> graft.operators.Dedup.embeddingPairs(emb, threshold = 0.95))) {
       df.collect() // finalize the adaptive plan
       val exs = exchanges(df.queryExecution.executedPlan)
