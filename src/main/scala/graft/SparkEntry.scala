@@ -372,6 +372,8 @@ object SparkEntry {
       val corpus = d.filter(col("doc_id") % 10 =!= 7)
       val delta = d.filter(col("doc_id") % 10 === 7)
       val idx = IncrDedup.bandIndex(corpus)
+      // WithHandle (handle dropped): same accepted candidate-cache
+      // leak-until-session-stop trade as dedup_incr_pairs above
       val pairs = IncrDedup.incrementalPairsWithHandle(idx,
         IncrDedup.bucketCounts(idx), corpus, delta, threshold = 0.5)._1
       IncrDedup.survivors(delta, pairs).orderBy("doc_id")
@@ -538,6 +540,22 @@ object SparkEntry {
     "url_domain_stats" -> ((s, dir) =>
       UrlOps.domainStats(UrlOps.withUrlParts(urlFixture(docs(s, dir))))
         .orderBy("registered_domain")),
+    "url_domain_hashes" -> ((s, dir) =>
+      // distinct (registered_domain, per-mille bucket) — oracle INPUT
+      // (Spark's murmur3 hash is not SQL-expressible); its own oracle
+      // checks domain-key-set completeness against the url_norm dump
+      UrlOps.withUrlParts(urlFixture(docs(s, dir)))
+        .select(col("registered_domain"),
+          UrlOps.domainBucket(col("registered_domain")).as("bucket"))
+        .distinct().orderBy("registered_domain")),
+    "url_domain_split" -> ((s, dir) =>
+      // leakage-free corpus split: whole registered domains assigned to
+      // train/valid/test by bucket thresholds — zero-exchange per-row
+      // function; the oracle replays the threshold CASE from the
+      // dumped bucket parameters
+      UrlOps.domainSplit(UrlOps.withUrlParts(urlFixture(docs(s, dir))))
+        .select("doc_id", "registered_domain", "split_bucket", "split")
+        .orderBy("doc_id")),
 
     // ---------- mixture sampling (data recipe) ----------
     // deterministic per-source weights derived from the source index
@@ -3161,6 +3179,28 @@ object SparkEntry {
         |  count(DISTINCT url_norm) AS n_urls, count(DISTINCT host) AS n_hosts
         |FROM read_parquet('{OUT}/url_norm/*.parquet')
         |GROUP BY registered_domain ORDER BY registered_domain""".stripMargin,
+    // domain-bucket parameters: key-set completeness against the
+    // url_norm dump (bucket values are murmur3 parameters, passed
+    // through — the LEFT JOIN turns a missing dump row into NULLs)
+    "url_domain_hashes" ->
+      """WITH d AS (SELECT DISTINCT registered_domain
+        |  FROM read_parquet('{OUT}/url_norm/*.parquet'))
+        |SELECT d.registered_domain, h.bucket
+        |FROM d LEFT JOIN read_parquet('{OUT}/url_domain_hashes/*.parquet') h
+        |  USING (registered_domain)
+        |ORDER BY registered_domain""".stripMargin,
+    // the full leakage-free split replayed: per-doc registered domain
+    // from url_norm, bucket from the dumped parameters, and the
+    // 800/100/100 per-mille threshold CASE
+    "url_domain_split" ->
+      """SELECT n.doc_id, n.registered_domain, h.bucket AS split_bucket,
+        |  CASE WHEN h.bucket < 800 THEN 'train'
+        |       WHEN h.bucket < 900 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM read_parquet('{OUT}/url_norm/*.parquet') n
+        |JOIN read_parquet('{OUT}/url_domain_hashes/*.parquet') h
+        |  USING (registered_domain)
+        |ORDER BY doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | count(*) AS n_rows

@@ -142,20 +142,25 @@ object Canonicalize {
     * Returns (cid, cluster_id = min cid of component).
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 40): DataFrame = {
-    // undirected edge list, both directions. localCheckpoint (eager),
-    // NOT persist: a cached frame keeps its full analyzed lineage, and
-    // every iteration's action re-runs analysis/optimization over that
-    // subtree on the driver — with an expensive upstream (e.g. the LSH
-    // + verify chain feeding IncrDedup.survivors) the re-planning alone
-    // dominated the loop (measured 12.2s vs 2.0s for an identical graph
-    // with leaf inputs at sf0.1; same lesson as pageRank's per-iteration
-    // planning fix). Checkpointing makes each iteration plan over a
-    // lineage-free leaf.
-    val edges = pairs.select(col("cid_a").as("src"), col("cid_b").as("dst"))
+    val spark = nodes.sparkSession
+    // persist + LogicalRDD wrap (pageRank's arcs pattern): a cached
+    // frame keeps its full ANALYZED lineage, and every iteration's
+    // action re-runs analysis/optimization over that subtree on the
+    // driver — with an expensive upstream (the LSH + verify chain
+    // feeding IncrDedup.survivors) the re-planning alone dominated the
+    // loop (measured 12.2s vs 2.0s for an identical 198-edge graph
+    // from leaf inputs at sf0.1). The wrap plans every iteration over a
+    // flat leaf while KEEPING lineage-based recompute (an executor loss
+    // re-derives blocks; a localCheckpoint would abort) and
+    // deterministic release (unpersist below, not driver GC).
+    def leaf(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
+    // undirected edge list, both directions
+    val edgesPlan = pairs.select(col("cid_a").as("src"), col("cid_b").as("dst"))
       .union(pairs.select(col("cid_b").as("src"), col("cid_a").as("dst")))
-      .localCheckpoint()
-    var labels = nodes.select(col("cid"), col("cid").as("cluster_id"))
-      .localCheckpoint()
+      .persist()
+    val edges = leaf(edgesPlan)
+    var prevPlan = nodes.select(col("cid"), col("cid").as("cluster_id")).persist()
+    var labels = leaf(prevPlan)
     var changedCount = 1L
     var iter = 0
     while (changedCount > 0 && iter < maxIter) {
@@ -179,16 +184,23 @@ object Canonicalize {
             .as("cluster_id"),
           (least(col("mid_label"), coalesce(col("jlabel"), col("mid_label")))
             < col("old_label")).as("changed"))
-        .localCheckpoint() // cut lineage each iteration
+        .persist() // materialized by the count; released next iteration
       changedCount = updated.filter(col("changed")).count()
-      labels = updated.select("cid", "cluster_id")
+      prevPlan.unpersist()
+      prevPlan = updated
+      labels = leaf(updated).select("cid", "cluster_id")
       iter += 1
     }
     require(changedCount == 0,
       s"connectedComponents did not converge within $maxIter iterations " +
         s"($changedCount labels still changing) — result would be silently " +
         "wrong cluster ids; raise maxIter")
-    labels
+    // one final lineage cut so the RETURNED frame outlives the
+    // unpersists below (same shape as pageRank's `out`)
+    val out = labels.localCheckpoint()
+    prevPlan.unpersist()
+    edgesPlan.unpersist()
+    out
   }
 
   /** Full canonicalization: dict → clustered entity table. The label

@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   *
   *  - `bandIndex` / `bucketCounts`: the at-rest state — the (band, bh,
   *    id) rows of every document ever seen (`Dedup.minhashBands`) plus a
-  *    per-bucket occupancy table. At rest the band table lives
-  *    partitioned by `band` and sorted by `bh` (see the bench's
-  *    `writeIndex`), so the probe below prunes to the delta's buckets
-  *    instead of scanning the index.
+  *    per-bucket occupancy table. At rest the band table is
+  *    hash-distributed on (band, bh) (Iceberg bucket transform), so the
+  *    per-crawl probe joins are shuffle-free on the index side; the
+  *    index scan itself is int-only (never text) and O(index) — the
+  *    crawl's TEXT work is O(delta).
   *  - `incrementalPairs`: the per-crawl job. Signatures are computed for
   *    the DELTA ONLY; the bucket-size prune uses index counts + delta
   *    counts (so it agrees bucket-for-bucket with what a batch run over
@@ -29,8 +30,16 @@ import org.apache.spark.sql.functions._
   *    — banding is per-document-deterministic, the merged occupancy
   *    equals the batch bucket count, so the candidate sets coincide and
   *    the verification predicate is identical. The contract is also
-  *    CHUNKING-INVARIANT: applying a delta as several chunks (updating
-  *    the index between them) emits the same pair union as one chunk.
+  *    CHUNKING-INVARIANT away from the maxBucket cap: applying a delta
+  *    as several chunks (updating the index between them) emits the
+  *    same pair union as one chunk, EXCEPT when a chunk boundary
+  *    crosses a bucket's maxBucket occupancy threshold — the skew-guard
+  *    prune is evaluated against the corpus seen so far, so an early
+  *    chunk can admit pairs from a bucket a fuller one-shot view caps
+  *    away (and emitted pairs are never retracted). Crossing the cap
+  *    means the bucket was within one chunk of being dropped as
+  *    degenerate either way; the single-application batch-exactness
+  *    above is unconditional.
   *
   *  - `survivors`: the keep/drop decision for the delta under
   *    seen-corpus semantics. Connected components over the emitted
@@ -144,8 +153,12 @@ object IncrDedup {
       .filter(col("total") > 1 && col("total") <= maxBucket)
       .select("band", "bh")
     val prunedDelta = deltaBands.join(ok, Seq("band", "bh"), "left_semi")
-    // index rows in admitted delta-touched buckets only — with the index
-    // partitioned by band / sorted by bh at rest, this is a pruned read
+    // index rows in admitted delta-touched buckets only. The semi-join
+    // reads the index ONCE as (band, bh, id) ints — never text — and
+    // only matching rows survive into the exchange; with the index
+    // stored hash-distributed on (band, bh) (Iceberg bucket transform /
+    // bucketed table) the index side of this join and the pair join
+    // below shuffles nothing at all
     val touchedIdx = indexBands.join(ok, Seq("band", "bh"), "left_semi")
     val dd = prunedDelta.select(col("band"), col("bh"), col("id").as("id_a"))
       .join(prunedDelta.select(col("band"), col("bh"), col("id").as("id_b")),
@@ -155,6 +168,12 @@ object IncrDedup {
     val dc = prunedDelta.select(col("band"), col("bh"), col("id").as("id_d"))
       .join(touchedIdx.select(col("band"), col("bh"), col("id").as("id_c")),
         Seq("band", "bh"))
+      // guard the id-disjointness precondition: a delta id colliding
+      // with a seen id (an out-of-contract re-crawl under the original
+      // id — latest-crawl-wins upstream owns that case, see
+      // Materialize) would otherwise emit a degenerate self-pair that
+      // breaks the id_a < id_b invariant and poisons survivors
+      .filter(col("id_d") =!= col("id_c"))
       .select(least(col("id_d"), col("id_c")).as("id_a"),
         greatest(col("id_d"), col("id_c")).as("id_b"))
     val cand = dd.union(dc).distinct()

@@ -122,4 +122,45 @@ object UrlOps {
     val bl = broadcast(blocked.toDF("registered_domain"))
     parts.join(bl, Seq("registered_domain"), "left_anti")
   }
+
+  /** Default split recipe in PER-MILLE integers (exact thresholds — no
+    * float weight ever touches the assignment).
+    */
+  val DefaultSplits: Seq[(String, Int)] =
+    Seq("train" -> 800, "valid" -> 100, "test" -> 100)
+
+  /** Per-mille bucket of a registered domain: Spark's built-in `hash`
+    * (Murmur3-32, codegen) pmod 1000. Exposed so the driver can dump
+    * the (domain, bucket) table as oracle parameters.
+    */
+  def domainBucket(domain: Column): Column =
+    pmod(hash(domain), lit(1000))
+
+  /** Leakage-free train/valid/test assignment: the SPLIT UNIT is the
+    * registered domain, not the document. Near-duplicate pages and
+    * shared boilerplate cluster within sites, so a row-level split
+    * leaks train content into eval; assigning whole domains closes
+    * that channel (standard web-corpus practice — the same reason
+    * `Decontaminate` exists for cross-CORPUS leakage).
+    *
+    * The assignment is a pure per-row function — split =
+    * threshold-lookup of `domainBucket(registered_domain)` against the
+    * cumulative per-mille recipe — so it adds ZERO exchanges (no
+    * domain table to build, broadcast, or join at 10^8-domain scale)
+    * and is stable across crawls: a domain keeps its split forever, so
+    * eval never rotates into train between corpus releases.
+    */
+  def domainSplit(parts: DataFrame,
+      splits: Seq[(String, Int)] = DefaultSplits): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).forall(_ > 0) &&
+      splits.map(_._2).sum == 1000,
+      s"split recipe must be positive per-mille weights summing to 1000: $splits")
+    val b = domainBucket(col("registered_domain"))
+    val thresholds = splits.map(_._2).scanLeft(0)(_ + _).tail
+    val assign = splits.zip(thresholds).init
+      .foldRight(lit(splits.last._1)) { case (((name, _), cum), rest) =>
+        when(b < cum, name).otherwise(rest)
+      }
+    parts.withColumn("split_bucket", b).withColumn("split", assign)
+  }
 }

@@ -114,6 +114,46 @@ class IncrDedupSpec extends AnyFunSuite {
     assert(kept == Set(301L, 303L))
   }
 
+  test("id-disjointness guard: a delta id colliding with a seen id emits no degenerate self-pair") {
+    import spark.implicits._
+    // out-of-contract re-crawl under the ORIGINAL id: latest-crawl-wins
+    // upstream owns that case; here the engine must not emit (X, X) or
+    // break the id_a < id_b invariant
+    val t = windowDoc(1)
+    val corpus = Seq((5L, t)).toDF("doc_id", "text")
+    val idx = IncrDedup.bandIndex(corpus)
+    val delta = Seq((5L, t)).toDF("doc_id", "text")
+    val pairs = IncrDedup.incrementalPairs(idx, IncrDedup.bucketCounts(idx),
+      corpus, delta, threshold = 0.7).as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, bb) => a < bb })
+    assert(pairs.isEmpty)
+  }
+
+  test("disclosed chunking-invariance boundary: a chunk crossing the maxBucket cap admits pairs the one-shot run prunes") {
+    import spark.implicits._
+    // 120 identical seen docs put every band bucket at occupancy 120;
+    // a 10-doc identical delta lands the total at 130 > maxBucket=128,
+    // so the ONE-SHOT run prunes the bucket (degenerate-bucket skew
+    // guard) and emits nothing...
+    val t = windowDoc(1)
+    val corpus = (1L to 120L).map(i => (i, t)).toDF("doc_id", "text")
+    val idx = IncrDedup.bandIndex(corpus).cache()
+    val counts = IncrDedup.bucketCounts(idx)
+    val delta = (201L to 210L).map(i => (i, t)).toDF("doc_id", "text")
+    val oneShot = IncrDedup.incrementalPairs(idx, counts, corpus, delta,
+      threshold = 0.7)
+    assert(oneShot.count() == 0)
+    // ...but a 5-doc first chunk sees occupancy 125 <= 128 and emits —
+    // the documented exception to chunking invariance (prunes are
+    // decided against the corpus seen SO FAR; emitted pairs are never
+    // retracted)
+    val chunk1 = delta.filter(col("doc_id") <= 205)
+    val p1 = IncrDedup.incrementalPairs(idx, counts, corpus, chunk1,
+      threshold = 0.7)
+    assert(p1.count() > 0)
+    idx.unpersist()
+  }
+
   test("empty delta and pair-free delta degrade cleanly") {
     import spark.implicits._
     val corpus = Seq((1L, windowDoc(1))).toDF("doc_id", "text")

@@ -106,4 +106,54 @@ class UrlOpsSpec extends AnyFunSuite {
       s"URL normalization must not shuffle:\n$plan")
     assert(!plan.toString.contains("ScalaUDF"))
   }
+
+  test("domainSplit: leakage-free (one split per domain), stable, and roughly weighted") {
+    import spark.implicits._
+    val d = (0L until 4000L).map(i => (i, s"http://www.host$i.dom${i % 2000}.com/p"))
+      .toDF("doc_id", "url_raw")
+    val assigned = UrlOps.domainSplit(UrlOps.withUrlParts(d)).cache()
+    // leakage-freeness: a registered domain never straddles splits
+    assert(assigned.groupBy("registered_domain")
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count() == 0)
+    // stability: the assignment is a pure function of the domain — the
+    // same domain in a DIFFERENT corpus lands in the same split
+    val d2 = Seq((999999L, "https://dom7.com/other/page?x=1"))
+      .toDF("doc_id", "url_raw")
+    val s1 = assigned.filter(col("registered_domain") === "dom7.com")
+      .select("split").distinct().as[String].collect()
+    val s2 = UrlOps.domainSplit(UrlOps.withUrlParts(d2))
+      .select("split").as[String].collect()
+    assert(s1.length == 1 && s2.sameElements(s1))
+    // per-mille thresholds: bucket ranges map to the right labels
+    assert(assigned.filter(col("split_bucket") < 800 && col("split") =!= "train").count() == 0)
+    assert(assigned.filter(col("split_bucket") >= 900 && col("split") =!= "test").count() == 0)
+    // rough weight check over 2000 domains (murmur uniformity: 80% ± 5pp)
+    val frac = assigned.select("registered_domain", "split").distinct()
+      .filter(col("split") === "train").count() / 2000.0
+    assert(frac > 0.75 && frac < 0.85, s"train domain fraction $frac")
+    assigned.unpersist()
+  }
+
+  test("domainSplit: custom recipe validated; single-split recipe degenerates cleanly") {
+    import spark.implicits._
+    val d = UrlOps.withUrlParts(Seq((1L, "http://a.com/")).toDF("doc_id", "url_raw"))
+    intercept[IllegalArgumentException] {
+      UrlOps.domainSplit(d, Seq("a" -> 500, "b" -> 400)) // sums to 900
+    }
+    val one = UrlOps.domainSplit(d, Seq("all" -> 1000))
+      .select("split").collect()(0).getString(0)
+    assert(one == "all")
+  }
+
+  test("plan: domainSplit adds zero exchanges (pure per-row assignment, no domain join)") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import spark.implicits._
+    val d = (0L until 50L).map(i => (i, s"http://s$i.com/p")).toDF("doc_id", "url_raw")
+    val q = UrlOps.domainSplit(UrlOps.withUrlParts(d))
+    q.count()
+    val plan = q.queryExecution.executedPlan
+    assert(plan.collect { case e: Exchange => e }.isEmpty,
+      s"domainSplit must not shuffle or broadcast:\n$plan")
+  }
 }
