@@ -367,6 +367,19 @@ object SparkEntry {
       IncrDedup.incrementalPairsWithHandle(idx, IncrDedup.bucketCounts(idx),
         corpus, delta, threshold = 0.5)._1.orderBy("id_a", "id_b")
     }),
+    "dedup_incr_pairs_idx" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 10 =!= 7)
+      val delta = d.filter(col("doc_id") % 10 === 7)
+      val idx = IncrDedup.bandIndex(corpus)
+      // the at-scale variant: exact-Jaccard verification off the
+      // int-only shingle sidecar — the crawl job never reads corpus
+      // text. Same pairs as dedup_incr_pairs (collision caveat
+      // disclosed in IncrDedup), so it shares that oracle's SQL.
+      IncrDedup.incrementalPairsFromIndexWithHandle(idx,
+        IncrDedup.bucketCounts(idx), IncrDedup.shingleSidecar(corpus),
+        delta, threshold = 0.5)._1.orderBy("id_a", "id_b")
+    }),
     "dedup_incr_survivors" -> ((s, dir) => {
       val d = docs(s, dir)
       val corpus = d.filter(col("doc_id") % 10 =!= 7)
@@ -1041,7 +1054,8 @@ object SparkEntry {
     * (kg_linked value/score) or excluded from oracle'd projections
     * (ann cosine) — cross-engine float recomputation is never compared.
     */
-  def oracleSql: Map[String, String] = MoreOracleSql ++ Map(
+  def oracleSql: Map[String, String] = {
+    val m = MoreOracleSql ++ Map(
     "kg_mention_counts" ->
       """SELECT ent_text AS mention, count(*) AS occurrences
         | FROM read_parquet('{OUT}/kg_entities/*.parquet')
@@ -1383,6 +1397,11 @@ object SparkEntry {
         |  CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
         |    THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS fp64
         |FROM h ORDER BY doc_id""".stripMargin)
+    // the sidecar-verified incremental dedup path emits the same pairs
+    // as the text-verified one (the 64-bit shingle-collision caveat is
+    // disclosed in IncrDedup) — it shares that oracle's SQL verbatim
+    m + ("dedup_incr_pairs_idx" -> m("dedup_incr_pairs"))
+  }
 
   private val LinkedOracleSql: String =
       """WITH trip AS (SELECT * FROM read_parquet('{OUT}/kg_triples/*.parquet')),
@@ -3191,10 +3210,13 @@ object SparkEntry {
         |ORDER BY registered_domain""".stripMargin,
     // the full leakage-free split replayed: per-doc registered domain
     // from url_norm, bucket from the dumped parameters, and the
-    // 800/100/100 per-mille threshold CASE
+    // 800/100/100 per-mille threshold CASE; a domainless row (empty
+    // registered_domain — unparseable URL) goes to train
+    // unconditionally, matching UrlOps.domainSplit's eval-purity rule
     "url_domain_split" ->
       """SELECT n.doc_id, n.registered_domain, h.bucket AS split_bucket,
-        |  CASE WHEN h.bucket < 800 THEN 'train'
+        |  CASE WHEN n.registered_domain = '' THEN 'train'
+        |       WHEN h.bucket < 800 THEN 'train'
         |       WHEN h.bucket < 900 THEN 'valid'
         |       ELSE 'test' END AS split
         |FROM read_parquet('{OUT}/url_norm/*.parquet') n

@@ -24,9 +24,12 @@ import org.apache.spark.sql.functions._
   *    names) are CAPPED: buckets above `maxBucket` are dropped and
   *    logged to lineage rather than exploding a reducer — a deliberate
   *    recall/cost trade documented for the judge;
-  *  - CC: iterative small-label propagation with early-exit when an
-  *    iteration changes nothing; each iteration localCheckpoints to cut
-  *    lineage growth (SURVEY.md §4.2).
+  *  - CC: iterative min-label propagation with pointer jumping and
+  *    early-exit when an iteration changes nothing; inputs are persisted
+  *    and wrapped in LogicalRDD leaves so each iteration plans over a
+  *    flat leaf instead of re-analyzing the caller's whole upstream
+  *    subtree, while keeping lineage-based recompute (SURVEY.md §4.2;
+  *    see connectedComponents for the measured re-planning cost).
   */
 object Canonicalize {
 
@@ -163,6 +166,11 @@ object Canonicalize {
     var labels = leaf(prevPlan)
     var changedCount = 1L
     var iter = 0
+    // the finally releases BOTH persisted frames even when the
+    // convergence require below fires (or any iteration throws) — a
+    // caller that catches and retries with a higher maxIter must not
+    // accumulate leaked executor cache per failed attempt
+    try {
     while (changedCount > 0 && iter < maxIter) {
       val candidate = edges
         .join(labels, edges("dst") === labels("cid"))
@@ -196,11 +204,12 @@ object Canonicalize {
         s"($changedCount labels still changing) — result would be silently " +
         "wrong cluster ids; raise maxIter")
     // one final lineage cut so the RETURNED frame outlives the
-    // unpersists below (same shape as pageRank's `out`)
-    val out = labels.localCheckpoint()
-    prevPlan.unpersist()
-    edgesPlan.unpersist()
-    out
+    // unpersists in the finally (same shape as pageRank's `out`)
+    labels.localCheckpoint()
+    } finally {
+      prevPlan.unpersist()
+      edgesPlan.unpersist()
+    }
   }
 
   /** Full canonicalization: dict → clustered entity table. The label

@@ -191,15 +191,31 @@ object Dedup {
     // for the broadcast vs dup-heavy-corpus exchange discipline)
     val (candDocs, side, release) =
       fetchCandidatePayload(cand, compactDocs, useBroadcast, persistCand)
-    val jac = udf((x: String, y: String) => ngramJaccardMemo(x, y))
-    val out = cand
+    (verifyCandidatePairs(cand, candDocs, side, threshold, 3), release)
+  }
+
+  /** Exact-Jaccard verification tail shared by the minhash / jaccard /
+    * incremental candidate generators: join the fetched candidate texts
+    * to both pair sides (through the caller's broadcast/shuffled-hash
+    * wrapper `side`) and keep pairs at or above the threshold. One
+    * definition so a fix to the verify stage can never drift between
+    * the three dedup paths.
+    */
+  private[operators] def verifyCandidatePairs(
+      cand: DataFrame,
+      candDocs: DataFrame,
+      side: DataFrame => DataFrame,
+      threshold: Double,
+      n: Int
+  ): DataFrame = {
+    val jac = udf((x: String, y: String) => ngramJaccardMemo(x, y, n))
+    cand
       .join(side(candDocs.select(col("id").as("id_a"), col("txt").as("txt_a"))),
         Seq("id_a"))
       .join(side(candDocs.select(col("id").as("id_b"), col("txt").as("txt_b"))),
         Seq("id_b"))
       .filter(jac(col("txt_a"), col("txt_b")) >= threshold)
       .select("id_a", "id_b")
-    (out, release)
   }
 
   /** (band, band_hash, id) banded minhash rows — the ONLY rows that
@@ -310,6 +326,52 @@ object Dedup {
   }
 
   // ---------- exact n-gram Jaccard (prefix filtering) ----------
+
+  /** Sorted distinct 64-bit shingle hashes of one text — the hashed
+    * form of `wordShingles` under the same murmur pair `shingleRows`
+    * exchanges: h = (murmur(g,31) << 32) | murmur(g,37). The
+    * verification payload of `IncrDedup.incrementalPairsFromIndex`.
+    */
+  private[operators] def shingleHashSet(txt: String, n: Int = 3): Array[Long] = {
+    val out = wordShingles(txt, n).iterator.map { g =>
+      val h1 = MurmurHash3.stringHash(g, 31)
+      val h2 = MurmurHash3.stringHash(g, 37)
+      (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+    }.toArray
+    java.util.Arrays.sort(out)
+    // the source is a Set of strings — this dedupes only the
+    // (vanishing) 64-bit hash collisions, keeping the array a SET so
+    // hashSetJaccard's merge count is exact
+    var w = 0
+    var i = 0
+    while (i < out.length) {
+      if (w == 0 || out(w - 1) != out(i)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    if (w == out.length) out else java.util.Arrays.copyOf(out, w)
+  }
+
+  /** Exact Jaccard of two SORTED distinct hash arrays via one linear
+    * merge — equals `ngramJaccard` over the originating texts unless
+    * two distinct shingles collide in 64 bits. Empty vs empty is 1.0
+    * (two empty documents are identical), matching `jaccardOf`.
+    */
+  def hashSetJaccard(a: Seq[Long], b: Seq[Long]): Double = {
+    val na = a.length
+    val nb = b.length
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a(i)
+      val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
 
   /** Per-doc word-3-gram shingle rows as 64-bit hashes with the doc's
     * distinct-shingle count: (id, sh, set_size). Shingle TEXT never
@@ -432,13 +494,7 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     val (candDocs, side, release) =
       fetchCandidatePayload(cand, compactDocs, useBroadcast, persistCand)
-    val jac = udf((x: String, y: String) => ngramJaccardMemo(x, y, n))
-    val out = cand
-      .join(side(candDocs.select(col("id").as("id_a"), col("txt").as("txt_a"))), Seq("id_a"))
-      .join(side(candDocs.select(col("id").as("id_b"), col("txt").as("txt_b"))), Seq("id_b"))
-      .filter(jac(col("txt_a"), col("txt_b")) >= threshold)
-      .select("id_a", "id_b")
-    (out, release)
+    (verifyCandidatePairs(cand, candDocs, side, threshold, n), release)
   }
 
   // ---------- simhash ----------

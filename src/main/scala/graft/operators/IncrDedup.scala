@@ -61,10 +61,19 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape per crawl: one text pass over the DELTA (signatures), a
   * (band, bh) probe into the index pruned to delta-touched buckets, and
-  * candidate-payload fetches proportional to the duplicate rate — no
-  * stage is O(corpus). All wide exchanges carry (band, bh, id) ints;
-  * raw text rides only the candidate fetch (broadcast by default, Bloom
-  * + shuffled-hash with useBroadcast=false on dup-heavy crawls).
+  * candidate-payload fetches proportional to the duplicate rate. All
+  * wide exchanges carry (band, bh, id) ints; raw text rides only the
+  * candidate fetch (broadcast by default, Bloom + shuffled-hash with
+  * useBroadcast=false on dup-heavy crawls). Index-side SCANS are
+  * O(index) rows but int-only — with one exception:
+  * `incrementalPairs`' candidate fetch filters the corpus DOCUMENT
+  * store by id, so it re-reads the (id, text) columns of the whole
+  * corpus each crawl even though only O(|candidates|) rows survive
+  * into any exchange. `incrementalPairsFromIndex` closes that last
+  * O(corpus)-TEXT scan: verification runs over a per-document
+  * shingle-hash sidecar maintained next to the band index (O(delta)
+  * appends per crawl, `updatedShingleIndex`), so the crawl job never
+  * touches corpus text at all — its only text input is the delta.
   */
 object IncrDedup {
 
@@ -141,6 +150,35 @@ object IncrDedup {
       persistCand: Boolean
   ): (DataFrame, () => Unit) = {
     val deltaBands = Dedup.minhashBands(delta, idCol, textCol, k, bands)
+    val cand = deltaCandidates(indexBands, indexCounts, deltaBands, maxBucket)
+    // the candidate subplan reappears in the spine AND inside every
+    // broadcast branch of the fetch (candIds + both candDoc sides —
+    // measured ~4 evaluations, 269-exchange executed plan at sf0.1
+    // without the cache), so the *WithHandle callers persist it on BOTH
+    // fetch paths here; fetchCandidatePayload is told persistCand=false
+    // so it never double-manages the same frame
+    if (persistCand) cand.persist()
+    // verification payload: seen-corpus store ∪ delta, fetched BY ID —
+    // O(|candidates|) rows survive the fetch, but the filter pass SCANS
+    // the corpus store's (id, text) columns (see the object doc; use
+    // incrementalPairsFromIndex to verify off the int-only sidecar
+    // instead when re-reading corpus text per crawl is the bottleneck)
+    val payload = corpusDocs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
+      .unionByName(delta
+        .select(col(idCol).cast("long").as("id"), col(textCol).as("txt")))
+    val (candDocs, side, releaseFetch) =
+      Dedup.fetchCandidatePayload(cand, payload, useBroadcast, persistCand = false)
+    val out = Dedup.verifyCandidatePairs(cand, candDocs, side, threshold, 3)
+    (out, () => { releaseFetch(); if (persistCand) { cand.unpersist(); () } })
+  }
+
+  /** Candidate pairs touching the delta: delta-vs-delta and
+    * delta-vs-index bucket mates under the merged occupancy prune.
+    * Shared by the text-payload and sidecar verification paths.
+    */
+  private def deltaCandidates(indexBands: DataFrame, indexCounts: DataFrame,
+      deltaBands: DataFrame, maxBucket: Int): DataFrame = {
     // merged occupancy = index count + delta count, LEFT-joined FROM the
     // delta side: a bucket the delta never touches cannot admit a
     // delta-touching pair, so the index count table is probed, never
@@ -168,37 +206,125 @@ object IncrDedup {
     val dc = prunedDelta.select(col("band"), col("bh"), col("id").as("id_d"))
       .join(touchedIdx.select(col("band"), col("bh"), col("id").as("id_c")),
         Seq("band", "bh"))
-      // guard the id-disjointness precondition: a delta id colliding
-      // with a seen id (an out-of-contract re-crawl under the original
-      // id — latest-crawl-wins upstream owns that case, see
-      // Materialize) would otherwise emit a degenerate self-pair that
-      // breaks the id_a < id_b invariant and poisons survivors
+      // suppress the degenerate self-pair a delta id colliding with a
+      // seen id would emit (id_a < id_b invariant). That is the ONLY
+      // collision case made safe here: duplicate-id payload rows are
+      // otherwise OUT OF CONTRACT (delta ids must be fresh — the
+      // latest-crawl-wins ingestion upstream owns re-crawled urls, see
+      // Materialize) and would double-emit that id's other pairs
       .filter(col("id_d") =!= col("id_c"))
       .select(least(col("id_d"), col("id_c")).as("id_a"),
         greatest(col("id_d"), col("id_c")).as("id_b"))
-    val cand = dd.union(dc).distinct()
-    // the candidate subplan reappears in the spine AND inside every
-    // broadcast branch of the fetch (candIds + both candDoc sides —
-    // measured ~4 evaluations, 269-exchange executed plan at sf0.1
-    // without the cache), so the *WithHandle callers persist it on BOTH
-    // fetch paths here; fetchCandidatePayload is told persistCand=false
-    // so it never double-manages the same frame
+    dd.union(dc).distinct()
+  }
+
+  /** Int-only verification sidecar: one row per document with its
+    * SORTED distinct word-3-gram shingle hashes (`Dedup.shingleHashSet`
+    * — the same murmur pair `Dedup.shingleRows` exchanges). Maintained
+    * next to the band index with O(delta) appends per crawl
+    * (`updatedShingleIndex`), so `incrementalPairsFromIndex` can
+    * exact-verify candidates without ever re-reading corpus text.
+    */
+  def shingleSidecar(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
+      .as[(Long, String)]
+      .map { case (id, txt) => (id, Dedup.shingleHashSet(txt, n)) }
+      .toDF("id", "shs")
+  }
+
+  /** O(delta) sidecar maintenance, mirroring `updatedIndex`: the delta
+    * documents' shingle rows join the sidecar (MoR append at rest).
+    */
+  def updatedShingleIndex(indexShingles: DataFrame,
+      deltaShingles: DataFrame): DataFrame =
+    indexShingles.unionByName(deltaShingles)
+
+  /** `incrementalPairs` verified off the shingle sidecar instead of the
+    * corpus document store — the at-scale form of the crawl job: its
+    * inputs are the three index tables plus the delta, and NO stage
+    * reads corpus text (the delta is the job's only text input; the
+    * fetch filter scans the int-only sidecar). Candidate generation is
+    * shared code with the text path, and `Dedup.hashSetJaccard` over
+    * the sorted hash sets equals the text path's word-3-gram Jaccard
+    * unless two distinct shingles collide in 64 bits — so the emitted
+    * pairs match `incrementalPairs` exactly up to that vanishing
+    * caveat (spec-asserted equal on fixture and random dup-heavy
+    * corpora), and the batch-exactness contract carries over.
+    */
+  def incrementalPairsFromIndex(
+      indexBands: DataFrame,
+      indexCounts: DataFrame,
+      indexShingles: DataFrame,
+      delta: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.7,
+      maxBucket: Int = 128,
+      useBroadcast: Boolean = true
+  ): DataFrame =
+    incrementalPairsFromIndexImpl(indexBands, indexCounts, indexShingles,
+      delta, idCol, textCol, k, bands, threshold, maxBucket, useBroadcast,
+      persistCand = false)._1
+
+  /** `incrementalPairsFromIndex` + release handle (same contract as
+    * `incrementalPairsWithHandle`).
+    */
+  def incrementalPairsFromIndexWithHandle(
+      indexBands: DataFrame,
+      indexCounts: DataFrame,
+      indexShingles: DataFrame,
+      delta: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.7,
+      maxBucket: Int = 128,
+      useBroadcast: Boolean = true
+  ): (DataFrame, () => Unit) =
+    incrementalPairsFromIndexImpl(indexBands, indexCounts, indexShingles,
+      delta, idCol, textCol, k, bands, threshold, maxBucket, useBroadcast,
+      persistCand = true)
+
+  private def incrementalPairsFromIndexImpl(
+      indexBands: DataFrame,
+      indexCounts: DataFrame,
+      indexShingles: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucket: Int,
+      useBroadcast: Boolean,
+      persistCand: Boolean
+  ): (DataFrame, () => Unit) = {
+    val deltaBands = Dedup.minhashBands(delta, idCol, textCol, k, bands)
+    val cand = deltaCandidates(indexBands, indexCounts, deltaBands, maxBucket)
     if (persistCand) cand.persist()
-    // verification payload: seen-corpus store ∪ delta, fetched BY ID —
-    // the only stage that touches corpus text, O(|candidates|) rows
-    val payload = corpusDocs
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
-      .unionByName(delta
-        .select(col(idCol).cast("long").as("id"), col(textCol).as("txt")))
+    // verification payload: the int-only sidecar ∪ the delta's freshly
+    // shingled rows — corpus TEXT appears nowhere in this plan. The
+    // verification n is pinned to 3 to mirror the text path's
+    // ngramJaccardMemo default, keeping the two paths comparable.
+    val payload = indexShingles
+      .unionByName(shingleSidecar(delta, idCol, textCol, n = 3))
     val (candDocs, side, releaseFetch) =
       Dedup.fetchCandidatePayload(cand, payload, useBroadcast, persistCand = false)
-    val jac = udf((x: String, y: String) => Dedup.ngramJaccardMemo(x, y))
+    // same join shape as Dedup.verifyCandidatePairs, over the hash-set
+    // payload column with the sorted-merge Jaccard
+    val jac = udf((x: Seq[Long], y: Seq[Long]) => Dedup.hashSetJaccard(x, y))
     val out = cand
-      .join(side(candDocs.select(col("id").as("id_a"), col("txt").as("txt_a"))),
+      .join(side(candDocs.select(col("id").as("id_a"), col("shs").as("shs_a"))),
         Seq("id_a"))
-      .join(side(candDocs.select(col("id").as("id_b"), col("txt").as("txt_b"))),
+      .join(side(candDocs.select(col("id").as("id_b"), col("shs").as("shs_b"))),
         Seq("id_b"))
-      .filter(jac(col("txt_a"), col("txt_b")) >= threshold)
+      .filter(jac(col("shs_a"), col("shs_b")) >= threshold)
       .select("id_a", "id_b")
     (out, () => { releaseFetch(); if (persistCand) { cand.unpersist(); () } })
   }

@@ -149,6 +149,15 @@ object UrlOps {
     * domain table to build, broadcast, or join at 10^8-domain scale)
     * and is stable across crawls: a domain keeps its split forever, so
     * eval never rotates into train between corpus releases.
+    *
+    * Unparseable URLs (no extractable host ⇒ registered_domain '' or
+    * NULL) all share ONE hash bucket, so letting them ride the
+    * threshold lookup would dump the entire malformed-URL class into
+    * whichever single split that constant bucket lands in — possibly
+    * eval. They are assigned to the FIRST split of the recipe instead
+    * (by convention the training split): their near-dup structure
+    * cannot be grouped by domain, so eval purity demands they never
+    * reach a held-out split.
     */
   def domainSplit(parts: DataFrame,
       splits: Seq[(String, Int)] = DefaultSplits): DataFrame = {
@@ -161,6 +170,9 @@ object UrlOps {
       .foldRight(lit(splits.last._1)) { case (((name, _), cum), rest) =>
         when(b < cum, name).otherwise(rest)
       }
-    parts.withColumn("split_bucket", b).withColumn("split", assign)
+    val domainless = col("registered_domain").isNull ||
+      col("registered_domain") === ""
+    parts.withColumn("split_bucket", b)
+      .withColumn("split", when(domainless, lit(splits.head._1)).otherwise(assign))
   }
 }

@@ -154,6 +154,87 @@ class IncrDedupSpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("sidecar path: incrementalPairsFromIndex == incrementalPairs on fixture and a random dup-heavy corpus") {
+    import spark.implicits._
+    // fixture corpus (natural near-dups at t=0.5)
+    val (corpus, delta) = split(0)
+    val idx = IncrDedup.bandIndex(corpus).cache()
+    val counts = IncrDedup.bucketCounts(idx)
+    val shs = IncrDedup.shingleSidecar(corpus).cache()
+    val text = IncrDedup.incrementalPairs(idx, counts, corpus, delta,
+      threshold = 0.5).as[(Long, Long)].collect().toSet
+    val side = IncrDedup.incrementalPairsFromIndex(idx, counts, shs, delta,
+      threshold = 0.5).as[(Long, Long)].collect().toSet
+    assert(text.nonEmpty && side == text,
+      s"missed=${(text -- side).take(3)} extra=${(side -- text).take(3)}")
+    idx.unpersist(); shs.unpersist()
+
+    // random dup-heavy corpus: 60 docs over a 12-word vocab, seeded —
+    // dense natural near-dups at several set sizes and both thresholds
+    val rnd = new scala.util.Random(4242)
+    def randDoc(): String =
+      (0 until (8 + rnd.nextInt(10))).map(_ => s"v${rnd.nextInt(12)}").mkString(" ")
+    val rdocs = (0L until 60L).map(i => (i, randDoc())).toDF("doc_id", "text")
+    val rcorpus = rdocs.filter(col("doc_id") % 3 =!= 0)
+    val rdelta = rdocs.filter(col("doc_id") % 3 === 0)
+    val ridx = IncrDedup.bandIndex(rcorpus).cache()
+    val rcounts = IncrDedup.bucketCounts(ridx)
+    val rshs = IncrDedup.shingleSidecar(rcorpus).cache()
+    for (t <- Seq(0.5, 0.7)) {
+      val a = IncrDedup.incrementalPairs(ridx, rcounts, rcorpus, rdelta,
+        threshold = t).as[(Long, Long)].collect().toSet
+      val b = IncrDedup.incrementalPairsFromIndex(ridx, rcounts, rshs, rdelta,
+        threshold = t).as[(Long, Long)].collect().toSet
+      assert(b == a, s"t=$t missed=${(a -- b).take(3)} extra=${(b -- a).take(3)}")
+    }
+    ridx.unpersist(); rshs.unpersist()
+  }
+
+  test("sidecar path plan: corpus TEXT appears in no scan — the only text input is the delta") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // fresh UNCACHED read from a COPY of the fixture: the delta slice
+    // must show up as a real file scan with its pushed filter — reading
+    // the original path would plan-match the suite's cached `docs` and
+    // come back as an InMemoryTableScan instead
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-idx").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.parquet(s"$dir/docs")
+    val fresh = spark.read.parquet(s"$dir/docs")
+    val corpus = fresh.filter(col("doc_id") % 10 =!= 0)
+    val delta = fresh.filter(col("doc_id") % 10 === 0)
+    val idx = IncrDedup.bandIndex(corpus)
+    val shs = IncrDedup.shingleSidecar(corpus)
+    // materialize index tables to parquet, as at rest: the crawl job
+    // must then plan over index files + delta only
+    idx.write.parquet(s"$dir/bands")
+    IncrDedup.bucketCounts(idx).write.parquet(s"$dir/counts")
+    shs.write.parquet(s"$dir/shingles")
+    val q = IncrDedup.incrementalPairsFromIndex(
+      spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/counts"),
+      spark.read.parquet(s"$dir/shingles"),
+      delta, threshold = 0.5)
+    q.count()
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case s: QueryStageExec => fileScans(s.plan)
+      case f: FileSourceScanExec => f +: p.children.flatMap(fileScans)
+      case _ => (p.children ++ p.subqueries).flatMap(fileScans)
+    }
+    val scans = fileScans(q.queryExecution.executedPlan)
+    // the at-rest index tables are genuinely the plan's inputs...
+    assert(scans.exists(_.metadata.get("Location").exists(_.contains(s"$dir/shingles"))),
+      s"expected shingle-sidecar parquet scan under $dir:\n${scans.mkString("\n")}")
+    // ...and every file scan that reads a text column carries the
+    // delta's pushed data filter — i.e. it is the DELTA slice of the
+    // documents table, never an unfiltered corpus text pass
+    val textScans = scans.filter(_.schema.fieldNames.contains("text"))
+    assert(textScans.nonEmpty, "delta text scan missing — check is vacuous")
+    assert(textScans.forall(_.dataFilters.nonEmpty),
+      s"unfiltered corpus text scan in the sidecar plan:\n${textScans.mkString("\n")}")
+  }
+
   test("empty delta and pair-free delta degrade cleanly") {
     import spark.implicits._
     val corpus = Seq((1L, windowDoc(1))).toDF("doc_id", "text")

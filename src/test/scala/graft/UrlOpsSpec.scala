@@ -135,6 +135,26 @@ class UrlOpsSpec extends AnyFunSuite {
     assigned.unpersist()
   }
 
+  test("domainSplit: domainless rows (unparseable URL) go to the first split, never eval") {
+    import spark.implicits._
+    // garbage URLs yield registered_domain '' and would otherwise share
+    // ONE hash bucket — the whole malformed class landing in whichever
+    // split that constant bucket picks (possibly eval)
+    val d = Seq((1L, "not a url at all"), (2L, "%%%///"), (3L, "http://ok.com/p"))
+      .toDF("doc_id", "url_raw")
+    val s = UrlOps.domainSplit(UrlOps.withUrlParts(d))
+      .select("doc_id", "registered_domain", "split").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(s(1L)._1 == "" && s(1L)._2 == "train")
+    assert(s(2L)._1 == "" && s(2L)._2 == "train")
+    // and under a recipe whose constant bucket WOULD be eval, still head
+    val evalHeavy = UrlOps.domainSplit(UrlOps.withUrlParts(d),
+      Seq("heldout" -> 999, "train" -> 1))
+      .filter(col("registered_domain") === "")
+      .select("split").distinct().as[String].collect()
+    assert(evalHeavy.sameElements(Array("heldout"))) // head split by rule
+  }
+
   test("domainSplit: custom recipe validated; single-split recipe degenerates cleanly") {
     import spark.implicits._
     val d = UrlOps.withUrlParts(Seq((1L, "http://a.com/")).toDF("doc_id", "url_raw"))
