@@ -188,6 +188,17 @@ object Bench {
         Materialize.incrementalUpdate(spark, batch, incrDir, 32,
           mergeOnRead = true); ()
       }),
+      "corpus_release" -> (() => {
+        // the composed end-to-end release build (langid/quality/
+        // repetition gates + PII redaction in ONE projection → exact
+        // dedup → minhash near-dup → 8-gram decontam) over the planted
+        // fixture derivation — the flagship training-data workload;
+        // measures the full chain including the attrition ledger joins
+        val docs = SparkEntry.releaseFixture(
+          spark.read.parquet(s"$sfDir/documents.parquet"))
+        val (fates, release) = graft.operators.Release.ledgerWithHandle(docs)
+        try { fates.count(); () } finally release()
+      }),
       "decontam" -> (() => {
         // eval-leakage sweep: corpus-pass gram hashing + broadcast join
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")

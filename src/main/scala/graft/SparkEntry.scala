@@ -52,6 +52,59 @@ object SparkEntry {
       lit(" at 10."), (col("doc_id") % 254L + 1L).cast("string"),
       lit(".0.7 ssn 123-45-6789 card 4111 1111 1111 1111.")).as("t"))
 
+  /** Deterministic release-corpus fixture derived from the documents
+    * table — plants a document population for EVERY release fate so the
+    * composed build's attrition ledger is exercised end-to-end (the raw
+    * corpus has no exact duplicates and nothing contaminated):
+    *  - doc_id % 20 == 7 → a short bench/eval item (5 distinct word
+    *    8-grams), variant (doc_id // 20) % 5;
+    *  - doc_id % 10 == 1 → raw text + a planted email (redaction does
+    *    real work on the released bytes);
+    *  - doc_id % 10 == 3 → byte-identical exact-dup groups keyed by
+    *    variant (doc_id // 10) % 5, the group token xvV interleaved so
+    *    cross-variant shingle overlap is ~0;
+    *  - doc_id % 10 == 6 → near-dup PAIRS (partner = doc_id ± 10): the
+    *    same interleaved body keyed by the pair id, differing only in a
+    *    per-doc tail token (word-3-gram Jaccard ≈ 0.91 within a pair,
+    *    ~0 across pairs);
+    *  - doc_id % 10 == 8 → raw text + the full text of the matching
+    *    bench variant appended (frac_bench = 1.0 → contaminated);
+    *  - doc_id % 20 == 14 → one line repeated six times (dup_line_frac
+    *    0.833 → repetition; the raw corpus never trips the Gopher caps);
+    *  - everything else → raw text (dies naturally at lang ~21% /
+    *    quality ~11%, else kept).
+    * All planted bodies carry enough English stopwords and ≥ 20 tokens
+    * to pass the earlier gates, so each reaches the stage it targets.
+    * The DuckDB oracle constructs the IDENTICAL strings.
+    */
+  private[graft] def releaseFixture(d: org.apache.spark.sql.DataFrame) = {
+    val id = col("doc_id").cast("long")
+    def s(x: Column) = x.cast("string")
+    val v = s((id / 10L).cast("long") % 5L)
+    val bv = s((id / 20L).cast("long") % 5L)
+    val pk = s(when(id % 20L === 16L, id - 10L).otherwise(id))
+    def inter(tok: Column, last: Column): Column = concat(
+      lit("the "), tok, lit(" page of "), tok, lit(" corpus and "), tok,
+      lit(" body with "), tok, lit(" words for "), tok,
+      lit(" members at "), tok, lit(" site this "), tok,
+      lit(" group "), last)
+    val evalTail = lit(" about the spark joins and windows of batch systems")
+    val t = when(id % 20L === 7L,
+        concat(lit("eval question v"), bv, evalTail))
+      .when(id % 10L === 1L,
+        concat(col("text"), lit(" contact user"), s(id),
+          lit("@mail.example.com now")))
+      .when(id % 10L === 3L, inter(concat(lit("xv"), v), lit("is done")))
+      .when(id % 10L === 6L,
+        inter(concat(lit("pg"), pk), concat(lit("tail "), s(id))))
+      .when(id % 10L === 8L,
+        concat(col("text"), lit(" eval question v"), v, evalTail))
+      .when(id % 20L === 14L,
+        lit(Seq.fill(6)("the spam of line again").mkString("\n")))
+      .otherwise(col("text"))
+    d.select(id.as("doc_id"), t.as("text"))
+  }
+
   /** Deterministic messy-URL fixture derived from the documents table —
     * the corpus has no url column, so every row plants one URL whose
     * page identity depends only on `doc_id % 100` while the MESS
@@ -519,9 +572,12 @@ object SparkEntry {
         graft.functions.GraftFunctions.fingerprint64(col("text")).as("fp64"))
         .orderBy("doc_id")),
     // Gopher-style intra-document repetition signals: integer counts +
-    // IEEE fractions of them, recomputed bit-exactly in DuckDB
+    // IEEE fractions of them, recomputed bit-exactly in DuckDB. Dumps
+    // the FAST single-pass path (what repetitionKeep and the release
+    // build run) — TextStatsSpec separately asserts it equals the
+    // Column-expression reference form
     "text_repetition" -> ((s, dir) =>
-      TextStats.withRepetitionSignals(docs(s, dir))
+      TextStats.withRepetitionSignalsFast(docs(s, dir))
         .select("doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
           "dup_para_frac", "n_2grams", "top_2gram_frac", "dup_5gram_frac")
         .orderBy("doc_id")),
@@ -833,6 +889,45 @@ object SparkEntry {
       // key) — oracle INPUT for the decontam_overlap recompute; its own
       // oracle re-derives the gram key set from the documents table
       Decontaminate.gramHashParams(docs(s, dir)).orderBy("gram")),
+
+    // ---------- corpus release (the composed end-to-end build) -------
+    // one job chaining bench-split → langid → quality → repetition →
+    // PII redaction → exact dedup → minhash near-dup → decontamination
+    // over a planted fixture derivation that exercises EVERY fate
+    // (see releaseFixture). The whole chain — including the minhash
+    // candidate generation from dumped murmur parameters and the CC
+    // survivor rule — replays in DuckDB; the persisted intermediates of
+    // the one-shot `ledger` calls live until session stop (the accepted
+    // Verify-query trade documented on the other *WithHandle wrappers).
+    "release_fates" -> ((s, dir) =>
+      Release.ledger(releaseFixture(docs(s, dir))).orderBy("doc_id")),
+    "release_corpus" -> ((s, dir) =>
+      Release.releasedWithHandle(releaseFixture(docs(s, dir)))._1
+        .orderBy("doc_id")),
+    "release_stats" -> ((s, dir) =>
+      Release.stats(Release.ledger(releaseFixture(docs(s, dir))))
+        .orderBy("fate")),
+    "release_bands" -> ((s, dir) =>
+      // banded minhash signatures of the near-dup stage's input (the
+      // post-exact-dedup redacted survivors) — fully recomputed in SQL
+      // from the dumped shingle parameters, like dedup_minhash_bands
+      Dedup.minhashBands(Release.nearDupInput(releaseFixture(docs(s, dir))),
+        "doc_id", "red").orderBy("band", "bh", "id")),
+    "release_shingle_hashes" -> ((s, dir) =>
+      // per-shingle murmur parameters of the REDACTED survivor text —
+      // oracle INPUT for the release_bands recompute; its own oracle
+      // re-derives the shingle key set from the replayed release chain
+      Dedup.shingleHashes(Release.nearDupInput(releaseFixture(docs(s, dir))),
+        "red").orderBy("shingle")),
+    "release_gram_hashes" -> ((s, dir) => {
+      // decontam gram parameters over released bytes ∪ raw bench items
+      // (a superset of the sweep's inputs: alive1 ⊇ alive2) — oracle
+      // INPUT for the release_fates contamination stage
+      val fx = releaseFixture(docs(s, dir))
+      val a1 = Release.nearDupInput(fx).select(col("red").as("text"))
+      val bench = fx.filter(col("doc_id") % 20 === 7).select("text")
+      Decontaminate.gramHashParams(a1.unionByName(bench)).orderBy("gram")
+    }),
 
     // ---------- similarity search ----------
     "ann_brute_topk" -> ((s, dir) => {
@@ -1528,6 +1623,151 @@ object SparkEntry {
       case 0 => 2.5; case 1 => 1.0; case 2 => 0.5; case _ => 0.125
     })).toMap
 
+  /** One interleaved release-fixture body (oracle side) — must render
+    * the IDENTICAL string as [[releaseFixture]]'s `inter`.
+    */
+  private def releaseInterSql(tok: String, last: String): String =
+    s"'the ' || $tok || ' page of ' || $tok || ' corpus and ' || $tok || " +
+      s"' body with ' || $tok || ' words for ' || $tok || " +
+      s"' members at ' || $tok || ' site this ' || $tok || ' group ' || $last"
+
+  /** The release fixture derivation (oracle side) — must construct the
+    * IDENTICAL strings as [[releaseFixture]]. Exposes relation `rl`.
+    */
+  private lazy val ReleaseFixtureSql: String =
+    s"""rl AS (SELECT doc_id, CASE
+      |    WHEN doc_id % 20 = 7 THEN 'eval question v' || ((doc_id // 20) % 5) ||
+      |      ' about the spark joins and windows of batch systems'
+      |    WHEN doc_id % 10 = 1 THEN text || ' contact user' || doc_id || '@mail.example.com now'
+      |    WHEN doc_id % 10 = 3 THEN ${releaseInterSql("'xv' || ((doc_id // 10) % 5)", "'is done'")}
+      |    WHEN doc_id % 10 = 6 THEN ${releaseInterSql("'pg' || pk", "'tail ' || doc_id")}
+      |    WHEN doc_id % 10 = 8 THEN text || ' eval question v' || ((doc_id // 10) % 5) ||
+      |      ' about the spark joins and windows of batch systems'
+      |    WHEN doc_id % 20 = 14 THEN ${List.fill(6)("'the spam of line again'").mkString(" || chr(10) || ")}
+      |    ELSE text END AS text
+      |  FROM (SELECT doc_id, text,
+      |    CASE WHEN doc_id % 20 = 16 THEN doc_id - 10 ELSE doc_id END AS pk
+      |    FROM documents) rb)""".stripMargin
+
+  /** Words CTE fragment over an arbitrary text column (the `WordsSql`
+    * tokenization, parameterized).
+    */
+  private def wordsSqlOf(c: String): String =
+    s"list_filter(regexp_split_to_array(lower($c), '\\W+'), w -> w <> '')"
+
+  /** PII redaction replay over an arbitrary text expression — the
+    * `pii_redact` oracle's nested regexp_replace chain, parameterized.
+    */
+  private def redactSql(e: String): String =
+    raw"""regexp_replace(
+      |     regexp_replace(
+      |      regexp_replace(
+      |       regexp_replace(
+      |        regexp_replace($e,
+      |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |        '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+      |       '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b', '<CC>', 'g'),
+      |      '\+\d{7,15}\b', '<PHONE>', 'g'),
+      |     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')""".stripMargin
+
+  /** The release chain's per-row gates + exact dedup replayed in SQL:
+    * `rl` → `rflag` (is_bench / lang_ok / quality_ok / rep_ok) → `rred`
+    * (alive0 with the redacted text) → `rex` (exact-dedup keeper ids) →
+    * `ralive1` (the near-dup stage's input). Spliced as
+    * `WITH $ReleaseFixtureSql, $ReleaseAliveSql, …`.
+    */
+  private lazy val ReleaseAliveSql: String =
+    s"""rwords AS (SELECT doc_id, text, $WordsSql AS ws FROM rl),
+      |rlangn AS (SELECT doc_id,
+      |    len(list_filter(ws, w -> w IN ('der','die','das','und','ist','von','mit','für','auf','ein','eine','nicht','den','im','zu','war','sind','beträgt'))) AS de_n,
+      |    len(list_filter(ws, w -> w IN ('the','and','of','is','in','to','was','it','for','with','on','as','are','at','this','that','be','by'))) AS en_n,
+      |    len(list_filter(ws, w -> w IN ('el','la','los','las','y','es','de','en','un','una','del','por','con','para','no','se','que','al'))) AS es_n,
+      |    len(list_filter(ws, w -> w IN ('le','la','les','et','est','de','des','un','une','du','pour','avec','dans','sur','par','au','ne','pas'))) AS fr_n
+      |  FROM rwords),
+      |rlang AS (SELECT doc_id, CASE
+      |    WHEN greatest(de_n, en_n, es_n, fr_n) = 0 THEN 'und'
+      |    WHEN de_n = greatest(de_n, en_n, es_n, fr_n) THEN 'de'
+      |    WHEN en_n = greatest(de_n, en_n, es_n, fr_n) THEN 'en'
+      |    WHEN es_n = greatest(de_n, en_n, es_n, fr_n) THEN 'es'
+      |    ELSE 'fr' END AS lang_pred FROM rlangn),
+      |rq AS (SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_tokens,
+      |    length(text) AS n_chars,
+      |    length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS n_punct
+      |  FROM rl),
+      |rg AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\\n'), x -> x <> '') AS ls,
+      |    CASE WHEN len(ws) >= 2 THEN [array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))] ELSE []::VARCHAR[] END AS g2,
+      |    CASE WHEN len(ws) >= 5 THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)] ELSE []::VARCHAR[] END AS g5
+      |  FROM rwords),
+      |rtop2 AS (SELECT doc_id, max(c) AS topc FROM (
+      |    SELECT doc_id, ge, count(*) AS c
+      |    FROM (SELECT doc_id, unnest(g2) AS ge FROM rg) GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |rrep AS (SELECT rg.doc_id,
+      |    CASE WHEN len(ls) > 0 THEN (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls)::DOUBLE ELSE 0.0 END AS dup_line_frac,
+      |    CASE WHEN len(g2) > 0 THEN coalesce(topc, 0)::DOUBLE / len(g2)::DOUBLE ELSE 0.0 END AS top_2gram_frac,
+      |    CASE WHEN len(g5) > 0 THEN (len(g5) - len(list_distinct(g5)))::DOUBLE / len(g5)::DOUBLE ELSE 0.0 END AS dup_5gram_frac
+      |  FROM rg LEFT JOIN rtop2 ON rg.doc_id = rtop2.doc_id),
+      |rflag AS (SELECT q.doc_id,
+      |    (q.doc_id % 20 = 7) AS is_bench,
+      |    (l.lang_pred = 'en') AS lang_ok,
+      |    (q.n_tokens >= 20 AND q.n_punct * 5 <= q.n_chars) AS quality_ok,
+      |    (r.dup_line_frac <= 0.30 AND r.top_2gram_frac <= 0.20 AND r.dup_5gram_frac <= 0.15) AS rep_ok
+      |  FROM rq q JOIN rlang l ON q.doc_id = l.doc_id JOIN rrep r ON q.doc_id = r.doc_id),
+      |rred AS (SELECT f.doc_id, ${redactSql("rl.text")} AS red
+      |  FROM rflag f JOIN rl ON f.doc_id = rl.doc_id
+      |  WHERE NOT f.is_bench AND f.lang_ok AND f.quality_ok AND f.rep_ok),
+      |rex AS (SELECT min(doc_id) AS doc_id FROM rred GROUP BY red),
+      |ralive1 AS (SELECT r.doc_id, r.red FROM rred r JOIN rex ON r.doc_id = rex.doc_id)""".stripMargin
+
+  /** The release chain's dedup + decontamination kill sets replayed in
+    * SQL off `ralive1` and the `release_bands`/`release_gram_hashes`
+    * dumps: `nkill` (near-dup losers), `ralive2`, `ckill`
+    * (contaminated), `exk` (exact-dup losers). The enclosing WITH must
+    * be RECURSIVE (the CC `reach` CTE).
+    */
+  private lazy val ReleaseKillSql: String =
+    s"""banded AS (SELECT * FROM read_parquet('{OUT}/release_bands/*.parquet')),
+      |rok AS (SELECT band, bh FROM banded GROUP BY 1, 2 HAVING count(*) > 1 AND count(*) <= 128),
+      |rpruned AS (SELECT banded.* FROM banded JOIN rok USING (band, bh)),
+      |rcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |          FROM rpruned a JOIN rpruned b USING (band, bh) WHERE a.id < b.id),
+      |rsw AS (SELECT doc_id AS id, ${wordsSqlOf("red")} AS w FROM ralive1),
+      |rsh AS (SELECT id, CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+      |    ELSE list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in range(1, len(w) - 1)]) END AS s
+      |  FROM rsw),
+      |rpairs AS (SELECT c.id_a, c.id_b
+      |  FROM rcand c JOIN rsh a ON a.id = c.id_a JOIN rsh b ON b.id = c.id_b
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      |redges AS (SELECT id_a AS a, id_b AS b FROM rpairs UNION SELECT id_b, id_a FROM rpairs),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM ralive1
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN redges e ON r.dst = e.a),
+      |rcomp AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
+      |nkill AS (SELECT id FROM rcomp WHERE cluster_id <> id),
+      |ralive2 AS (SELECT r.doc_id, r.red FROM ralive1 r
+      |  LEFT JOIN nkill ON r.doc_id = nkill.id WHERE nkill.id IS NULL),
+      |rcw AS (SELECT doc_id AS id, ${wordsSqlOf("red")} AS ws FROM ralive2),
+      |rcgs AS (SELECT id, $NgramsSql AS gs FROM rcw),
+      |rcdg AS (SELECT DISTINCT id, unnest(gs) AS gram FROM rcgs),
+      |rbw AS (SELECT doc_id AS id, $WordsSql AS ws FROM rl WHERE doc_id % 20 = 7),
+      |rbgs AS (SELECT id, $NgramsSql AS gs FROM rbw),
+      |rbdg AS (SELECT DISTINCT id, unnest(gs) AS gram FROM rbgs),
+      |rch AS (SELECT rcdg.id, p.gh
+      |  FROM rcdg JOIN read_parquet('{OUT}/release_gram_hashes/*.parquet') p USING (gram)),
+      |rbh AS (SELECT rbdg.id, p.gh
+      |  FROM rbdg JOIN read_parquet('{OUT}/release_gram_hashes/*.parquet') p USING (gram)),
+      |rbsz AS (SELECT id, count(*) AS n FROM rbh GROUP BY id),
+      |rm AS (SELECT rch.id AS doc_id, rbh.id AS bench_id, count(*) AS n_shared
+      |  FROM rch JOIN rbh USING (gh) GROUP BY 1, 2),
+      |ckill AS (SELECT DISTINCT rm.doc_id FROM rm JOIN rbsz ON rbsz.id = rm.bench_id
+      |  WHERE rm.n_shared / rbsz.n >= 0.5),
+      |exk AS (SELECT r.doc_id FROM rred r LEFT JOIN rex ON r.doc_id = rex.doc_id
+      |  WHERE rex.doc_id IS NULL)""".stripMargin
+
   /** The messy-URL derivation — must construct the IDENTICAL string as
     * [[urlFixture]]. Page identity depends only on doc_id % 100; the
     * mess (case, www, default port, slashes, tracking params, param
@@ -1955,6 +2195,90 @@ object SparkEntry {
         |  SELECT doc_id FROM read_parquet('{OUT}/decontam_overlap/*.parquet')
         |  WHERE frac_bench >= 0.5)
         |ORDER BY doc_id""".stripMargin,
+    // the composed corpus-release build replayed END TO END: fixture
+    // derivation → per-row gates (langid argmax, integer quality rule,
+    // Gopher repetition fractions) → char-exact PII redaction → exact
+    // dedup (min id per distinct redacted text) → minhash near-dup
+    // (bands fully recomputed from dumped murmur parameters, bucket
+    // prune, exact word-3-gram Jaccard, recursive-CTE connected
+    // components, min-id survivor) → 8-gram decontamination vs the raw
+    // bench items — one CASE emits each document's first killing stage
+    "release_fates" ->
+      s"""WITH RECURSIVE $ReleaseFixtureSql,
+        |$ReleaseAliveSql,
+        |$ReleaseKillSql
+        |SELECT f.doc_id,
+        |  CASE WHEN f.is_bench THEN 'bench'
+        |       WHEN NOT f.lang_ok THEN 'lang'
+        |       WHEN NOT f.quality_ok THEN 'quality'
+        |       WHEN NOT f.rep_ok THEN 'repetition'
+        |       WHEN exk.doc_id IS NOT NULL THEN 'exact_dup'
+        |       WHEN nkill.id IS NOT NULL THEN 'near_dup'
+        |       WHEN ckill.doc_id IS NOT NULL THEN 'contaminated'
+        |       ELSE 'kept' END AS fate
+        |FROM rflag f
+        |LEFT JOIN exk ON f.doc_id = exk.doc_id
+        |LEFT JOIN nkill ON f.doc_id = nkill.id
+        |LEFT JOIN ckill ON f.doc_id = ckill.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
+    // the released corpus: survivors of the full chain with their
+    // redacted text, char-exact
+    "release_corpus" ->
+      s"""WITH RECURSIVE $ReleaseFixtureSql,
+        |$ReleaseAliveSql,
+        |$ReleaseKillSql
+        |SELECT r.doc_id, r.red AS clean_text
+        |FROM ralive2 r LEFT JOIN ckill ON r.doc_id = ckill.doc_id
+        |WHERE ckill.doc_id IS NULL
+        |ORDER BY r.doc_id""".stripMargin,
+    // attrition report chains off the (itself fully recomputed) ledger
+    "release_stats" ->
+      """SELECT fate, count(*) AS n
+        |FROM read_parquet('{OUT}/release_fates/*.parquet')
+        |GROUP BY fate ORDER BY fate""".stripMargin,
+    // near-dup-stage bands fully recomputed from the dumped shingle
+    // parameters over the replayed redacted survivor text (the
+    // dedup_minhash_bands technique, pointed at the release chain)
+    "release_bands" ->
+      s"""WITH RECURSIVE $ReleaseFixtureSql,
+        |$ReleaseAliveSql,
+        |d0 AS (SELECT doc_id AS id, ${wordsSqlOf("red")} AS ws FROM ralive1),
+        |sh AS (SELECT id, $WordShinglesSql AS gs FROM d0),
+        |g AS (SELECT DISTINCT id, unnest(gs) AS shingle FROM sh),
+        |lanes AS (SELECT g.id, j.lane,
+        |    min(${wrap32("p.h1::BIGINT + j.lane * p.h2::BIGINT")}) AS mh
+        |  FROM g JOIN read_parquet('{OUT}/release_shingle_hashes/*.parquet') p USING (shingle)
+        |  CROSS JOIN (SELECT unnest(range(16)) AS lane) j
+        |  GROUP BY g.id, j.lane),
+        |bands AS (SELECT id, lane // 2 AS band,
+        |    ${wrap32("961 + 31 * max(CASE WHEN lane % 2 = 0 THEN mh END) + max(CASE WHEN lane % 2 = 1 THEN mh END)")} AS bh
+        |  FROM lanes GROUP BY id, lane // 2)
+        |SELECT band::INT AS band, bh::INT AS bh, id FROM bands
+        |ORDER BY band, bh, id""".stripMargin,
+    // shingle murmur parameters: key set fully re-derived from the
+    // replayed chain (hash values are parameters, passed through)
+    "release_shingle_hashes" ->
+      s"""WITH RECURSIVE $ReleaseFixtureSql,
+        |$ReleaseAliveSql,
+        |aw AS (SELECT doc_id, ${wordsSqlOf("red")} AS ws FROM ralive1),
+        |g AS (SELECT DISTINCT unnest($WordShinglesSql) AS shingle FROM aw)
+        |SELECT g.shingle, d.h1, d.h2
+        |FROM g LEFT JOIN read_parquet('{OUT}/release_shingle_hashes/*.parquet') d USING (shingle)
+        |ORDER BY shingle""".stripMargin,
+    // decontam gram murmur parameters: key set = grams of the redacted
+    // alive1 survivors ∪ grams of the raw bench items, re-derived
+    "release_gram_hashes" ->
+      s"""WITH RECURSIVE $ReleaseFixtureSql,
+        |$ReleaseAliveSql,
+        |aw AS (SELECT ${wordsSqlOf("red")} AS ws FROM ralive1),
+        |ag AS (SELECT $NgramsSql AS gs FROM aw),
+        |bw AS (SELECT $WordsSql AS ws FROM rl WHERE doc_id % 20 = 7),
+        |bg AS (SELECT $NgramsSql AS gs FROM bw),
+        |g AS (SELECT DISTINCT unnest(gs) AS gram
+        |      FROM (SELECT gs FROM ag UNION ALL SELECT gs FROM bg))
+        |SELECT g.gram, d.gh
+        |FROM g LEFT JOIN read_parquet('{OUT}/release_gram_hashes/*.parquet') d USING (gram)
+        |ORDER BY gram""".stripMargin,
     "dedup_token_hashes" ->
       s"""WITH toks AS (
         |  SELECT DISTINCT unnest(regexp_split_to_array(lower(text), '\\W+')) AS token

@@ -178,14 +178,105 @@ object TextStats {
         safeFrac(size(g5) - size(array_distinct(g5)), size(g5)))
   }
 
+  /** One native pass computing ALL seven repetition signals — the
+    * scale path. The Column-expression form above is the executable
+    * specification (and what the DuckDB oracle replays), but Spark
+    * evaluates higher-order functions interpreted, per element, and the
+    * n-gram builders measured ~9 ms/row (5-grams) + ~3.4 ms/row
+    * (top-2-gram) on 56-word documents — at 10^12 documents that is the
+    * whole job. This UDF computes the identical integer counts in one
+    * linear scan (hash-set dedup, rolling gram join) and performs the
+    * SAME IEEE divisions, so every output is bit-identical
+    * (TextStatsSpec asserts frame equality on fixtures and random
+    * corpora; the text_repetition oracle checks this path against
+    * DuckDB). Null-intolerant like the split()-based form: callers pass
+    * non-null text.
+    */
+  private[graft] def repSignalsOf(t: String)
+      : (Int, Double, Double, Double, Int, Double, Double) = {
+    val lines = t.split("\n", -1).filter(_.nonEmpty)
+    val paras = t.split("\n\n", -1).filter(_.nonEmpty)
+    val words = t.toLowerCase(java.util.Locale.ROOT).split("\\W+", -1)
+      .filter(_.nonEmpty)
+    def frac(num: Long, den: Long): Double =
+      if (den > 0) num.toDouble / den.toDouble else 0.0
+    // lines: instance count, distinct count, char sums (code points —
+    // Spark's length() counts code points, not UTF-16 units)
+    val distinctLines = new java.util.HashSet[String]()
+    var lchars = 0L
+    var dchars = 0L
+    var li = 0
+    while (li < lines.length) {
+      val s = lines(li)
+      val n = s.codePointCount(0, s.length).toLong
+      lchars += n
+      if (distinctLines.add(s)) dchars += n
+      li += 1
+    }
+    val distinctParas = new java.util.HashSet[String]()
+    paras.foreach(distinctParas.add)
+    // top 2-gram occurrence count (max multiplicity)
+    val n2 = if (words.length >= 2) words.length - 1 else 0
+    var top2 = 0L
+    if (n2 > 0) {
+      val m = new java.util.HashMap[String, Integer]()
+      var i = 0
+      while (i < words.length - 1) {
+        val c = m.merge(words(i) + " " + words(i + 1), 1, Integer.sum(_, _))
+        if (c.intValue > top2) top2 = c.intValue.toLong
+        i += 1
+      }
+    }
+    // duplicate 5-gram occurrence share
+    val n5 = if (words.length >= 5) words.length - 4 else 0
+    var d5 = 0
+    if (n5 > 0) {
+      val seen = new java.util.HashSet[String]()
+      var i = 0
+      while (i + 5 <= words.length) {
+        val sb = new java.lang.StringBuilder(words(i))
+        var j = 1
+        while (j < 5) { sb.append(' ').append(words(i + j)); j += 1 }
+        if (seen.add(sb.toString)) d5 += 1
+        i += 1
+      }
+    }
+    (lines.length,
+      frac(lines.length.toLong - distinctLines.size, lines.length.toLong),
+      frac(lchars - dchars, lchars),
+      frac(paras.length.toLong - distinctParas.size, paras.length.toLong),
+      n2, frac(top2, n2.toLong), frac(n5.toLong - d5, n5.toLong))
+  }
+
+  private val repSignalsUdf = udf((t: String) => repSignalsOf(t))
+
+  /** [[withRepetitionSignals]] via the single-pass native scan — same
+    * columns, bit-identical values (see [[repSignalsOf]]). The struct
+    * is computed once per row (ScalaUDF is codegen-compatible, so
+    * whole-stage subexpression elimination shares it across the seven
+    * field extracts).
+    */
+  def withRepetitionSignalsFast(docs: DataFrame,
+      textCol: String = "text"): DataFrame =
+    docs.withColumn("__rep", repSignalsUdf(col(textCol)))
+      .withColumn("n_lines", col("__rep._1"))
+      .withColumn("dup_line_frac", col("__rep._2"))
+      .withColumn("dup_line_char_frac", col("__rep._3"))
+      .withColumn("dup_para_frac", col("__rep._4"))
+      .withColumn("n_2grams", col("__rep._5"))
+      .withColumn("top_2gram_frac", col("__rep._6"))
+      .withColumn("dup_5gram_frac", col("__rep._7"))
+      .drop("__rep")
+
   /** Repetition keep-filter with Gopher-flavored default thresholds —
-    * the survivor set a corpus release would train on.
+    * the survivor set a corpus release would train on (the fast signal
+    * pass; values identical to the Column-expression form).
     */
   def repetitionKeep(docs: DataFrame, textCol: String = "text",
       maxDupLineFrac: Double = 0.30,
       maxTop2GramFrac: Double = 0.20,
       maxDup5GramFrac: Double = 0.15): DataFrame =
-    withRepetitionSignals(docs, textCol)
+    withRepetitionSignalsFast(docs, textCol)
       .filter(col("dup_line_frac") <= maxDupLineFrac &&
         col("top_2gram_frac") <= maxTop2GramFrac &&
         col("dup_5gram_frac") <= maxDup5GramFrac)

@@ -133,18 +133,45 @@ class TextStatsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
-  test("repetition signals plan: one projection, zero exchanges, no UDF") {
+  test("repetition signals plan: one projection, zero exchanges") {
     import org.apache.spark.sql.execution.exchange.Exchange
+    // the fast single-pass path (what repetitionKeep runs)
     val q = TextStats.repetitionKeep(docs)
     q.count()
     val plan = q.queryExecution.executedPlan
     assert(plan.collect { case e: Exchange => e }.isEmpty,
       s"repetition keep-filter must not shuffle:\n$plan")
-    // higher-order array expressions evaluate interpreted (they have no
-    // doGenCode), but they are still native expressions: assert no
-    // Scala-closure UDF sneaked in
-    assert(!plan.toString.contains("ScalaUDF"),
-      "repetition signals must be built-in expressions, not UDFs")
+    // the Column-expression REFERENCE form stays UDF-free: higher-order
+    // array expressions evaluate interpreted (no doGenCode) but are
+    // native expressions — it is the executable spec the oracle replays
+    val ref = TextStats.withRepetitionSignals(docs)
+    ref.queryExecution.executedPlan
+    assert(!ref.queryExecution.executedPlan.toString.contains("ScalaUDF"),
+      "the reference signal form must be built-in expressions, not UDFs")
+  }
+
+  test("fast single-pass signals == Column-expression reference, bit-exact") {
+    import org.scalacheck.{Gen, Prop, Test => SchkTest}
+    import spark.implicits._
+    val cols = Seq("n_lines", "dup_line_frac", "dup_line_char_frac",
+      "dup_para_frac", "n_2grams", "top_2gram_frac", "dup_5gram_frac")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").selectExpr("doc_id" +: cols: _*)
+        .collect().map(_.toSeq).toSeq
+    // fixture corpus: the two paths must agree on every real document
+    assert(rows(TextStats.withRepetitionSignalsFast(docs)) ==
+      rows(TextStats.withRepetitionSignals(docs)))
+    // random dup-heavy corpora: collisions at every granularity
+    val token = Gen.oneOf("aa", "bb", "cc", "aa bb", "\n", "\n\n")
+    val doc = Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, token)).map(_.mkString(" "))
+    val prop = Prop.forAll(Gen.listOfN(6, doc)) { ds =>
+      val df = ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      rows(TextStats.withRepetitionSignalsFast(df)) ==
+        rows(TextStats.withRepetitionSignals(df))
+    }
+    val res = SchkTest.check(
+      SchkTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("fingerprint is whitespace-normalization-stable, content-sensitive") {
