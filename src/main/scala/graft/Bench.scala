@@ -57,6 +57,10 @@ object Bench {
     var incrDedupIdx: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = null
     var incrDedupShs: org.apache.spark.sql.DataFrame = null
 
+    // release_incr state: the at-rest release index, built once on the
+    // discarded warmup round (a deployment reads it from rest)
+    var relIdx: graft.operators.Release.Index = null
+
     val thunks: Seq[(String, () => Unit)] = Seq(
       "kg_pipeline" -> (() => {
         nTriples = Pipeline.run(PageGen.pages(spark, nPages)).count()
@@ -187,6 +191,30 @@ object Bench {
         // same batch measured 10.8s — the whole table)
         Materialize.incrementalUpdate(spark, batch, incrDir, 32,
           mergeOnRead = true); ()
+      }),
+      "release_incr" -> (() => {
+        // the INCREMENTAL release: one crawl delta (doc_id%10==9)
+        // through the gates against the at-rest index (seen exact
+        // hashes + band index + shingle sidecar + bench set), all
+        // persisted from the warmup round like the dedup_incr indexes —
+        // measured per-crawl cost excludes the one-time bootstrap and
+        // reads NO seen text
+        val docs = SparkEntry.releaseFixture(
+          spark.read.parquet(s"$sfDir/documents.parquet"))
+        if (relIdx == null) {
+          val idx = graft.operators.Release.buildIndex(
+            docs.filter(col("doc_id") % 10 =!= 9))
+          relIdx = graft.operators.Release.Index(
+            idx.exactHashes.persist(), idx.bands.persist(),
+            idx.counts.persist(), idx.shingles.persist(),
+            idx.bench.persist())
+          relIdx.exactHashes.count(); relIdx.bands.count()
+          relIdx.counts.count(); relIdx.shingles.count(); relIdx.bench.count()
+        }
+        val delta = docs.filter(col("doc_id") % 10 === 9)
+        val (fates, release) =
+          graft.operators.Release.incrementalLedgerWithHandle(delta, relIdx)
+        try { fates.count(); () } finally release()
       }),
       "corpus_release" -> (() => {
         // the composed end-to-end release build (langid/quality/

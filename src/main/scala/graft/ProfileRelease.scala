@@ -56,6 +56,68 @@ object ProfileRelease {
       })
       compact.unpersist(); keep.unpersist()
     }
+    // incremental form: index built+persisted once, two warm crawls
+    val seen = docs.filter(col("doc_id") % 10 =!= 9)
+    val delta = docs.filter(col("doc_id") % 10 === 9)
+    val idx0 = Release.buildIndex(seen)
+    val idx = Release.Index(idx0.exactHashes.persist(), idx0.bands.persist(),
+      idx0.counts.persist(), idx0.shingles.persist(), idx0.bench.persist())
+    t("index build+persist")(Seq(idx.exactHashes, idx.bands, idx.counts,
+      idx.shingles, idx.bench).foreach(_.count()))
+    for (round <- 1 to 3) {
+      t(s"incremental ledger r$round")(
+        Release.incrementalLedgerWithHandle(delta, idx) match {
+          case (f, rel) => try f.count() finally rel()
+        })
+    }
+    // stage bisect of one incremental crawl
+    {
+      val compact = Release.labeled(delta).persist()
+      t("i: labeled")(compact.count())
+      val a0 = compact.filter(col("red").isNotNull).select("doc_id", "red")
+      val hashed = a0.select(col("doc_id"), md5(col("red")).as("h"))
+      val keep = hashed
+        .join(hashed.groupBy("h").agg(min(col("doc_id")).as("keep_id")), Seq("h"))
+        .filter(col("doc_id") === col("keep_id"))
+        .join(idx.exactHashes, Seq("h"), "left_anti")
+        .select("doc_id").persist()
+      t("i: exact keep")(keep.count())
+      val a1 = a0.join(keep, Seq("doc_id"), "left_semi")
+      val (pairs, relP) = IncrDedup.incrementalPairsFromIndexWithHandle(
+        idx.bands, idx.counts, idx.shingles, a1, "doc_id", "red",
+        threshold = 0.5)
+      val pp = pairs.persist()
+      t("i: incr pairs")(pp.count())
+      val kept = t("i: survivors")(IncrDedup.survivors(a1, pp))
+      t("i: kept.count")(kept.count())
+      relP(); pp.unpersist()
+      val nearKill = a1.select("doc_id").join(kept, Seq("doc_id"), "left_anti")
+      val a2 = a1.join(nearKill, Seq("doc_id"), "left_anti")
+      t("i: decontam")(Decontaminate.flagged(a2,
+        idx.bench.select(col("bench_id"), col("text").as("red")),
+        "doc_id", "bench_id", "red").count())
+      // CC cost isolation: same pair set, pre-materialized inputs
+      val pmat = pp.localCheckpoint()
+      t("i: survivors(pre-materialized pairs)")(
+        IncrDedup.survivors(a1.localCheckpoint(), pmat).count())
+      val nodes2 = pmat.select(col("id_a").as("cid"))
+        .union(pmat.select(col("id_b").as("cid"))).distinct().localCheckpoint()
+      val edges2 = pmat.select(col("id_a").as("cid_a"), col("id_b").as("cid_b"))
+        .localCheckpoint()
+      t("i: bare CC on materialized")(
+        Canonicalize.connectedComponents(nodes2, edges2).count())
+      // which part of survivors recomputes? edge/node build vs CC loop
+      pp.persist(); pp.count()
+      val pairIds3 = pp
+        .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      val nodes3 = pairIds3.select(col("id").as("cid"))
+      val edges3 = pp.select(col("id_a").as("cid_a"), col("id_b").as("cid_b"))
+      t("i: nodes3.count (from cached pp)")(nodes3.count())
+      t("i: CC on cached-pp derivations")(
+        Canonicalize.connectedComponents(nodes3, edges3).count())
+      pp.unpersist()
+      compact.unpersist(); keep.unpersist()
+    }
     spark.stop()
   }
 }

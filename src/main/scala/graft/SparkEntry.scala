@@ -71,6 +71,11 @@ object SparkEntry {
     *    bench variant appended (frac_bench = 1.0 → contaminated);
     *  - doc_id % 20 == 14 → one line repeated six times (dup_line_frac
     *    0.833 → repetition; the raw corpus never trips the Gopher caps);
+    *  - doc_id % 10 == 9 → the INCREMENTAL release's crawl delta
+    *    (seen = everything else): %40==9 repeats a seen exact-group
+    *    body, %40==19 plants a contaminated crawl page, %40==29 plants
+    *    a near-dup of the seen pg-family pair keyed doc_id-23, %40==39
+    *    stays raw;
     *  - everything else → raw text (dies naturally at lang ~21% /
     *    quality ~11%, else kept).
     * All planted bodies carry enough English stopwords and ≥ 20 tokens
@@ -101,6 +106,16 @@ object SparkEntry {
         concat(col("text"), lit(" eval question v"), v, evalTail))
       .when(id % 20L === 14L,
         lit(Seq.fill(6)("the spam of line again").mkString("\n")))
+      // delta populations for the INCREMENTAL release (delta = id%10==9;
+      // none of the rules above matches those ids): exact-dup of a seen
+      // exact-group body, a contaminated crawl page, and a near-dup of
+      // a seen near-dup family (pk = id-23 ≡ 6 mod 20 — always a
+      // planted pair base); id%40==39 stays raw
+      .when(id % 40L === 9L, inter(concat(lit("xv"), v), lit("is done")))
+      .when(id % 40L === 19L,
+        concat(col("text"), lit(" eval question v"), v, evalTail))
+      .when(id % 40L === 29L,
+        inter(concat(lit("pg"), s(id - 23L)), concat(lit("tail "), s(id))))
       .otherwise(col("text"))
     d.select(id.as("doc_id"), t.as("text"))
   }
@@ -928,6 +943,27 @@ object SparkEntry {
       val bench = fx.filter(col("doc_id") % 20 === 7).select("text")
       Decontaminate.gramHashParams(a1.unionByName(bench)).orderBy("gram")
     }),
+    // the INCREMENTAL release: one crawl delta (doc_id % 10 == 9)
+    // through the same gates against the at-rest index of the seen
+    // corpus — the delta is the crawl job's only text input (exact
+    // dedup vs 16-byte seen hashes, near-dup verified off the int-only
+    // shingle sidecar, decontam via 64-bit gram keys)
+    "release_incr_fates" -> ((s, dir) => {
+      val fx = releaseFixture(docs(s, dir))
+      val seen = fx.filter(col("doc_id") % 10 =!= 9)
+      val delta = fx.filter(col("doc_id") % 10 === 9)
+      Release.incrementalLedgerWithHandle(delta, Release.buildIndex(seen))
+        ._1.orderBy("doc_id")
+    }),
+    "release_incr_bands" -> ((s, dir) => {
+      // the at-rest band index over the SEEN near-dup-stage input —
+      // fully recomputed in SQL (seen-only gate/exact chain + the
+      // dumped shingle parameters, which cover every seen shingle:
+      // exact-duplicate texts share all shingle keys)
+      val fx = releaseFixture(docs(s, dir))
+      Release.buildIndex(fx.filter(col("doc_id") % 10 =!= 9))
+        .bands.orderBy("band", "bh", "id")
+    }),
 
     // ---------- similarity search ----------
     "ann_brute_topk" -> ((s, dir) => {
@@ -1644,6 +1680,10 @@ object SparkEntry {
       |    WHEN doc_id % 10 = 8 THEN text || ' eval question v' || ((doc_id // 10) % 5) ||
       |      ' about the spark joins and windows of batch systems'
       |    WHEN doc_id % 20 = 14 THEN ${List.fill(6)("'the spam of line again'").mkString(" || chr(10) || ")}
+      |    WHEN doc_id % 40 = 9 THEN ${releaseInterSql("'xv' || ((doc_id // 10) % 5)", "'is done'")}
+      |    WHEN doc_id % 40 = 19 THEN text || ' eval question v' || ((doc_id // 10) % 5) ||
+      |      ' about the spark joins and windows of batch systems'
+      |    WHEN doc_id % 40 = 29 THEN ${releaseInterSql("'pg' || (doc_id - 23)", "'tail ' || doc_id")}
       |    ELSE text END AS text
       |  FROM (SELECT doc_id, text,
       |    CASE WHEN doc_id % 20 = 16 THEN doc_id - 10 ELSE doc_id END AS pk
@@ -1677,7 +1717,7 @@ object SparkEntry {
     * `WITH $ReleaseFixtureSql, $ReleaseAliveSql, …`.
     */
   private lazy val ReleaseAliveSql: String =
-    s"""rwords AS (SELECT doc_id, text, $WordsSql AS ws FROM rl),
+    s"""rwords AS MATERIALIZED (SELECT doc_id, text, $WordsSql AS ws FROM rl),
       |rlangn AS (SELECT doc_id,
       |    len(list_filter(ws, w -> w IN ('der','die','das','und','ist','von','mit','für','auf','ein','eine','nicht','den','im','zu','war','sind','beträgt'))) AS de_n,
       |    len(list_filter(ws, w -> w IN ('the','and','of','is','in','to','was','it','for','with','on','as','are','at','this','that','be','by'))) AS en_n,
@@ -1709,17 +1749,28 @@ object SparkEntry {
       |    CASE WHEN len(g2) > 0 THEN coalesce(topc, 0)::DOUBLE / len(g2)::DOUBLE ELSE 0.0 END AS top_2gram_frac,
       |    CASE WHEN len(g5) > 0 THEN (len(g5) - len(list_distinct(g5)))::DOUBLE / len(g5)::DOUBLE ELSE 0.0 END AS dup_5gram_frac
       |  FROM rg LEFT JOIN rtop2 ON rg.doc_id = rtop2.doc_id),
-      |rflag AS (SELECT q.doc_id,
+      |rflag AS MATERIALIZED (SELECT q.doc_id,
       |    (q.doc_id % 20 = 7) AS is_bench,
       |    (l.lang_pred = 'en') AS lang_ok,
       |    (q.n_tokens >= 20 AND q.n_punct * 5 <= q.n_chars) AS quality_ok,
       |    (r.dup_line_frac <= 0.30 AND r.top_2gram_frac <= 0.20 AND r.dup_5gram_frac <= 0.15) AS rep_ok
       |  FROM rq q JOIN rlang l ON q.doc_id = l.doc_id JOIN rrep r ON q.doc_id = r.doc_id),
-      |rred AS (SELECT f.doc_id, ${redactSql("rl.text")} AS red
+      |rred AS MATERIALIZED (SELECT f.doc_id, ${redactSql("rl.text")} AS red
       |  FROM rflag f JOIN rl ON f.doc_id = rl.doc_id
       |  WHERE NOT f.is_bench AND f.lang_ok AND f.quality_ok AND f.rep_ok),
       |rex AS (SELECT min(doc_id) AS doc_id FROM rred GROUP BY red),
-      |ralive1 AS (SELECT r.doc_id, r.red FROM rred r JOIN rex ON r.doc_id = rex.doc_id)""".stripMargin
+      |ralive1 AS MATERIALIZED (SELECT r.doc_id, r.red FROM rred r JOIN rex ON r.doc_id = rex.doc_id)""".stripMargin
+
+  /** The SEEN side of the incremental release replayed in SQL (seen =
+    * doc_id % 10 <> 9): seen gate survivors with redacted text, the
+    * seen-only exact-dedup keepers, and the seen near-dup-stage input
+    * `salive1` — the rows the at-rest index covers. Splices after
+    * `$ReleaseAliveSql`.
+    */
+  private lazy val ReleaseSeenSql: String =
+    s"""sred AS MATERIALIZED (SELECT * FROM rred WHERE doc_id % 10 <> 9),
+      |sex AS (SELECT min(doc_id) AS doc_id FROM sred GROUP BY red),
+      |salive1 AS MATERIALIZED (SELECT r.doc_id, r.red FROM sred r JOIN sex ON r.doc_id = sex.doc_id)""".stripMargin
 
   /** The release chain's dedup + decontamination kill sets replayed in
     * SQL off `ralive1` and the `release_bands`/`release_gram_hashes`
@@ -1734,10 +1785,10 @@ object SparkEntry {
       |rcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
       |          FROM rpruned a JOIN rpruned b USING (band, bh) WHERE a.id < b.id),
       |rsw AS (SELECT doc_id AS id, ${wordsSqlOf("red")} AS w FROM ralive1),
-      |rsh AS (SELECT id, CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+      |rsh AS MATERIALIZED (SELECT id, CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
       |    ELSE list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in range(1, len(w) - 1)]) END AS s
       |  FROM rsw),
-      |rpairs AS (SELECT c.id_a, c.id_b
+      |rpairs AS MATERIALIZED (SELECT c.id_a, c.id_b
       |  FROM rcand c JOIN rsh a ON a.id = c.id_a JOIN rsh b ON b.id = c.id_b
       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
       |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
@@ -1746,9 +1797,9 @@ object SparkEntry {
       |  SELECT doc_id, doc_id FROM ralive1
       |  UNION
       |  SELECT r.src, e.b FROM reach r JOIN redges e ON r.dst = e.a),
-      |rcomp AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
+      |rcomp AS MATERIALIZED (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
       |nkill AS (SELECT id FROM rcomp WHERE cluster_id <> id),
-      |ralive2 AS (SELECT r.doc_id, r.red FROM ralive1 r
+      |ralive2 AS MATERIALIZED (SELECT r.doc_id, r.red FROM ralive1 r
       |  LEFT JOIN nkill ON r.doc_id = nkill.id WHERE nkill.id IS NULL),
       |rcw AS (SELECT doc_id AS id, ${wordsSqlOf("red")} AS ws FROM ralive2),
       |rcgs AS (SELECT id, $NgramsSql AS gs FROM rcw),
@@ -2265,6 +2316,128 @@ object SparkEntry {
         |SELECT g.shingle, d.h1, d.h2
         |FROM g LEFT JOIN read_parquet('{OUT}/release_shingle_hashes/*.parquet') d USING (shingle)
         |ORDER BY shingle""".stripMargin,
+    // the at-rest incremental band index fully recomputed: seen-only
+    // gate/exact chain (salive1) re-shingled, the 16 double-hashed
+    // lanes from the dumped shingle parameters (exact-dup texts share
+    // every shingle key, so the batch param dump covers all seen rows),
+    // and the 2-lane Arrays.hashCode band keys
+    "release_incr_bands" ->
+      s"""WITH $ReleaseFixtureSql,
+        |$ReleaseAliveSql,
+        |$ReleaseSeenSql,
+        |d0 AS (SELECT doc_id AS id, ${wordsSqlOf("red")} AS ws FROM salive1),
+        |sh AS (SELECT id, $WordShinglesSql AS gs FROM d0),
+        |g AS (SELECT DISTINCT id, unnest(gs) AS shingle FROM sh),
+        |lanes AS (SELECT g.id, j.lane,
+        |    min(${wrap32("p.h1::BIGINT + j.lane * p.h2::BIGINT")}) AS mh
+        |  FROM g JOIN read_parquet('{OUT}/release_shingle_hashes/*.parquet') p USING (shingle)
+        |  CROSS JOIN (SELECT unnest(range(16)) AS lane) j
+        |  GROUP BY g.id, j.lane),
+        |bands AS (SELECT id, lane // 2 AS band,
+        |    ${wrap32("961 + 31 * max(CASE WHEN lane % 2 = 0 THEN mh END) + max(CASE WHEN lane % 2 = 1 THEN mh END)")} AS bh
+        |  FROM lanes GROUP BY id, lane // 2)
+        |SELECT band::INT AS band, bh::INT AS bh, id FROM bands
+        |ORDER BY band, bh, id""".stripMargin,
+    // the incremental crawl ledger replayed END TO END: per-row gates
+    // from the shared chain, delta exact dedup vs the seen redacted
+    // texts (seen means seen) + within-delta min, near-dup candidates
+    // from the dumped index bands + recomputed delta bands under the
+    // merged occupancy prune, exact-Jaccard verify, the recursive-CTE
+    // seen-touch survivor rule, and the gram-parameter decontam sweep
+    "release_incr_fates" ->
+      s"""WITH RECURSIVE $ReleaseFixtureSql,
+        |$ReleaseAliveSql,
+        |$ReleaseSeenSql,
+        |dred AS MATERIALIZED (SELECT * FROM rred WHERE doc_id % 10 = 9),
+        |dmin AS (SELECT red, min(doc_id) AS keep_id FROM dred GROUP BY red),
+        |dkeep AS MATERIALIZED (SELECT d.doc_id, d.red FROM dred d JOIN dmin ON d.doc_id = dmin.keep_id
+        |  WHERE d.red NOT IN (SELECT red FROM sred)),
+        |dexk AS (SELECT d.doc_id FROM dred d LEFT JOIN dkeep k ON d.doc_id = k.doc_id
+        |  WHERE k.doc_id IS NULL),
+        |ib AS (SELECT * FROM read_parquet('{OUT}/release_incr_bands/*.parquet')),
+        |dd0 AS (SELECT doc_id AS id, ${wordsSqlOf("red")} AS ws FROM dkeep),
+        |dsh AS (SELECT id, $WordShinglesSql AS gs FROM dd0),
+        |dg AS (SELECT DISTINCT id, unnest(gs) AS shingle FROM dsh),
+        |dlanes AS (SELECT dg.id, j.lane,
+        |    min(${wrap32("p.h1::BIGINT + j.lane * p.h2::BIGINT")}) AS mh
+        |  FROM dg JOIN read_parquet('{OUT}/release_shingle_hashes/*.parquet') p USING (shingle)
+        |  CROSS JOIN (SELECT unnest(range(16)) AS lane) j
+        |  GROUP BY dg.id, j.lane),
+        |db AS MATERIALIZED (SELECT id, lane // 2 AS band,
+        |    ${wrap32("961 + 31 * max(CASE WHEN lane % 2 = 0 THEN mh END) + max(CASE WHEN lane % 2 = 1 THEN mh END)")} AS bh
+        |  FROM dlanes GROUP BY id, lane // 2),
+        |dn AS (SELECT band, bh, count(*) AS dn FROM db GROUP BY 1, 2),
+        |ixn AS (SELECT band, bh, count(*) AS ixn FROM ib GROUP BY 1, 2),
+        |iok AS (SELECT band, bh FROM dn LEFT JOIN ixn USING (band, bh)
+        |  WHERE dn + COALESCE(ixn, 0) > 1 AND dn + COALESCE(ixn, 0) <= 128),
+        |pd AS (SELECT db.* FROM db JOIN iok USING (band, bh)),
+        |pi AS (SELECT ib.* FROM ib JOIN iok USING (band, bh)),
+        |icand AS MATERIALIZED (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM pd a JOIN pd b USING (band, bh) WHERE a.id < b.id
+        |  UNION
+        |  SELECT least(d.id, c.id), greatest(d.id, c.id)
+        |  FROM pd d JOIN pi c USING (band, bh)),
+        |aw2 AS (SELECT doc_id AS id, ${wordsSqlOf("red")} AS w FROM salive1
+        |  UNION ALL SELECT doc_id, ${wordsSqlOf("red")} FROM dkeep),
+        |ash2 AS MATERIALIZED (SELECT id, CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in range(1, len(w) - 1)]) END AS s
+        |  FROM aw2),
+        |ipairs AS MATERIALIZED (SELECT c.id_a, c.id_b
+        |  FROM icand c JOIN ash2 a ON a.id = c.id_a JOIN ash2 b ON b.id = c.id_b
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |iedges AS (SELECT id_a AS a, id_b AS b FROM ipairs UNION SELECT id_b, id_a FROM ipairs),
+        |inodes AS (SELECT doc_id AS id FROM dkeep UNION SELECT a AS id FROM iedges),
+        |ireach(src, dst) AS (
+        |  SELECT id, id FROM inodes
+        |  UNION
+        |  SELECT r.src, e.b FROM ireach r JOIN iedges e ON r.dst = e.a),
+        |icomp AS MATERIALIZED (SELECT src AS id, min(dst) AS cluster_id FROM ireach GROUP BY src),
+        |iflag AS (SELECT icomp.id, icomp.cluster_id,
+        |    (dk.doc_id IS NOT NULL) AS is_delta
+        |  FROM icomp LEFT JOIN dkeep dk ON icomp.id = dk.doc_id),
+        |ipercomp AS (SELECT cluster_id,
+        |    max(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS has_seen,
+        |    min(CASE WHEN is_delta THEN id END) AS min_delta
+        |  FROM iflag GROUP BY cluster_id),
+        |ikept AS (SELECT f.id AS doc_id
+        |  FROM iflag f JOIN ipercomp p USING (cluster_id)
+        |  WHERE f.is_delta AND p.has_seen = 0 AND f.id = p.min_delta),
+        |ndk AS MATERIALIZED (SELECT d.doc_id FROM dkeep d LEFT JOIN ikept k ON d.doc_id = k.doc_id
+        |  WHERE k.doc_id IS NULL),
+        |dalive2 AS MATERIALIZED (SELECT d.doc_id, d.red FROM dkeep d
+        |  LEFT JOIN ndk ON d.doc_id = ndk.doc_id WHERE ndk.doc_id IS NULL),
+        |icw AS (SELECT doc_id AS id, ${wordsSqlOf("red")} AS ws FROM dalive2),
+        |icgs AS (SELECT id, $NgramsSql AS gs FROM icw),
+        |icdg AS (SELECT DISTINCT id, unnest(gs) AS gram FROM icgs),
+        |ibw AS (SELECT doc_id AS id, $WordsSql AS ws FROM rl WHERE doc_id % 20 = 7),
+        |ibgs AS (SELECT id, $NgramsSql AS gs FROM ibw),
+        |ibdg AS (SELECT DISTINCT id, unnest(gs) AS gram FROM ibgs),
+        |ich AS (SELECT icdg.id, p.gh
+        |  FROM icdg JOIN read_parquet('{OUT}/release_gram_hashes/*.parquet') p USING (gram)),
+        |ibh AS (SELECT ibdg.id, p.gh
+        |  FROM ibdg JOIN read_parquet('{OUT}/release_gram_hashes/*.parquet') p USING (gram)),
+        |ibsz AS (SELECT id, count(*) AS n FROM ibh GROUP BY id),
+        |im AS (SELECT ich.id AS doc_id, ibh.id AS bench_id, count(*) AS n_shared
+        |  FROM ich JOIN ibh USING (gh) GROUP BY 1, 2),
+        |ick AS (SELECT DISTINCT im.doc_id FROM im JOIN ibsz ON ibsz.id = im.bench_id
+        |  WHERE im.n_shared / ibsz.n >= 0.5)
+        |SELECT f.doc_id,
+        |  CASE WHEN f.is_bench THEN 'bench'
+        |       WHEN NOT f.lang_ok THEN 'lang'
+        |       WHEN NOT f.quality_ok THEN 'quality'
+        |       WHEN NOT f.rep_ok THEN 'repetition'
+        |       WHEN dexk.doc_id IS NOT NULL THEN 'exact_dup'
+        |       WHEN ndk.doc_id IS NOT NULL THEN 'near_dup'
+        |       WHEN ick.doc_id IS NOT NULL THEN 'contaminated'
+        |       ELSE 'kept' END AS fate
+        |FROM rflag f
+        |LEFT JOIN dexk ON f.doc_id = dexk.doc_id
+        |LEFT JOIN ndk ON f.doc_id = ndk.doc_id
+        |LEFT JOIN ick ON f.doc_id = ick.doc_id
+        |WHERE f.doc_id % 10 = 9
+        |ORDER BY f.doc_id""".stripMargin,
     // decontam gram murmur parameters: key set = grams of the redacted
     // alive1 survivors ∪ grams of the raw bench items, re-derived
     "release_gram_hashes" ->

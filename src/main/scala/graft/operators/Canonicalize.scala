@@ -144,6 +144,17 @@ object Canonicalize {
     * instead (a diameter needing > 2^40 jumps does not exist).
     * Returns (cid, cluster_id = min cid of component).
     */
+  /** Lineage cut over a MATERIALIZED (persisted + counted) frame: the
+    * LogicalRDD leaf plans downstream actions over a flat scan instead
+    * of re-analyzing the producer's whole logical subtree per action —
+    * with a deep producer (the incremental dedup pair chain) the
+    * repeated driver-side analysis alone measured ~1.5s PER derived
+    * action even though execution hit the cache (BENCH.md). Jobs on the
+    * leaf read the cached blocks; lineage-based recompute is kept.
+    */
+  private[operators] def planLeaf(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 40): DataFrame = {
     val spark = nodes.sparkSession
     // persist + LogicalRDD wrap (pageRank's arcs pattern): a cached
@@ -221,12 +232,24 @@ object Canonicalize {
   def entityTable(dict: Dataset[ChemDictEntry]): Dataset[CanonicalEntity] = {
     val spark = dict.sparkSession
     import spark.implicits._
-    val nodes = dict.select(col("cid"))
-    val pairs = candidatePairs(dict)
-    val labels = connectedComponents(nodes, pairs)
-    labels
-      .join(dict.toDF(), Seq("cid"))
-      .select(col("cluster_id").as("clusterId"), col("cid"),
+    // CC over PAIR-TOUCHED cids only (the dedup-family discipline): an
+    // entry no blocking pair touches is trivially its own cluster, so
+    // the full-dict node set would route O(|dict|) rows through every
+    // label iteration for a merge set that is O(|synonym pairs|).
+    // Untouched entries get cluster_id = cid back in the final join.
+    val pairs = candidatePairs(dict).persist()
+    pairs.count()
+    // lineage cut before the CC derivations (see planLeaf)
+    val pl = planLeaf(pairs)
+    val touched = pl.select(col("cid_a").as("cid"))
+      .union(pl.select(col("cid_b").as("cid"))).distinct()
+    val labels =
+      try connectedComponents(touched, pl)
+      finally { pairs.unpersist(); () }
+    dict.toDF()
+      .join(labels, Seq("cid"), "left")
+      .select(coalesce(col("cluster_id"), col("cid")).as("clusterId"),
+        col("cid"),
         col("canonicalName"), col("synonyms").as("memberNames"),
         col("molecularFormula"), col("molecularWeight"))
       .as[CanonicalEntity]

@@ -309,6 +309,14 @@ object Dedup {
 
   /** Near-dup clusters from minhash pairs via connected components;
     * returns (id, cluster_id = min id of component).
+    *
+    * CC label propagation runs over the PAIR-TOUCHED ids only: an
+    * untouched document is trivially its own singleton cluster and its
+    * label can never change, so routing the full corpus through every
+    * iteration (the naive nodes = docs form) would put O(corpus) rows
+    * into each CC round for a non-singleton set that is O(duplicates).
+    * Untouched docs get cluster_id = id back via one left join at the
+    * end — same output, iteration cost proportional to the dup graph.
     */
   def minhashClusters(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.7,
@@ -316,13 +324,24 @@ object Dedup {
     val (rawPairs, release) = minhashPairsWithHandle(docs, idCol, textCol,
       threshold = threshold, useBroadcast = useBroadcast)
     val pairs = rawPairs.select(col("id_a").as("cid_a"), col("id_b").as("cid_b"))
-    val nodes = docs.select(col(idCol).cast("long").as("cid"))
+      .persist()
+    pairs.count()
+    // lineage cut before the CC derivations (see Canonicalize.planLeaf):
+    // the pair chain's plan is deep and each derived action re-analyzes
+    // it on the driver even when execution hits the cache
+    val pl = Canonicalize.planLeaf(pairs)
+    val touched = pl.select(col("cid_a").as("cid"))
+      .union(pl.select(col("cid_b").as("cid"))).distinct()
     // CC materializes the edge list eagerly (persist + checkpointed
     // label iterations), so the candidate cache can release right after
     val labels =
-      try Canonicalize.connectedComponents(nodes, pairs)
-      finally release()
-    labels.select(col("cid").as(idCol), col("cluster_id"))
+      try Canonicalize.connectedComponents(touched, pl)
+      finally { release(); pairs.unpersist(); () }
+    docs.select(col(idCol).cast("long").as(idCol))
+      .join(labels.select(col("cid").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
   }
 
   // ---------- exact n-gram Jaccard (prefix filtering) ----------

@@ -347,16 +347,21 @@ object IncrDedup {
     // frame references only the checkpointed CC labels, never `pairs`)
     val p = pairs.persist()
     p.count()
+    // lineage cut: the pair chain's logical plan is deep (LSH + index
+    // joins + verify), and every derived action below would re-run
+    // driver-side analysis over it even though execution hits the
+    // cache — measured ~1.5s per action, ~10s across CC setup
+    val pl = Canonicalize.planLeaf(p)
     val labels = try {
       // CC runs over the DUP GRAPH only (ids appearing in some pair) —
       // delta docs untouched by any pair are trivially their own
       // components, and excluding them keeps the iterated node set
       // O(|dups|), not O(|delta|)
-      val pairIds = p
+      val pairIds = pl
         .select(explode(array(col("id_a"), col("id_b"))).as("id"))
         .distinct()
       val nodes = pairIds.select(col("id").as("cid"))
-      val edges = p.select(col("id_a").as("cid_a"), col("id_b").as("cid_b"))
+      val edges = pl.select(col("id_a").as("cid_a"), col("id_b").as("cid_b"))
       Canonicalize.connectedComponents(nodes, edges)
     } finally p.unpersist()
     // deltas with no pair at all are kept unconditionally; the CC node

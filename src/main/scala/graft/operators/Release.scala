@@ -178,12 +178,17 @@ object Release {
       useBroadcast = cfg.useBroadcast)
     val pairs = rawPairs
       .select(col("id_a").as("cid_a"), col("id_b").as("cid_b")).persist()
-    val touched = pairs.select(col("cid_a").as("cid"))
-      .union(pairs.select(col("cid_b").as("cid"))).distinct()
+    pairs.count()
+    // lineage cut before the CC derivations (Canonicalize.planLeaf):
+    // each derived action would otherwise re-analyze the deep pair
+    // chain on the driver even though execution hits the cache
+    val pl = Canonicalize.planLeaf(pairs)
+    val touched = pl.select(col("cid_a").as("cid"))
+      .union(pl.select(col("cid_b").as("cid"))).distinct()
     // CC materializes its edge list eagerly, so the candidate cache can
     // release right after
     val labels =
-      try Canonicalize.connectedComponents(touched, pairs)
+      try Canonicalize.connectedComponents(touched, pl)
       finally { releasePairs(); pairs.unpersist(); () }
     val nearKill = labels.filter(col("cluster_id") =!= col("cid"))
       .select(col("cid").as("doc_id"))
@@ -245,4 +250,117 @@ object Release {
   /** Per-fate attrition counts — the release report row. */
   def stats(fates: DataFrame): DataFrame =
     fates.groupBy("fate").agg(count(lit(1)).as("n"))
+
+  // ------------------- incremental (per-crawl) form -------------------
+
+  /** At-rest index state the incremental release maintains between
+    * crawls — the 10^12-doc shape, where re-running the batch build per
+    * crawl is impossible:
+    *  - `exactHashes`: distinct md5 of the redacted text of every seen
+    *    gate-survivor (alive0) — 16-byte keys, O(corpus) rows but no
+    *    text;
+    *  - `bands`/`counts`: the IncrDedup band index over the seen
+    *    NEAR-DUP-STAGE input (post-exact survivors, redacted text);
+    *  - `shingles`: the int-only shingle-hash sidecar over the same
+    *    rows, so candidate verification never reads seen text;
+    *  - `bench`: the raw bench items (small, the eval set itself).
+    * All four are O(delta)-appendable (MoR at rest): a crawl appends
+    * its own alive0 hashes, alive1 bands/counts/shingles, and the
+    * bench set is static.
+    */
+  final case class Index(
+      exactHashes: DataFrame,
+      bands: DataFrame,
+      counts: DataFrame,
+      shingles: DataFrame,
+      bench: DataFrame)
+
+  /** Build the at-rest index from a seen corpus (the bootstrap job; a
+    * deployment materializes these four tables and appends per crawl).
+    */
+  def buildIndex(seen: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", cfg: Config = Config()): Index = {
+    val compact = labeled(seen, idCol, textCol, cfg)
+    val a0 = alive0(compact)
+    val a1 = alive1(compact)
+    val bandRows = IncrDedup.bandIndex(a1, "doc_id", "red")
+    Index(
+      exactHashes = a0.select(md5(col("red")).as("h")).distinct(),
+      bands = bandRows,
+      counts = IncrDedup.bucketCounts(bandRows),
+      shingles = IncrDedup.shingleSidecar(a1, "doc_id", "red"),
+      bench = seen.filter(
+        pmod(col(idCol).cast("long"), lit(cfg.benchMod.toLong)) ===
+          cfg.benchRem.toLong)
+        .select(col(idCol).cast("long").as("bench_id"), col(textCol).as("text")))
+  }
+
+  /** The attrition ledger for ONE crawl delta against the at-rest
+    * index: (doc_id, fate) for every delta document, same fate
+    * vocabulary and first-kill priority as the batch [[ledgerWithHandle]].
+    * Per-crawl cost is O(delta) text work — the delta is the job's ONLY
+    * text input (near-dup verification runs off the int-only shingle
+    * sidecar; exact dedup exchanges 16-byte hashes; decontam grams are
+    * 64-bit keys; the bench side is the small raw eval set).
+    *
+    * Seen-corpus semantics (IncrDedup's, disclosed there): a delta doc
+    * whose redacted text matches ANY seen gate-survivor hash is
+    * exact_dup (seen means seen — even if the seen copy was itself
+    * later deduped away); a near-dup component touching any seen id
+    * drops all its delta members; previously-kept seen docs are never
+    * retracted.
+    */
+  def incrementalLedgerWithHandle(delta: DataFrame, idx: Index,
+      idCol: String = "doc_id", textCol: String = "text",
+      cfg: Config = Config()): (DataFrame, () => Unit) = {
+    val compact = labeled(delta, idCol, textCol, cfg).persist()
+    val a0 = alive0(compact)
+    // exact vs seen ∪ within-delta: the within-delta min survives its
+    // group unless the group's hash is already seen
+    val hashed = a0.select(col("doc_id"), md5(col("red")).as("h"))
+    val keep = hashed
+      .join(hashed.groupBy("h").agg(min(col("doc_id")).as("keep_id")), Seq("h"))
+      .filter(col("doc_id") === col("keep_id"))
+      .join(idx.exactHashes, Seq("h"), "left_anti")
+      .select("doc_id")
+      .persist()
+    val a1 = a0.join(keep, Seq("doc_id"), "left_semi")
+    // near-dup vs the band index, verified off the int-only sidecar —
+    // NO seen-text input (IncrDedup.incrementalPairsFromIndex)
+    val (pairs, releasePairs) = IncrDedup.incrementalPairsFromIndexWithHandle(
+      idx.bands, idx.counts, idx.shingles, a1, "doc_id", "red",
+      threshold = cfg.nearThreshold, useBroadcast = cfg.useBroadcast)
+    // survivors materializes the pair chain eagerly (checkpointed CC
+    // labels), so the candidate cache can release right after
+    val kept =
+      try IncrDedup.survivors(a1, pairs)
+      finally releasePairs()
+    val nearKill = a1.select("doc_id")
+      .join(kept, Seq("doc_id"), "left_anti")
+      .persist()
+    val a2 = a1.join(nearKill, Seq("doc_id"), "left_anti")
+    val contamKill = Decontaminate.flagged(a2,
+      idx.bench.select(col("bench_id"), col("text").as("red")),
+      "doc_id", "bench_id", "red", minFracBench = cfg.minFracBench,
+      useBroadcast = cfg.useBroadcast)
+      .select("doc_id")
+      .persist()
+    val fates = compact
+      .join(keep.withColumn("x_keep", lit(1)), Seq("doc_id"), "left")
+      .join(nearKill.withColumn("x_nd", lit(1)), Seq("doc_id"), "left")
+      .join(contamKill.withColumn("x_ct", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_bench"), "bench")
+          .when(!col("lang_ok"), "lang")
+          .when(!col("quality_ok"), "quality")
+          .when(!col("rep_ok"), "repetition")
+          .when(col("x_keep").isNull, "exact_dup")
+          .when(col("x_nd").isNotNull, "near_dup")
+          .when(col("x_ct").isNotNull, "contaminated")
+          .otherwise("kept").as("fate"))
+    (fates, () => {
+      compact.unpersist(); keep.unpersist(); nearKill.unpersist()
+      contamKill.unpersist(); ()
+    })
+  }
 }

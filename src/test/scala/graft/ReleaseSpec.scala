@@ -106,6 +106,45 @@ class ReleaseSpec extends AnyFunSuite {
     assert(m1 == m2)
   }
 
+  test("incremental ledger: crawl delta vs the at-rest index, every fate") {
+    import spark.implicits._
+    val idx = Release.buildIndex(corpus())
+    val delta = Seq(
+      101L -> en("alpha1"), // exact text of seen kept doc 1 → exact_dup (seen hash)
+      102L -> (en("xd6") + " contact zz.new@mail-three.example.net now"), // redacted == seen 6/8's red → exact_dup
+      103L -> en("nd9", "tail three"), // near-dup of seen family {9,10} → seen-touch → near_dup
+      104L -> en("delta104"), // clean → kept
+      105L -> german, // lang
+      106L -> (en("ct106") + " " + benchText), // contaminated
+      112L -> en("pd7", "tail a"), // within-delta near-dup pair: min kept
+      113L -> en("pd7", "tail b"), // near_dup (all-new component, not min)
+      109L -> "the dog is by the door", // quality: 6 tokens
+      110L -> en("xx110x"), // within-delta exact pair: min kept
+      111L -> en("xx110x") // exact_dup (within delta)
+    ).toDF("doc_id", "text")
+    val (fates, release) = Release.incrementalLedgerWithHandle(delta, idx)
+    val m = fatesMap(fates)
+    release()
+    assert(m == Map(
+      101L -> "exact_dup", 102L -> "exact_dup", 103L -> "near_dup",
+      104L -> "kept", 105L -> "lang", 106L -> "contaminated",
+      112L -> "kept", 113L -> "near_dup", 109L -> "quality",
+      110L -> "kept", 111L -> "exact_dup"))
+  }
+
+  test("incremental 'seen means seen': a near-dup of a seen DROPPED doc still dies") {
+    import spark.implicits._
+    // seen 10 was near-dup-dropped (9 kept); a delta near-dup of that
+    // family's body still has a seen-touching component → killed, even
+    // though its closest seen match never shipped
+    val idx = Release.buildIndex(corpus())
+    val delta = Seq(201L -> en("nd9", "tail four")).toDF("doc_id", "text")
+    val (fates, release) = Release.incrementalLedgerWithHandle(delta, idx)
+    val m = fatesMap(fates)
+    release()
+    assert(m(201L) == "near_dup")
+  }
+
   test("plan: the per-row gate pass is ONE zero-exchange projection") {
     import org.apache.spark.sql.execution.exchange.Exchange
     val l = Release.labeled(corpus())
