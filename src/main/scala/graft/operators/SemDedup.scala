@@ -133,8 +133,12 @@ object SemDedup {
       threshold: Double = DefaultThreshold,
       idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, () => Unit) = {
     val assigned = assignedVectors(corpus, cents, idCol, vecCol).persist()
-    val p = pairsFromAssigned(assigned, threshold).persist()
-    p.count() // materialize: CC + keeper + anti-join all read it
+    val p0 = pairsFromAssigned(assigned, threshold).persist()
+    p0.count() // materialize: CC + keeper + anti-join all read it
+    // lineage cut (Canonicalize.planLeaf): the pair chain's plan is
+    // deep, and each derived action below re-analyzes it on the driver
+    // even when execution hits the cache
+    val p = Canonicalize.planLeaf(p0)
     val members = p.select(col("a").as("cid"))
       .union(p.select(col("b").as("cid"))).distinct()
     val cc = Canonicalize.connectedComponents(
@@ -150,6 +154,6 @@ object SemDedup {
       .join(keepers, members("cid") === keepers("keep_id"), "left_anti")
     val out = assigned.select(col("id"))
       .join(dropped, col("id") === dropped("cid"), "left_anti")
-    (out, () => { p.unpersist(); assigned.unpersist(); () })
+    (out, () => { p0.unpersist(); assigned.unpersist(); () })
   }
 }
