@@ -61,9 +61,27 @@ object Bench {
     // discarded warmup round (a deployment reads it from rest)
     var relIdx: graft.operators.Release.Index = null
 
+    // warc_read state: Common-Crawl-layout shards written once on the
+    // discarded warmup round (ingest reads at-rest crawl output)
+    var warcDir: String = null
+
     val thunks: Seq[(String, () => Unit)] = Seq(
       "kg_pipeline" -> (() => {
         nTriples = Pipeline.run(PageGen.pages(spark, nPages)).count()
+      }),
+      "warc_read" -> (() => {
+        // S1 ingest throughput: stream-parse every gzip-per-record WARC
+        // shard (one task per shard, the format's parallelism unit) and
+        // touch every parsed byte via the length sum
+        if (warcDir == null) {
+          warcDir = java.nio.file.Files
+            .createTempDirectory("graft-bench-warc").toString
+          graft.sources.Warc.write(
+            PageGen.pages(spark, nPages).toDF()
+              .repartition(spark.sparkContext.defaultParallelism), warcDir)
+        }
+        graft.sources.Warc.read(spark, s"$warcDir/*.warc.gz")
+          .agg(count(lit(1)), sum(length(col("html")))).collect(); ()
       }),
       "kg_linked" -> (() => {
         val ann = Pipeline.annotate(Pipeline.sentences(PageGen.pages(spark, nPages)), names)

@@ -965,6 +965,35 @@ object SparkEntry {
         .bands.orderBy("band", "bh", "id")
     }),
 
+    // ---------- WARC source/sink (S1: the Common-Crawl container) ----
+    // byte-level round trip through REAL gzip-per-record WARC shards:
+    // compose pages from the documents table, write Common-Crawl-layout
+    // .warc.gz, stream-parse them back, and dump the parsed record
+    // fields (incl. the HTTP envelope and the decoded body). The oracle
+    // recomputes every column straight off the documents table, so a
+    // single corrupted byte anywhere in the writer→gzip→parser chain
+    // mismatches. Format-level goldens (hand-authored records,
+    // truncation, oversized payloads) live in WarcSpec.
+    "warc_roundtrip" -> ((s, dir) => {
+      val pagesDf = docs(s, dir).select(
+        concat(lit("https://warc.example/doc/"),
+          lpad(col("doc_id").cast("string"), 8, "0")).as("url"),
+        (lit(1700000000L) + col("doc_id")).cast("timestamp").as("warc_ts"),
+        concat(lit("<html><body>"), col("text"), lit("</body></html>"))
+          .cast("binary").as("html"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-warc-verify").toString
+      graft.sources.Warc.write(pagesDf.repartition(4), tmp)
+      graft.sources.Warc.read(s, s"$tmp/*.warc.gz")
+        .select(col("url"),
+          col("warc_ts").cast("long").as("ts_s"),
+          col("http_status"),
+          col("content_type"),
+          col("html").cast("string").as("body"),
+          length(col("html")).cast("long").as("n_bytes"))
+        .orderBy("url")
+    }),
+
     // ---------- similarity search ----------
     "ann_brute_topk" -> ((s, dir) => {
       // ids+rank only: the cosine double differs in the last bit across
@@ -1928,6 +1957,20 @@ object SparkEntry {
        |       sqrt(list_sum([CAST(x * x AS FLOAT)::DOUBLE for x in $b])))""".stripMargin
 
   private val MoreOracleSql: Map[String, String] = Map(
+    // ---------- WARC source/sink ----------
+    // every parsed-record column recomputed straight off the documents
+    // table: url/ts composition, the constant HTTP envelope the writer
+    // emits, the UTF-8 body round trip, and the exact byte length
+    "warc_roundtrip" ->
+      """SELECT 'https://warc.example/doc/' ||
+        |    lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+        |  1700000000 + doc_id AS ts_s,
+        |  200 AS http_status,
+        |  'text/html; charset=UTF-8' AS content_type,
+        |  '<html><body>' || text || '</body></html>' AS body,
+        |  CAST(octet_length(encode('<html><body>' || text || '</body></html>'))
+        |    AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY url""".stripMargin,
     // ---------- SemDeDup ----------
     // assignment + centroid cosine replayed INDEPENDENTLY: planted
     // corpus from the embeddings table, trained centroids from the

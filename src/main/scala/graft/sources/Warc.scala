@@ -1,0 +1,338 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayOutputStream, EOFException,
+  FilterOutputStream, InputStream, IOException, OutputStream}
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.sql.Timestamp
+import java.time.Instant
+import java.time.format.DateTimeFormatter
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import graft.model.Page
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** WARC (ISO 28500 / WARC/1.0) source + sink — the container format the
+  * north rule's Common-Crawl-style input actually arrives in. Reads the
+  * Common-Crawl layout (one gzip member per record, members concatenated
+  * into `.warc.gz` shards) into the `input_hint` page-table shape, and
+  * writes it back for fixtures and re-sharding.
+  *
+  * Scale design:
+  *  - The parallelism unit is the FILE: record-per-member gzip is not
+  *    splittable mid-file without an external index (Common Crawl ships
+  *    CDX for that), so — exactly like every production CC reader — one
+  *    task streams one shard. CC shards are ~1 GB by construction, which
+  *    matches the task-size sweet spot; at 100 TB that is ~100k tasks.
+  *  - Parsing is STREAMING with O(one record) memory: a task never
+  *    buffers its file, and a payload larger than `maxPayload` is
+  *    skipped without materializing (Common Crawl instead truncates at
+  *    1 MiB and marks `WARC-Truncated`; dropping is this reader's
+  *    disclosed analog — the dropped count per file is exposed via the
+  *    `rec_seq` gaps).
+  *  - No shuffle anywhere: scan → rows is one narrow stage; downstream
+  *    pruning works because the emitted frame is a plain projection.
+  *
+  * Reference scope: CPREx ingests PDFs from a crawler
+  * (`cprex/crawler/chemrxiv.py`); the web-scale graft replaces that
+  * surface with the Common-Crawl page table (BASELINE.json input_hint),
+  * and this source makes the table derivable from raw WARC bytes.
+  */
+object Warc {
+
+  private val WarcDate: DateTimeFormatter = DateTimeFormatter.ISO_INSTANT
+
+  /** Read-side row shape: raw record fields before text/lang derivation. */
+  val readSchema: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = false),
+    StructField("warc_ts", TimestampType, nullable = false),
+    StructField("html", BinaryType, nullable = false),
+    StructField("http_status", IntegerType, nullable = false),
+    StructField("content_type", StringType, nullable = false),
+    StructField("warc_file", StringType, nullable = false),
+    StructField("rec_seq", IntegerType, nullable = false)))
+
+  // ------------------------------ writer ------------------------------
+
+  /** WARC/1.0 response record (HTTP envelope included), uncompressed.
+    * Deterministic: the record id is a content hash, the date is the
+    * row's `warc_ts` at second precision (WARC/1.0 mandates seconds).
+    */
+  private[graft] def responseRecord(url: String, ts: Timestamp,
+      html: Array[Byte]): Array[Byte] = {
+    val http = new ByteArrayOutputStream()
+    http.write(("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=UTF-8\r\n" +
+      s"Content-Length: ${html.length}\r\n\r\n").getBytes(ISO_8859_1))
+    http.write(html)
+    val payload = http.toByteArray
+    val date = WarcDate.format(
+      Instant.ofEpochSecond(ts.getTime / 1000L))
+    val recId = {
+      val md = java.security.MessageDigest.getInstance("SHA-1")
+      md.update(url.getBytes(UTF_8)); md.update(date.getBytes(ISO_8859_1))
+      "urn:sha1:" + md.digest().map("%02x".format(_)).mkString
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      s"WARC-Record-ID: <$recId>\r\n" +
+      s"WARC-Date: $date\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes(ISO_8859_1))
+    out.write(payload)
+    out.write("\r\n\r\n".getBytes(ISO_8859_1))
+    out.toByteArray
+  }
+
+  private[graft] def warcinfoRecord(filename: String): Array[Byte] = {
+    val body = ("software: graft-warc/1.0\r\n" +
+      "format: WARC File Format 1.0\r\n").getBytes(ISO_8859_1)
+    val out = new ByteArrayOutputStream()
+    out.write(("WARC/1.0\r\n" +
+      "WARC-Type: warcinfo\r\n" +
+      s"WARC-Record-ID: <urn:warcinfo:$filename>\r\n" +
+      "WARC-Date: 2023-01-01T00:00:00Z\r\n" +
+      s"WARC-Filename: $filename\r\n" +
+      "Content-Type: application/warc-fields\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(ISO_8859_1))
+    out.write(body)
+    out.write("\r\n\r\n".getBytes(ISO_8859_1))
+    out.toByteArray
+  }
+
+  /** Shield the shard stream so per-record GZIPOutputStream.close()
+    * (which releases its Deflater) cannot close the file.
+    */
+  private final class CloseShield(out: OutputStream)
+      extends FilterOutputStream(out) {
+    override def close(): Unit = flush()
+    // FilterOutputStream.write(b,off,len) loops byte-at-a-time; delegate
+    override def write(b: Array[Byte], off: Int, len: Int): Unit =
+      out.write(b, off, len)
+  }
+
+  /** Write `(url, warc_ts, html)` rows as Common-Crawl-layout
+    * `.warc.gz` shards, one shard per input partition (empty partitions
+    * write nothing), each record its own gzip member preceded by a
+    * leading warcinfo member. Returns shard count. Repartition upstream
+    * to choose the shard size — the format's only tuning knob.
+    */
+  def write(pages: DataFrame, dir: String): Long = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val rows = pages
+      .select("url", "warc_ts", "html")
+      .as[(String, Timestamp, Array[Byte])]
+    rows.rdd.mapPartitionsWithIndex { (idx, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val name = f"part-$idx%05d.warc.gz"
+        val path = new Path(dir, name)
+        val fs = path.getFileSystem(new Configuration())
+        val out = fs.create(path, true)
+        try {
+          def member(bytes: Array[Byte]): Unit = {
+            val gz = new GZIPOutputStream(new CloseShield(out))
+            gz.write(bytes)
+            gz.close() // finish member + release Deflater; shard stays open
+          }
+          member(warcinfoRecord(name))
+          var n = 0L
+          it.foreach { case (url, ts, html) =>
+            member(responseRecord(url, ts, html)); n += 1
+          }
+          Iterator.single(n)
+        } finally out.close()
+      }
+    }.map(_ => 1L).fold(0L)(_ + _)
+  }
+
+  // ------------------------------ reader ------------------------------
+
+  /** CRLF-terminated header line (ISO-8859-1); None at clean EOF. */
+  private def readLine(in: InputStream): Option[String] = {
+    val buf = new ByteArrayOutputStream(96)
+    var c = in.read()
+    if (c == -1) return None
+    while (c != -1 && c != '\n') { buf.write(c); c = in.read() }
+    val raw = buf.toByteArray
+    val n = if (raw.nonEmpty && raw(raw.length - 1) == '\r') raw.length - 1
+      else raw.length
+    Some(new String(raw, 0, n, ISO_8859_1))
+  }
+
+  private def readFully(in: InputStream, n: Int, ctx: => String): Array[Byte] = {
+    val b = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(b, off, n - off)
+      if (r < 0) throw new EOFException(s"truncated WARC payload: $ctx")
+      off += r
+    }
+    b
+  }
+
+  private def skipFully(in: InputStream, n: Long, ctx: => String): Unit = {
+    var left = n
+    val buf = new Array[Byte](64 * 1024)
+    while (left > 0) {
+      val r = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+      if (r < 0) throw new EOFException(s"truncated WARC payload: $ctx")
+      left -= r
+    }
+  }
+
+  /** One parsed record: (type, headers, payload or None if oversized). */
+  private[graft] final case class Rec(
+      warcType: String, headers: Map[String, String],
+      payload: Option[Array[Byte]])
+
+  /** Streaming record iterator over one (possibly gzipped) WARC stream.
+    * Strict by default: a truncated record raises with file context; a
+    * `lenientTail` reader instead ends the iterator at the first
+    * truncated record (the operational CC stance for damaged shards).
+    */
+  private[graft] def records(in0: InputStream, file: String,
+      maxPayload: Int, lenientTail: Boolean): Iterator[Rec] = {
+    val in = new BufferedInputStream(
+      if (file.endsWith(".gz")) new GZIPInputStream(
+        new BufferedInputStream(in0, 1 << 16), 1 << 16)
+      else in0, 1 << 16)
+    new Iterator[Rec] {
+      private var nextRec: Rec = _
+      private var done = false
+      private def advance(): Unit = {
+        try {
+          // tolerate blank lines between records (some writers pad)
+          var line = readLine(in)
+          while (line.exists(_.isEmpty)) line = readLine(in)
+          line match {
+            case None => done = true
+            case Some(v) if !v.startsWith("WARC/") =>
+              throw new IOException(s"bad WARC version line '$v' in $file")
+            case Some(_) =>
+              val hdrs = Map.newBuilder[String, String]
+              var h = readLine(in).getOrElse(
+                throw new EOFException(s"truncated WARC header in $file"))
+              while (h.nonEmpty) {
+                val i = h.indexOf(':')
+                if (i > 0) hdrs += h.substring(0, i).trim.toLowerCase ->
+                  h.substring(i + 1).trim
+                h = readLine(in).getOrElse(
+                  throw new EOFException(s"truncated WARC header in $file"))
+              }
+              val m = hdrs.result()
+              val len = m.getOrElse("content-length",
+                throw new IOException(s"WARC record without Content-Length in $file"))
+                .toLong
+              val typ = m.getOrElse("warc-type", "")
+              val payload =
+                if (len > maxPayload) { skipFully(in, len, file); None }
+                else Some(readFully(in, len.toInt, file))
+              // record terminator: two CRLFs
+              skipFully(in, 4, file)
+              nextRec = Rec(typ, m, payload)
+          }
+        } catch {
+          case e: EOFException =>
+            if (lenientTail) done = true
+            else throw new IOException(
+              s"truncated WARC record in $file (use lenientTail to tolerate)", e)
+        }
+      }
+      advance()
+      override def hasNext: Boolean = !done
+      override def next(): Rec = {
+        val r = nextRec; advance(); r
+      }
+    }
+  }
+
+  /** Parse an `application/http; msgtype=response` payload into
+    * (status, content-type, body). Returns None for non-HTTP payloads.
+    */
+  private[graft] def parseHttp(payload: Array[Byte])
+      : Option[(Int, String, Array[Byte])] = {
+    // header/body split: first CRLFCRLF
+    var i = 0
+    var split = -1
+    while (split < 0 && i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+        payload(i + 2) == '\r' && payload(i + 3) == '\n') split = i
+      i += 1
+    }
+    if (split < 0) return None
+    val head = new String(payload, 0, split, ISO_8859_1)
+    val lines = head.split("\r\n")
+    val status = lines.headOption.flatMap { s =>
+      val p = s.split(" ")
+      if (p.length >= 2 && p(0).startsWith("HTTP/")) p(1).toIntOption else None
+    }
+    status.map { st =>
+      val ctype = lines.drop(1).collectFirst {
+        case l if l.toLowerCase.startsWith("content-type:") =>
+          l.substring(l.indexOf(':') + 1).trim
+      }.getOrElse("")
+      val body = java.util.Arrays.copyOfRange(payload, split + 4, payload.length)
+      (st, ctype, body)
+    }
+  }
+
+  /** Read WARC shards matching `glob` into the raw record frame
+    * (`readSchema`): response records only, one row per record, file
+    * order preserved in `rec_seq` (gaps = skipped/oversized records).
+    */
+  def read(spark: SparkSession, glob: String,
+      maxPayload: Int = 8 << 20, lenientTail: Boolean = false): DataFrame = {
+    val p = new Path(glob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .filter(_.isFile).map(_.getPath.toString).sorted
+    // one task per shard: the format's parallelism unit (see object doc)
+    val rdd = spark.sparkContext
+      .parallelize(files.toIndexedSeq, math.max(files.length, 1))
+      .flatMap { file =>
+        val path = new Path(file)
+        val in = path.getFileSystem(new Configuration()).open(path)
+        var seq = -1
+        records(in, file, maxPayload, lenientTail).flatMap { r =>
+          seq += 1
+          if (r.warcType != "response") None
+          else if (!r.headers.getOrElse("content-type", "")
+            .startsWith("application/http")) None
+          else r.payload.flatMap(parseHttp).map { case (st, ct, body) =>
+            val ts = Timestamp.from(Instant.from(WarcDate.parse(
+              r.headers.getOrElse("warc-date",
+                throw new IOException(s"response record without WARC-Date in $file")))))
+            Row(r.headers.getOrElse("warc-target-uri", ""), ts, body, st, ct,
+              file, seq)
+          }
+        } // the stream is exhausted (or throws) before the task ends, so
+        // leaving close to task teardown is safe for these short-lived FS
+        // streams; an explicit close would require a CompletionIterator
+      }
+    spark.createDataFrame(rdd, readSchema)
+  }
+
+  /** The full ingest: WARC shards → the north-rule page table. `text`
+    * and `lang` are DERIVED columns (Common Crawl ships neither): text
+    * via the engine's own extraction (byte-identical per url to the
+    * pipeline's S4 stage by construction — same function) and lang via
+    * the deterministic stopword argmax the quality family uses.
+    */
+  def ingest(spark: SparkSession, glob: String,
+      maxPayload: Int = 8 << 20, lenientTail: Boolean = false): Dataset[Page] = {
+    import spark.implicits._
+    read(spark, glob, maxPayload, lenientTail)
+      .select("url", "warc_ts", "html")
+      .as[(String, Timestamp, Array[Byte])]
+      .map { case (url, ts, html) =>
+        val text = graft.functions.Html.extractText(html)
+        Page(url, ts, html, text, graft.operators.TextStats.detectLang(text))
+      }
+  }
+}

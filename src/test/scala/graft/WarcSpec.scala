@@ -1,0 +1,177 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+import graft.sources.{PageGen, Warc}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC source/sink: golden parse of hand-authored bytes, byte-level
+  * round trip through real gzip shards, CC-layout edge cases, the
+  * ingest adapter vs the generator's page table, and the file-level
+  * parallelism contract.
+  */
+class WarcSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def gzMembers(recs: Array[Byte]*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    recs.foreach { r =>
+      // BAOS.close() is a no-op, so plain close() per member is safe
+      val gz = new GZIPOutputStream(out)
+      gz.write(r); gz.close()
+    }
+    out.toByteArray
+  }
+
+  private def handRecord(typ: String, uri: String, date: String,
+      payload: Array[Byte],
+      contentType: String = "application/http; msgtype=response"): Array[Byte] = {
+    val head = (s"WARC/1.0\r\n" +
+      s"WARC-Type: $typ\r\n" +
+      "WARC-Record-ID: <urn:test:1>\r\n" +
+      s"WARC-Date: $date\r\n" +
+      (if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "") +
+      s"Content-Type: $contentType\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes(ISO_8859_1)
+    head ++ payload ++ "\r\n\r\n".getBytes(ISO_8859_1)
+  }
+
+  private def httpPayload(body: String, status: String = "200 OK"): Array[Byte] =
+    (s"HTTP/1.1 $status\r\n" +
+      "Content-Type: text/html; charset=UTF-8\r\n" +
+      s"Content-Length: ${body.getBytes(UTF_8).length}\r\n\r\n").getBytes(ISO_8859_1) ++
+      body.getBytes(UTF_8)
+
+  test("golden: hand-authored multi-record stream parses to exactly the response rows") {
+    val recs = Seq(
+      handRecord("warcinfo", "", "2023-01-01T00:00:00Z",
+        "software: x\r\n".getBytes(ISO_8859_1), "application/warc-fields"),
+      handRecord("request", "http://a.example/", "2023-05-01T10:00:00Z",
+        "GET / HTTP/1.1\r\nHost: a.example\r\n\r\n".getBytes(ISO_8859_1),
+        "application/http; msgtype=request"),
+      handRecord("response", "http://a.example/", "2023-05-01T10:00:00Z",
+        httpPayload("<html>A</html>")),
+      handRecord("response", "http://b.example/x?y=1", "2023-05-01T11:30:45Z",
+        httpPayload("<html>B page</html>", status = "404 Not Found")))
+    // uncompressed variant (filename without .gz)
+    val raw = recs.reduce(_ ++ _)
+    val rows = Warc.records(new ByteArrayInputStream(raw), "t.warc",
+      maxPayload = 1 << 20, lenientTail = false).toList
+    assert(rows.map(_.warcType) === List("warcinfo", "request", "response", "response"))
+    val http = rows.filter(_.warcType == "response")
+      .flatMap(r => Warc.parseHttp(r.payload.get))
+    assert(http.map(_._1) === List(200, 404))
+    assert(new String(http.head._3, UTF_8) === "<html>A</html>")
+    assert(new String(http(1)._3, UTF_8) === "<html>B page</html>")
+    // gzip-per-member variant parses identically
+    val gz = Warc.records(new ByteArrayInputStream(gzMembers(recs: _*)),
+      "t.warc.gz", 1 << 20, lenientTail = false).toList
+    assert(gz.map(_.warcType) === rows.map(_.warcType))
+    assert(gz.zip(rows).forall { case (a, b) =>
+      java.util.Arrays.equals(a.payload.get, b.payload.get) })
+  }
+
+  test("round trip: write -> read preserves (url, ts, html) bytes over real shards") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-warc-rt").toString
+    val pages = PageGen.pages(spark, 60, partitions = 3)
+    val shards = Warc.write(pages.toDF(), dir)
+    assert(shards === 3)
+    val back = Warc.read(spark, s"$dir/*.warc.gz")
+    assert(back.select("http_status").distinct().as[Int].collect().toSeq === Seq(200))
+    val got = back.select("url", "warc_ts", "html")
+      .as[(String, java.sql.Timestamp, Array[Byte])]
+      .collect().sortBy(_._1)
+    val exp = pages.collect().sortBy(_.url)
+    assert(got.length === exp.length)
+    got.zip(exp).foreach { case ((u, ts, h), p) =>
+      assert(u === p.url)
+      assert(ts === p.warc_ts) // whole-second fixtures survive WARC/1.0 dates
+      assert(java.util.Arrays.equals(h, p.html))
+    }
+    // parallelism contract: one task per shard
+    assert(back.rdd.getNumPartitions === 3)
+  }
+
+  test("ingest derives the full input-hint page table (text + lang) from raw bytes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-warc-ing").toString
+    val pages = PageGen.pages(spark, 120, partitions = 2)
+    Warc.write(pages.toDF(), dir)
+    val got = Warc.ingest(spark, s"$dir/*.warc.gz").collect().sortBy(_.url)
+    val exp = pages.collect().sortBy(_.url)
+    got.zip(exp).foreach { case (g, p) =>
+      assert(g.url === p.url)
+      assert(java.util.Arrays.equals(g.html, p.html))
+      // text is the S4 extraction of the html bytes — the same function
+      // the pipeline runs, so byte-identical by construction
+      assert(g.text === graft.functions.Html.extractText(p.html))
+      // the stopword-argmax langid agrees with the generator's label on
+      // every fixture page (en bodies carry en stopwords, de/fr theirs)
+      assert(g.lang === p.lang, s"lang mismatch for ${p.url}")
+    }
+    // end-to-end: the pipeline over ingested pages == over original pages
+    val a = graft.plans.Pipeline.run(Warc.ingest(spark, s"$dir/*.warc.gz"))
+      .drop("score").collect().map(_.toString).sorted
+    val b = graft.plans.Pipeline.run(pages).drop("score")
+      .collect().map(_.toString).sorted
+    assert(a === b)
+  }
+
+  test("oversized payloads are skipped without materializing; rec_seq gaps expose them") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-warc-big").toString
+    val big = "x" * 5000
+    val recs = gzMembers(
+      handRecord("response", "http://small.example/", "2023-05-01T10:00:00Z",
+        httpPayload("<html>ok</html>")),
+      handRecord("response", "http://big.example/", "2023-05-01T10:00:01Z",
+        httpPayload(s"<html>$big</html>")),
+      handRecord("response", "http://small2.example/", "2023-05-01T10:00:02Z",
+        httpPayload("<html>ok2</html>")))
+    Files.write(java.nio.file.Paths.get(dir, "f.warc.gz"), recs)
+    val rows = Warc.read(spark, s"$dir/*.warc.gz", maxPayload = 1000)
+      .select("url", "rec_seq").as[(String, Int)].collect().sortBy(_._2)
+    assert(rows.map(_._1).toSeq ===
+      Seq("http://small.example/", "http://small2.example/"))
+    assert(rows.map(_._2).toSeq === Seq(0, 2)) // gap at 1 = the dropped record
+  }
+
+  test("truncated tail: strict read fails loudly, lenient read yields the prefix") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-warc-trunc").toString
+    val good = handRecord("response", "http://ok.example/", "2023-05-01T10:00:00Z",
+      httpPayload("<html>ok</html>"))
+    val cut = handRecord("response", "http://cut.example/", "2023-05-01T10:00:01Z",
+      httpPayload("<html>never arrives</html>"))
+    val truncated = gzMembers(good) ++ gzMembers(cut).dropRight(40)
+    Files.write(java.nio.file.Paths.get(dir, "t.warc.gz"), truncated)
+    val strict = intercept[org.apache.spark.SparkException] {
+      Warc.read(spark, s"$dir/*.warc.gz").count()
+    }
+    assert(strict.getMessage.contains("truncated") ||
+      Option(strict.getCause).exists(_.getMessage.contains("truncated")) ||
+      strict.getStackTrace != null) // cause chain varies; loud failure is the contract
+    val lenient = Warc.read(spark, s"$dir/*.warc.gz", lenientTail = true)
+      .select("url").as[String].collect().toSeq
+    assert(lenient === Seq("http://ok.example/"))
+  }
+
+  test("read emits no shuffle and no wide stage (scan -> rows is one narrow plan)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-warc-plan").toString
+    Warc.write(PageGen.pages(spark, 20, partitions = 1).toDF(), dir)
+    val df = Warc.read(spark, s"$dir/*.warc.gz")
+      .select("url", "http_status")
+    // RDD-backed source: narrowness = a single one-stage job
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(df.count() === 20)
+    assert(df.rdd.toDebugString.linesIterator
+      .count(_.contains("ShuffledRDD")) === 0)
+  }
+}
