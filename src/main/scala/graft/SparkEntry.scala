@@ -994,6 +994,33 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // CDX random access: write shards WITH their index, then fetch
+    // EXACTLY the records a cdx subset addresses (every 7th doc) by
+    // (file, offset, length) seek — the O(|candidates|) payload path.
+    // The oracle recomputes the fetched content for precisely that
+    // subset off the documents table: a wrong offset, a mis-sliced
+    // gzip member, or an over/under-fetched row set all mismatch.
+    "warc_cdx_fetch" -> ((s, dir) => {
+      val pagesDf = docs(s, dir).select(
+        concat(lit("https://warc.example/doc/"),
+          lpad(col("doc_id").cast("string"), 8, "0")).as("url"),
+        (lit(1700000000L) + col("doc_id")).cast("timestamp").as("warc_ts"),
+        concat(lit("<html><body>"), col("text"), lit("</body></html>"))
+          .cast("binary").as("html"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-warc-cdx-verify").toString
+      graft.sources.Warc.writeWithCdx(pagesDf.repartition(4),
+        s"$tmp/warc", s"$tmp/cdx")
+      val cdx = s.read.parquet(s"$tmp/cdx").filter(
+        regexp_extract(col("url"), "(\\d+)$", 1).cast("long") % 7 === 0)
+      graft.sources.Warc.fetchRecords(cdx)
+        .select(col("url"),
+          col("warc_ts").cast("long").as("ts_s"),
+          col("html").cast("string").as("body"),
+          length(col("html")).cast("long").as("n_bytes"))
+        .orderBy("url")
+    }),
+
     // ---------- similarity search ----------
     "ann_brute_topk" -> ((s, dir) => {
       // ids+rank only: the cosine double differs in the last bit across
@@ -1971,6 +1998,15 @@ object SparkEntry {
         |  CAST(octet_length(encode('<html><body>' || text || '</body></html>'))
         |    AS BIGINT) AS n_bytes
         |FROM documents ORDER BY url""".stripMargin,
+    // the CDX-addressed subset (every 7th doc), content recomputed
+    "warc_cdx_fetch" ->
+      """SELECT 'https://warc.example/doc/' ||
+        |    lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+        |  1700000000 + doc_id AS ts_s,
+        |  '<html><body>' || text || '</body></html>' AS body,
+        |  CAST(octet_length(encode('<html><body>' || text || '</body></html>'))
+        |    AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id % 7 = 0 ORDER BY url""".stripMargin,
     // ---------- SemDeDup ----------
     // assignment + centroid cosine replayed INDEPENDENTLY: planted
     // corpus from the embeddings table, trained centroids from the

@@ -12,6 +12,7 @@ import graft.model.Page
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** WARC (ISO 28500 / WARC/1.0) source + sink — the container format the
@@ -121,34 +122,143 @@ object Warc {
     * leading warcinfo member. Returns shard count. Repartition upstream
     * to choose the shard size — the format's only tuning knob.
     */
-  def write(pages: DataFrame, dir: String): Long = {
+  def write(pages: DataFrame, dir: String): Long =
+    cdxRows(pages, dir).rdd
+      .mapPartitions { it =>
+        // drain fully: the cdx iterator writes records as it advances
+        // and closes its shard on exhaustion
+        var any = 0L
+        while (it.hasNext) { it.next(); any = 1L }
+        Iterator.single(any)
+      }
+      .fold(0L)(_ + _)
+
+  /** CDX sidecar shape: one row per written response record, addressing
+    * its gzip member for random access (Common Crawl's CDX(J) role).
+    */
+  val cdxSchema: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = false),
+    StructField("warc_ts", TimestampType, nullable = false),
+    StructField("warc_file", StringType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("length", LongType, nullable = false)))
+
+  /** The shard-writing job with its CDX index as the OUTPUT dataset:
+    * evaluating the returned frame writes the shards (side effect) and
+    * yields one index row per record — write it to its sink in the SAME
+    * action (`writeWithCdx` does) so shards are never written twice.
+    * Offsets/lengths address whole gzip members (`fs.getPos` before and
+    * after the member), which is exactly what CC's CDX records and what
+    * [[fetchRecords]] seeks to.
+    */
+  private def cdxRows(pages: DataFrame, dir: String): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     val rows = pages
       .select("url", "warc_ts", "html")
       .as[(String, Timestamp, Array[Byte])]
-    rows.rdd.mapPartitionsWithIndex { (idx, it) =>
+    val rdd = rows.rdd.mapPartitionsWithIndex { (idx, it) =>
       if (!it.hasNext) Iterator.empty
       else {
         val name = f"part-$idx%05d.warc.gz"
         val path = new Path(dir, name)
         val fs = path.getFileSystem(new Configuration())
         val out = fs.create(path, true)
-        try {
-          def member(bytes: Array[Byte]): Unit = {
-            val gz = new GZIPOutputStream(new CloseShield(out))
-            gz.write(bytes)
-            gz.close() // finish member + release Deflater; shard stays open
+        var open = true
+        def closeShard(): Unit = if (open) { open = false; out.close() }
+        // a failed/short-circuited task must still release the stream
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeShard())
+        def member(bytes: Array[Byte]): Unit = {
+          val gz = new GZIPOutputStream(new CloseShield(out))
+          gz.write(bytes)
+          gz.close() // finish member + release Deflater; shard stays open
+        }
+        member(warcinfoRecord(name))
+        // stream records through; close the shard when input is exhausted
+        new Iterator[Row] {
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) closeShard()
+            h
           }
-          member(warcinfoRecord(name))
-          var n = 0L
-          it.foreach { case (url, ts, html) =>
-            member(responseRecord(url, ts, html)); n += 1
+          override def next(): Row = {
+            val (url, ts, html) = it.next()
+            val off = out.getPos
+            member(responseRecord(url, ts, html))
+            Row(url, ts, path.toString, off, out.getPos - off)
           }
-          Iterator.single(n)
-        } finally out.close()
+        }
       }
-    }.map(_ => 1L).fold(0L)(_ + _)
+    }
+    spark.createDataFrame(rdd, cdxSchema)
+  }
+
+  /** Write shards AND their CDX index parquet in ONE job (the index
+    * rows are the job's output; shards are its side effect). Returns
+    * record count. At 10^12 records the index is itself a big table —
+    * it lands as parquet, partition-prunable by `warc_file`.
+    */
+  def writeWithCdx(pages: DataFrame, dir: String, cdxDir: String): Long = {
+    val spark = pages.sparkSession
+    cdxRows(pages, dir).write.mode("overwrite").parquet(cdxDir)
+    spark.read.parquet(cdxDir).count()
+  }
+
+  /** Random-access fetch: read EXACTLY the records a CDX subset
+    * addresses — the O(|candidates|) payload fetch of a CC pipeline
+    * (inspect flagged dup pairs, re-extract a sample, serve a page)
+    * where a glob read would scan the corpus. Only index rows ride the
+    * one exchange (file-keyed repartition + in-partition offset sort =
+    * sequential-ish IO per shard); payload bytes appear first inside
+    * the per-partition seek loop. Returns the [[readSchema]] frame
+    * (rec_seq = -1: member addressing carries no file ordinal).
+    */
+  def fetchRecords(cdx: DataFrame, maxPayload: Int = 8 << 20): DataFrame = {
+    val spark = cdx.sparkSession
+    val rdd = cdx.select("warc_file", "offset", "length")
+      .repartition(col("warc_file"))
+      .sortWithinPartitions("warc_file", "offset")
+      .rdd.mapPartitions { it =>
+        var curFile: String = null
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        def closeIn(): Unit = if (in != null) { in.close(); in = null }
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeIn())
+        def switchTo(file: String): Unit = {
+          closeIn()
+          val path = new Path(file)
+          in = path.getFileSystem(new Configuration()).open(path)
+          curFile = file
+        }
+        val rows = it.flatMap { r =>
+          val (file, off, len) =
+            (r.getString(0), r.getLong(1), r.getLong(2))
+          if (file != curFile) switchTo(file)
+          in.seek(off)
+          val member = readFully(in, len.toInt, file)
+          val rec = records(new java.io.ByteArrayInputStream(member), file,
+            maxPayload, lenientTail = false).next()
+          if (rec.warcType != "response") None
+          else rec.payload.flatMap(parseHttp).map { case (st, ct, body) =>
+            val ts = Timestamp.from(Instant.from(WarcDate.parse(
+              rec.headers("warc-date"))))
+            Row(rec.headers.getOrElse("warc-target-uri", ""), ts, body, st,
+              ct, file, -1)
+          }
+        }
+        // exhaustion closes the last stream; the completion listener
+        // covers failed/short-circuited tasks
+        new Iterator[Row] {
+          override def hasNext: Boolean = {
+            val h = rows.hasNext
+            if (!h) closeIn()
+            h
+          }
+          override def next(): Row = rows.next()
+        }
+      }
+    spark.createDataFrame(rdd, readSchema)
   }
 
   // ------------------------------ reader ------------------------------
@@ -298,6 +408,9 @@ object Warc {
       .flatMap { file =>
         val path = new Path(file)
         val in = path.getFileSystem(new Configuration()).open(path)
+        // release the FS stream even on failed/short-circuited tasks
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
         var seq = -1
         records(in, file, maxPayload, lenientTail).flatMap { r =>
           seq += 1
@@ -311,9 +424,7 @@ object Warc {
             Row(r.headers.getOrElse("warc-target-uri", ""), ts, body, st, ct,
               file, seq)
           }
-        } // the stream is exhausted (or throws) before the task ends, so
-        // leaving close to task teardown is safe for these short-lived FS
-        // streams; an explicit close would require a CompletionIterator
+        }
       }
     spark.createDataFrame(rdd, readSchema)
   }

@@ -161,6 +161,46 @@ class WarcSpec extends AnyFunSuite {
     assert(lenient === Seq("http://ok.example/"))
   }
 
+  test("CDX: writeWithCdx indexes every record; fetchRecords == glob read, byte-exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-warc-cdx").toString
+    val pages = PageGen.pages(spark, 80, partitions = 4)
+    val n = Warc.writeWithCdx(pages.toDF(), s"$dir/warc", s"$dir/cdx")
+    assert(n === 80)
+    val cdx = spark.read.parquet(s"$dir/cdx")
+    assert(cdx.count() === 80)
+    // offsets strictly increase within a shard and never address byte 0
+    // (the warcinfo member leads every shard)
+    val mono = cdx.select("warc_file", "offset", "length")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).values
+    mono.foreach { f =>
+      val offs = f.sortBy(_._2)
+      assert(offs.head._2 > 0)
+      offs.sliding(2).foreach {
+        case Array((_, o1, l1), (_, o2, _)) => assert(o1 + l1 <= o2)
+        case _ =>
+      }
+    }
+    // random-access fetch of a shuffled subset equals the scan rows
+    val some = cdx.filter(md5(col("url")).substr(1, 1) <= "7")
+    val fetched = Warc.fetchRecords(some)
+      .select("url", "warc_ts", "html")
+      .as[(String, java.sql.Timestamp, Array[Byte])]
+      .collect().sortBy(_._1)
+    val scanned = Warc.read(spark, s"$dir/warc/*.warc.gz")
+      .join(some.select("url"), Seq("url"), "left_semi")
+      .select("url", "warc_ts", "html")
+      .as[(String, java.sql.Timestamp, Array[Byte])]
+      .collect().sortBy(_._1)
+    assert(fetched.length === some.count())
+    assert(fetched.length === scanned.length)
+    fetched.zip(scanned).foreach { case ((u1, t1, h1), (u2, t2, h2)) =>
+      assert(u1 === u2); assert(t1 === t2)
+      assert(java.util.Arrays.equals(h1, h2))
+    }
+  }
+
   test("read emits no shuffle and no wide stage (scan -> rows is one narrow plan)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-warc-plan").toString
