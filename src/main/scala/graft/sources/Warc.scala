@@ -429,6 +429,29 @@ object Warc {
     spark.createDataFrame(rdd, readSchema)
   }
 
+  /** Parse one shard's bytes into Page rows — the STREAMING ingest
+    * unit: structured streaming's binaryFile source delivers whole
+    * shards, so per-task memory is bounded by shard size (size crawl
+    * shards to the micro-batch budget). text/lang derived exactly as
+    * [[ingest]] derives them.
+    */
+  private[graft] def parsePages(bytes: Array[Byte], file: String,
+      maxPayload: Int, lenientTail: Boolean): Iterator[Page] =
+    records(new java.io.ByteArrayInputStream(bytes), file, maxPayload,
+      lenientTail).flatMap { r =>
+      if (r.warcType != "response") None
+      else if (!r.headers.getOrElse("content-type", "")
+        .startsWith("application/http")) None
+      else r.payload.flatMap(parseHttp).map { case (_, _, body) =>
+        val ts = Timestamp.from(Instant.from(WarcDate.parse(
+          r.headers.getOrElse("warc-date",
+            throw new IOException(s"response record without WARC-Date in $file")))))
+        val text = graft.functions.Html.extractText(body)
+        Page(r.headers.getOrElse("warc-target-uri", ""), ts, body, text,
+          graft.operators.TextStats.detectLang(text))
+      }
+    }
+
   /** The full ingest: WARC shards → the north-rule page table. `text`
     * and `lang` are DERIVED columns (Common Crawl ships neither): text
     * via the engine's own extraction (byte-identical per url to the

@@ -240,4 +240,49 @@ object EventStream {
       }
       .start()
   }
+
+  /** [[maintainTriples]] with the crawl arriving AS WARC SHARDS — the
+    * end-to-end shape of a live CC-style deployment: `*.warc.gz` files
+    * land in `warcDir`, each discovered shard stream-parses in-task
+    * (binaryFile delivers whole files, so per-task memory = shard
+    * size; bound micro-batches with `maxFilesPerTrigger` and size
+    * shards accordingly), text/lang derive exactly as the batch ingest
+    * derives them, and the parsed pages commit through the SAME
+    * merge-on-read path — so the whole safety story above (idempotent
+    * replay, stale no-ops, O(micro-batch) write amplification, atomic
+    * visibility at the versions marker) carries over unchanged.
+    */
+  def maintainTriplesFromWarc(
+      spark: SparkSession, warcDir: String, tableDir: String,
+      checkpointDir: String, buckets: Int, maxPayload: Int = 8 << 20
+  ): StreamingQuery = {
+    import spark.implicits._
+    // binaryFile's fixed schema, spelled out: the streaming source
+    // requires an explicit schema
+    val binSchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binSchema)
+      .option("pathGlobFilter", "*.warc.gz")
+      .load(warcDir)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[(String, Array[Byte])], _: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val pages = batch.flatMap { case (path, bytes) =>
+          graft.sources.Warc.parsePages(bytes, path, maxPayload,
+            lenientTail = false)
+        }
+        if (!pages.isEmpty) {
+          graft.plans.Materialize.incrementalUpdate(
+            s, pages, tableDir, buckets, mergeOnRead = true)
+          ()
+        }
+      }
+      .start()
+  }
 }

@@ -92,6 +92,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(keys(Materialize.readTriples(spark, tableDir)) == expected)
   }
 
+  test("WARC-arrival maintenance: shards land as .warc.gz, table == batch latest-crawl-wins") {
+    import graft.plans.Materialize
+    import TripleFixtures.{tripleKeys => keys, recrawl}
+    import spark.implicits._
+    val B = 8
+    val warcDir = Files.createTempDirectory("graft-maint-warc").toString
+    val tableDir = Files.createTempDirectory("graft-maint-warc-table").toString
+    val ckDir = Files.createTempDirectory("graft-maint-warc-ck").toString
+
+    val base = (0L until 20L).map(PageGen.genPage(_).page)
+    Materialize.runResumable(spark, spark.createDataset(base), tableDir, B)
+
+    // crawl batch A lands as ONE WARC shard (text/lang re-derive
+    // in-stream from the raw bytes — the WarcSpec ingest equality)
+    def land(batch: Seq[graft.model.Page], sub: String): Unit =
+      graft.sources.Warc.write(
+        spark.createDataset(batch).toDF().coalesce(1), s"$warcDir/$sub")
+    land(Seq(recrawl(3, 503, 1000), recrawl(4, 504, 1000)), "cc-a")
+    val q1 = EventStream.maintainTriplesFromWarc(spark, s"$warcDir/*", tableDir, ckDir, B)
+    try q1.processAllAvailable() finally q1.stop()
+
+    // batch B later; RESTART from the checkpoint — only the new shard
+    land(Seq(recrawl(3, 603, 2000)), "cc-b")
+    val q2 = EventStream.maintainTriplesFromWarc(spark, s"$warcDir/*", tableDir, ckDir, B)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val world = base.filterNot(p => p.url == PageGen.genPage(3).page.url ||
+        p.url == PageGen.genPage(4).page.url) ++
+      Seq(recrawl(3, 603, 2000), recrawl(4, 504, 1000))
+    val expected = keys(Pipeline.run(spark.createDataset(world)).toDF())
+    assert(keys(Materialize.readTriples(spark, tableDir)) == expected)
+
+    // full replay under a fresh checkpoint: every shard reprocesses,
+    // every commit is stale-or-idempotent — table unchanged
+    val ckDir2 = Files.createTempDirectory("graft-maint-warc-ck2").toString
+    val q3 = EventStream.maintainTriplesFromWarc(spark, s"$warcDir/*", tableDir, ckDir2, B)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(keys(Materialize.readTriples(spark, tableDir)) == expected)
+  }
+
   test("streaming exact dedup: one survivor per distinct text, state bounded by watermark") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-dedup").toString
