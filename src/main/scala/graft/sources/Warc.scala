@@ -45,6 +45,29 @@ object Warc {
 
   private val WarcDate: DateTimeFormatter = DateTimeFormatter.ISO_INSTANT
 
+  /** Hadoop Configuration is not Serializable; executor-side FS access
+    * must still see the SESSION's settings (fs.s3a credentials,
+    * defaultFS, …) — a fresh `new Configuration()` in a task silently
+    * drops every spark.hadoop.* entry. Ship the session conf with the
+    * closure via Hadoop's own wire format (what Spark's internal
+    * SerializableConfiguration does).
+    */
+  private[graft] final class SerConf(@transient var conf: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  private def sessionConf(spark: SparkSession): SerConf =
+    new SerConf(spark.sparkContext.hadoopConfiguration)
+
   /** Read-side row shape: raw record fields before text/lang derivation. */
   val readSchema: StructType = StructType(Seq(
     StructField("url", StringType, nullable = false),
@@ -123,10 +146,10 @@ object Warc {
     * to choose the shard size — the format's only tuning knob.
     */
   def write(pages: DataFrame, dir: String): Long =
-    cdxRows(pages, dir).rdd
+    cdxRows(pages, dir, acc = None).rdd
       .mapPartitions { it =>
         // drain fully: the cdx iterator writes records as it advances
-        // and closes its shard on exhaustion
+        // and commits its shard on exhaustion
         var any = 0L
         while (it.hasNext) { it.next(); any = 1L }
         Iterator.single(any)
@@ -150,10 +173,20 @@ object Warc {
     * Offsets/lengths address whole gzip members (`fs.getPos` before and
     * after the member), which is exactly what CC's CDX records and what
     * [[fetchRecords]] seeks to.
+    *
+    * Attempt safety: each task attempt writes its own temp file and
+    * RENAMES it over the final shard path at exhaustion, so concurrent
+    * attempts (speculation, zombie first attempts) never interleave
+    * members into one stream. Either attempt's file satisfies the
+    * committed index rows because the bytes are deterministic: same
+    * partition → same rows in the same order → identical gzip output
+    * (java.util.zip Deflater, fixed level, same JVM).
     */
-  private def cdxRows(pages: DataFrame, dir: String): DataFrame = {
+  private def cdxRows(pages: DataFrame, dir: String,
+      acc: Option[org.apache.spark.util.LongAccumulator]): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
+    val hc = sessionConf(spark)
     val rows = pages
       .select("url", "warc_ts", "html")
       .as[(String, Timestamp, Array[Byte])]
@@ -162,30 +195,41 @@ object Warc {
       else {
         val name = f"part-$idx%05d.warc.gz"
         val path = new Path(dir, name)
-        val fs = path.getFileSystem(new Configuration())
-        val out = fs.create(path, true)
-        var open = true
-        def closeShard(): Unit = if (open) { open = false; out.close() }
-        // a failed/short-circuited task must still release the stream
         val tc = org.apache.spark.TaskContext.get()
-        if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeShard())
+        val attempt = if (tc != null) tc.taskAttemptId() else 0L
+        val tmpPath = new Path(dir, s".$name.attempt-$attempt.tmp")
+        val fs = path.getFileSystem(hc.conf)
+        val out = fs.create(tmpPath, true)
+        var open = true
+        def abort(): Unit = if (open) {
+          open = false; out.close(); fs.delete(tmpPath, false); ()
+        }
+        def commit(): Unit = if (open) {
+          open = false; out.close()
+          fs.delete(path, false) // local FS rename won't overwrite
+          if (!fs.rename(tmpPath, path))
+            throw new IOException(s"cannot commit WARC shard $path")
+        }
+        // a failed/short-circuited attempt must release and clean up
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => abort())
         def member(bytes: Array[Byte]): Unit = {
           val gz = new GZIPOutputStream(new CloseShield(out))
           gz.write(bytes)
           gz.close() // finish member + release Deflater; shard stays open
         }
         member(warcinfoRecord(name))
-        // stream records through; close the shard when input is exhausted
+        // stream records through; commit the shard when input is exhausted
         new Iterator[Row] {
           override def hasNext: Boolean = {
             val h = it.hasNext
-            if (!h) closeShard()
+            if (!h) commit()
             h
           }
           override def next(): Row = {
             val (url, ts, html) = it.next()
             val off = out.getPos
             member(responseRecord(url, ts, html))
+            acc.foreach(_.add(1L))
             Row(url, ts, path.toString, off, out.getPos - off)
           }
         }
@@ -196,13 +240,14 @@ object Warc {
 
   /** Write shards AND their CDX index parquet in ONE job (the index
     * rows are the job's output; shards are its side effect). Returns
-    * record count. At 10^12 records the index is itself a big table —
-    * it lands as parquet, partition-prunable by `warc_file`.
+    * record count — from an accumulator filled by the same action, not
+    * a second scan of the (at 10^12 records, large) index.
     */
   def writeWithCdx(pages: DataFrame, dir: String, cdxDir: String): Long = {
     val spark = pages.sparkSession
-    cdxRows(pages, dir).write.mode("overwrite").parquet(cdxDir)
-    spark.read.parquet(cdxDir).count()
+    val acc = spark.sparkContext.longAccumulator("warc_cdx_records")
+    cdxRows(pages, dir, Some(acc)).write.mode("overwrite").parquet(cdxDir)
+    acc.value
   }
 
   /** Random-access fetch: read EXACTLY the records a CDX subset
@@ -216,6 +261,7 @@ object Warc {
     */
   def fetchRecords(cdx: DataFrame, maxPayload: Int = 8 << 20): DataFrame = {
     val spark = cdx.sparkSession
+    val hc = sessionConf(spark)
     val rdd = cdx.select("warc_file", "offset", "length")
       .repartition(col("warc_file"))
       .sortWithinPartitions("warc_file", "offset")
@@ -228,21 +274,27 @@ object Warc {
         def switchTo(file: String): Unit = {
           closeIn()
           val path = new Path(file)
-          in = path.getFileSystem(new Configuration()).open(path)
+          in = path.getFileSystem(hc.conf).open(path)
           curFile = file
         }
         val rows = it.flatMap { r =>
           val (file, off, len) =
             (r.getString(0), r.getLong(1), r.getLong(2))
+          if (len > Int.MaxValue)
+            throw new IOException(s"CDX member length $len at $file:$off exceeds 2 GiB")
           if (file != curFile) switchTo(file)
           in.seek(off)
-          val member = readFully(in, len.toInt, file)
-          val rec = records(new java.io.ByteArrayInputStream(member), file,
-            maxPayload, lenientTail = false).next()
+          val member = readFully(in, len.toInt, s"$file:$off+$len")
+          val ri = records(new java.io.ByteArrayInputStream(member), file,
+            maxPayload, lenientTail = false)
+          if (!ri.hasNext)
+            throw new IOException(s"CDX slice $file:$off+$len holds no WARC record")
+          val rec = ri.next()
           if (rec.warcType != "response") None
           else rec.payload.flatMap(parseHttp).map { case (st, ct, body) =>
             val ts = Timestamp.from(Instant.from(WarcDate.parse(
-              rec.headers("warc-date"))))
+              rec.headers.getOrElse("warc-date", throw new IOException(
+                s"response record without WARC-Date at $file:$off")))))
             Row(rec.headers.getOrElse("warc-target-uri", ""), ts, body, st,
               ct, file, -1)
           }
@@ -302,9 +354,11 @@ object Warc {
       payload: Option[Array[Byte]])
 
   /** Streaming record iterator over one (possibly gzipped) WARC stream.
-    * Strict by default: a truncated record raises with file context; a
-    * `lenientTail` reader instead ends the iterator at the first
-    * truncated record (the operational CC stance for damaged shards).
+    * Strict by default: a truncated or damaged record raises with file
+    * context; a `lenientTail` reader instead ends the iterator at the
+    * first bad record (the operational CC stance for damaged shards) —
+    * covering truncation (EOFException), gzip damage (ZipException),
+    * and malformed structure (any other IOException) alike.
     */
   private[graft] def records(in0: InputStream, file: String,
       maxPayload: Int, lenientTail: Boolean): Iterator[Rec] = {
@@ -348,10 +402,20 @@ object Warc {
               nextRec = Rec(typ, m, payload)
           }
         } catch {
-          case e: EOFException =>
+          // EOFException = truncation; ZipException = gzip damage; the
+          // rest of the IOException space = malformed structure (bad
+          // version line, missing Content-Length, non-numeric length) —
+          // lenient mode must survive ALL of them or a single damaged
+          // shard poisons the job
+          case e: IOException =>
+            if (lenientTail) done = true
+            else if (e.getMessage != null && e.getMessage.contains(file)) throw e
+            else throw new IOException(
+              s"damaged WARC record in $file (use lenientTail to tolerate)", e)
+          case e: NumberFormatException =>
             if (lenientTail) done = true
             else throw new IOException(
-              s"truncated WARC record in $file (use lenientTail to tolerate)", e)
+              s"malformed Content-Length in $file (use lenientTail to tolerate)", e)
         }
       }
       advance()
@@ -393,8 +457,12 @@ object Warc {
   }
 
   /** Read WARC shards matching `glob` into the raw record frame
-    * (`readSchema`): response records only, one row per record, file
-    * order preserved in `rec_seq` (gaps = skipped/oversized records).
+    * (`readSchema`): response records only, one row per record.
+    * `rec_seq` is the per-file ordinal over HTTP-RESPONSE records only
+    * (warcinfo/request/metadata records — which real CC crawl shards
+    * interleave per capture — do not advance it), so a gap in the
+    * emitted sequence means exactly one thing: an oversized response
+    * was dropped at `maxPayload`.
     */
   def read(spark: SparkSession, glob: String,
       maxPayload: Int = 8 << 20, lenientTail: Boolean = false): DataFrame = {
@@ -402,27 +470,30 @@ object Warc {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = Option(fs.globStatus(p)).getOrElse(Array.empty)
       .filter(_.isFile).map(_.getPath.toString).sorted
+    val hc = sessionConf(spark)
     // one task per shard: the format's parallelism unit (see object doc)
     val rdd = spark.sparkContext
       .parallelize(files.toIndexedSeq, math.max(files.length, 1))
       .flatMap { file =>
         val path = new Path(file)
-        val in = path.getFileSystem(new Configuration()).open(path)
+        val in = path.getFileSystem(hc.conf).open(path)
         // release the FS stream even on failed/short-circuited tasks
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
         var seq = -1
         records(in, file, maxPayload, lenientTail).flatMap { r =>
-          seq += 1
-          if (r.warcType != "response") None
-          else if (!r.headers.getOrElse("content-type", "")
-            .startsWith("application/http")) None
-          else r.payload.flatMap(parseHttp).map { case (st, ct, body) =>
-            val ts = Timestamp.from(Instant.from(WarcDate.parse(
-              r.headers.getOrElse("warc-date",
-                throw new IOException(s"response record without WARC-Date in $file")))))
-            Row(r.headers.getOrElse("warc-target-uri", ""), ts, body, st, ct,
-              file, seq)
+          val isHttpResponse = r.warcType == "response" &&
+            r.headers.getOrElse("content-type", "").startsWith("application/http")
+          if (!isHttpResponse) None
+          else {
+            seq += 1
+            r.payload.flatMap(parseHttp).map { case (st, ct, body) =>
+              val ts = Timestamp.from(Instant.from(WarcDate.parse(
+                r.headers.getOrElse("warc-date",
+                  throw new IOException(s"response record without WARC-Date in $file")))))
+              Row(r.headers.getOrElse("warc-target-uri", ""), ts, body, st, ct,
+                file, seq)
+            }
           }
         }
       }

@@ -251,10 +251,17 @@ object EventStream {
     * merge-on-read path — so the whole safety story above (idempotent
     * replay, stale no-ops, O(micro-batch) write amplification, atomic
     * visibility at the versions marker) carries over unchanged.
+    *
+    * `lenientTail = true` is the operational setting for a directory
+    * fed by real crawlers: a damaged or non-atomically-copied shard
+    * parses to its good prefix instead of failing the micro-batch —
+    * and since the file is already in the source's input log, a strict
+    * failure would REPLAY the same bytes forever (a poison shard).
     */
   def maintainTriplesFromWarc(
       spark: SparkSession, warcDir: String, tableDir: String,
-      checkpointDir: String, buckets: Int, maxPayload: Int = 8 << 20
+      checkpointDir: String, buckets: Int, maxPayload: Int = 8 << 20,
+      lenientTail: Boolean = false
   ): StreamingQuery = {
     import spark.implicits._
     // binaryFile's fixed schema, spelled out: the streaming source
@@ -273,15 +280,20 @@ object EventStream {
       .foreachBatch { (batch: Dataset[(String, Array[Byte])], _: Long) =>
         val s = batch.sparkSession
         import s.implicits._
+        // persist the parsed pages: gunzip + extractText + detectLang
+        // dominate per-shard cost, and incrementalUpdate's commit takes
+        // multiple actions over its input — without the cache each one
+        // re-parses every shard
         val pages = batch.flatMap { case (path, bytes) =>
-          graft.sources.Warc.parsePages(bytes, path, maxPayload,
-            lenientTail = false)
-        }
-        if (!pages.isEmpty) {
-          graft.plans.Materialize.incrementalUpdate(
-            s, pages, tableDir, buckets, mergeOnRead = true)
-          ()
-        }
+          graft.sources.Warc.parsePages(bytes, path, maxPayload, lenientTail)
+        }.persist()
+        try {
+          if (!pages.isEmpty) {
+            graft.plans.Materialize.incrementalUpdate(
+              s, pages, tableDir, buckets, mergeOnRead = true)
+            ()
+          }
+        } finally { pages.unpersist(); () }
       }
       .start()
   }

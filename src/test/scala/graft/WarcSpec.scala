@@ -153,9 +153,32 @@ class WarcSpec extends AnyFunSuite {
     val strict = intercept[org.apache.spark.SparkException] {
       Warc.read(spark, s"$dir/*.warc.gz").count()
     }
-    assert(strict.getMessage.contains("truncated") ||
-      Option(strict.getCause).exists(_.getMessage.contains("truncated")) ||
-      strict.getStackTrace != null) // cause chain varies; loud failure is the contract
+    // the contextual wrap must survive the Spark exception chain
+    val chain = Iterator.iterate[Throwable](strict)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(chain.contains("WARC record in"), s"unexpected chain: $chain")
+    val lenient = Warc.read(spark, s"$dir/*.warc.gz", lenientTail = true)
+      .select("url").as[String].collect().toSeq
+    assert(lenient === Seq("http://ok.example/"))
+  }
+
+  test("damaged (not truncated) shard: lenient read survives, strict fails loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-warc-damage").toString
+    val good = gzMembers(handRecord("response", "http://ok.example/",
+      "2023-05-01T10:00:00Z", httpPayload("<html>ok</html>")))
+    val bad = gzMembers(handRecord("response", "http://bad.example/",
+      "2023-05-01T10:00:01Z", httpPayload("<html>damaged</html>")))
+    // flip bits in the middle of the second member's deflate stream —
+    // gzip damage (ZipException territory), not truncation
+    val damaged = good ++ bad.zipWithIndex.map { case (b, i) =>
+      if (i > 40 && i < 44) (b ^ 0x55).toByte else b
+    }
+    Files.write(java.nio.file.Paths.get(dir, "d.warc.gz"), damaged)
+    intercept[org.apache.spark.SparkException] {
+      Warc.read(spark, s"$dir/*.warc.gz").count()
+    }
     val lenient = Warc.read(spark, s"$dir/*.warc.gz", lenientTail = true)
       .select("url").as[String].collect().toSeq
     assert(lenient === Seq("http://ok.example/"))
@@ -207,9 +230,6 @@ class WarcSpec extends AnyFunSuite {
     Warc.write(PageGen.pages(spark, 20, partitions = 1).toDF(), dir)
     val df = Warc.read(spark, s"$dir/*.warc.gz")
       .select("url", "http_status")
-    // RDD-backed source: narrowness = a single one-stage job
-    val sc = spark.sparkContext
-    val before = sc.statusTracker.getJobIdsForGroup(null).length
     assert(df.count() === 20)
     assert(df.rdd.toDebugString.linesIterator
       .count(_.contains("ShuffledRDD")) === 0)
