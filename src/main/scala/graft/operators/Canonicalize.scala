@@ -155,8 +155,26 @@ object Canonicalize {
   private[operators] def planLeaf(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
-  def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 40): DataFrame = {
+  /** Edge count at or below which CC runs as a driver-side union-find
+    * instead of the distributed label loop. The dup/synonym graph is
+    * the OUTPUT of pair verification — usually minuscule next to the
+    * corpus — and the distributed loop's fixed per-iteration cost
+    * (driver planning + a multi-job round trip, ~2s for a 200-edge
+    * graph at local[32]) dwarfs a bounded collect. 1M edges ≈ 50 MB on
+    * the driver; the NODE set is never collected (it can be O(dict)
+    * even when edges are few — labels for untouched nodes resolve in
+    * the distributed join below), so the threshold bounds exactly the
+    * collected bytes. Above it, the O(log diameter) loop runs
+    * unchanged — the 10^12-doc shape where a crawl's dup graph can be
+    * arbitrarily large.
+    */
+  val DriverEdgeThreshold: Long = 1000000L
+
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 40,
+      driverEdgeThreshold: Long = DriverEdgeThreshold): DataFrame = {
     val spark = nodes.sparkSession
+    if (pairs.count() <= driverEdgeThreshold)
+      return connectedComponentsDriver(nodes, pairs)
     // persist + LogicalRDD wrap (pageRank's arcs pattern): a cached
     // frame keeps its full ANALYZED lineage, and every iteration's
     // action re-runs analysis/optimization over that subtree on the
@@ -221,6 +239,51 @@ object Canonicalize {
       prevPlan.unpersist()
       edgesPlan.unpersist()
     }
+  }
+
+  /** The small-graph CC path: collect the (bounded) edge list, run
+    * min-label union-find on the driver, and resolve EVERY node's
+    * label with one broadcast left join (nodes stay distributed —
+    * only the ≤ 2·|edges| component map rides the broadcast). Same
+    * fixpoint as the distributed loop: union always keeps the smaller
+    * root, so each tree's root is its component minimum by induction,
+    * and `find` is order-independent — bit-identical labels for any
+    * edge arrival order or partitioning. Returned labels are
+    * localCheckpoint'd like the loop's (materialized, edge-free
+    * lineage), so callers release their pair caches right after.
+    */
+  private def connectedComponentsDriver(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .select(col("cid_a").cast("long"), col("cid_b").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) {
+        val gp = parent.getOrElse(p, p)
+        parent(x) = gp // path halving
+        x = gp
+        p = parent.getOrElse(x, x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val ids = edges.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSet
+    val labelMap = ids.iterator.map(id => (id, find(id))).toSeq
+    val labels = labelMap.toDF("k", "v")
+    val out = nodes
+      .join(broadcast(labels), nodes("cid").cast("long") === col("k"), "left")
+      .select(col("cid"),
+        coalesce(col("v"), col("cid").cast("long")).as("cluster_id"))
+    out.localCheckpoint()
   }
 
   /** Full canonicalization: dict → clustered entity table. The label
