@@ -275,11 +275,56 @@ object Graph {
     * two IEEE division — exact, so the double column is as replayable
     * as the integer one).
     */
-  def pageRank(edges: DataFrame, iters: Int = DefaultIters): DataFrame = {
+  /** Arc count at or below which the power iteration runs on the
+    * driver (same fixed-point integer recurrence — long sums are
+    * order-independent, so the result is BIT-IDENTICAL to the
+    * distributed loop) instead of paying the loop's per-iteration
+    * fixed cost (~0.66s/round of planning + job round trips for a
+    * 153-node graph at local[32]). 1M arcs ≈ 64 MB collected; above
+    * it the distributed loop runs unchanged — the web-graph shape.
+    * The CC threshold's reasoning applies verbatim
+    * (`Canonicalize.DriverEdgeThreshold`).
+    */
+  val DriverArcThreshold: Long = 1000000L
+
+  def pageRank(edges: DataFrame, iters: Int = DefaultIters,
+      driverArcThreshold: Long = DriverArcThreshold): DataFrame = {
     val arcsPlan = edges
       .join(edges.groupBy(col("src")).agg(sum("support").as("wout")), Seq("src"))
       .select(col("src"), col("dst"), col("support"), col("wout"))
       .persist()
+    if (arcsPlan.count() <= driverArcThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val arcs = arcsPlan
+        .select(col("src").cast("long"), col("dst").cast("long"),
+          col("support").cast("long"), col("wout").cast("long"))
+        .as[(Long, Long, Long, Long)].collect()
+      arcsPlan.unpersist()
+      val nodeIds = arcs.map(_._1).distinct
+      val n = nodeIds.length.toLong
+      require(n > 0, "pageRank on an empty graph")
+      require(n <= PrScale,
+        s"pageRank fixed-point scale 2^32 cannot represent 1/N for N=$n nodes; raise PrScale")
+      val init = PrScale / n
+      val teleport = (100L - DampNum) * init / 100L
+      var pr = scala.collection.mutable.LongMap.empty[Long]
+      nodeIds.foreach(v => pr(v) = init)
+      var i = 0
+      while (i < iters) {
+        val next = scala.collection.mutable.LongMap.empty[Long]
+        nodeIds.foreach(v => next(v) = teleport)
+        arcs.foreach { case (src, dst, support, wout) =>
+          // identical arithmetic to the selectExpr below: all operands
+          // non-negative, so Java's truncating / IS the floor division
+          next(dst) = next(dst) + DampNum * pr(src) * support / (100L * wout)
+        }
+        pr = next
+        i += 1
+      }
+      return nodeIds.map(v => (v, pr(v), pr(v).toDouble / PrScale.toDouble))
+        .toSeq.toDF("node", "prq", "pr")
+    }
     // Cut the LOGICAL lineage at the iteration entry: every chained
     // iteration plan embeds `arcs`, and `arcs` embeds the caller's
     // whole upstream tree — without this cut Catalyst re-analyzes that

@@ -84,13 +84,18 @@ class GraphSpec extends AnyFunSuite {
     pr
   }
 
-  test("pageRank: bit-equal to the BigInt reference recurrence") {
+  test("pageRank: bit-equal to the BigInt reference recurrence (both paths)") {
     val edges = Graph.propertyEdges(fixture)
     val arcs = edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val expected = referencePr(arcs, Graph.DefaultIters)
+    // default threshold → driver loop; threshold 0 pins the
+    // distributed iteration — both must be bit-equal to the reference
     val got = Graph.pageRank(edges).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === expected)
+    val gotDist = Graph.pageRank(edges, driverArcThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist === expected)
     // pr double column is the exact power-of-two division
     Graph.pageRank(edges).collect().foreach { r =>
       assert(r.getDouble(2) === r.getLong(1).toDouble / Graph.PrScale.toDouble)
@@ -99,8 +104,11 @@ class GraphSpec extends AnyFunSuite {
 
   test("pageRank: partition-invariant (integer sums are order-free)") {
     val edges = Graph.propertyEdges(fixture)
-    val a = Graph.pageRank(edges).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val b = Graph.pageRank(edges.repartition(7)).collect()
+    // threshold 0 pins the distributed loop — partition invariance is
+    // its property to prove (the driver loop never sees partitions)
+    val a = Graph.pageRank(edges, driverArcThreshold = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.pageRank(edges.repartition(7), driverArcThreshold = 0L).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a === b)
   }
