@@ -170,6 +170,17 @@ object Canonicalize {
     */
   val DriverEdgeThreshold: Long = 1000000L
 
+  /** Contract notes shared by both branches:
+    *  - `nodes` must cover every pair endpoint (all in-tree callers
+    *    derive nodes FROM pairs, so this holds by construction); the
+    *    driver branch require-fails on a violation, because the two
+    *    branches would otherwise disagree on edges bridging through a
+    *    missing node (the distributed joins drop them silently).
+    *  - Callers should persist (and materialize) `pairs` before the
+    *    call: the size probe plus the chosen branch evaluate it 2-3
+    *    times, and every in-tree caller already passes a persisted
+    *    leaf-cut frame.
+    */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 40,
       driverEdgeThreshold: Long = DriverEdgeThreshold): DataFrame = {
     val spark = nodes.sparkSession
@@ -257,6 +268,9 @@ object Canonicalize {
     import spark.implicits._
     val edges = pairs
       .select(col("cid_a").cast("long"), col("cid_b").cast("long"))
+      // null endpoints: the distributed equi-joins drop such edges
+      // silently; match that instead of crashing the typed collect
+      .filter(col("cid_a").isNotNull && col("cid_b").isNotNull)
       .as[(Long, Long)].collect()
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x0: Long): Long = {
@@ -279,6 +293,15 @@ object Canonicalize {
     val ids = edges.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSet
     val labelMap = ids.iterator.map(id => (id, find(id))).toSeq
     val labels = labelMap.toDF("k", "v")
+    // precondition guard (see connectedComponents doc): an endpoint the
+    // node set does not cover would make this branch bridge components
+    // the distributed joins would drop — fail loudly instead
+    val uncovered = labels
+      .join(nodes.select(col("cid").cast("long").as("k")), Seq("k"), "left_anti")
+      .count()
+    require(uncovered == 0,
+      s"connectedComponents: $uncovered pair endpoint(s) missing from the " +
+        "node set — nodes must cover every pair endpoint")
     val out = nodes
       .join(broadcast(labels), nodes("cid").cast("long") === col("k"), "left")
       .select(col("cid"),

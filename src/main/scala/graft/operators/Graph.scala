@@ -294,36 +294,8 @@ object Graph {
       .select(col("src"), col("dst"), col("support"), col("wout"))
       .persist()
     if (arcsPlan.count() <= driverArcThreshold) {
-      val spark = edges.sparkSession
-      import spark.implicits._
-      val arcs = arcsPlan
-        .select(col("src").cast("long"), col("dst").cast("long"),
-          col("support").cast("long"), col("wout").cast("long"))
-        .as[(Long, Long, Long, Long)].collect()
-      arcsPlan.unpersist()
-      val nodeIds = arcs.map(_._1).distinct
-      val n = nodeIds.length.toLong
-      require(n > 0, "pageRank on an empty graph")
-      require(n <= PrScale,
-        s"pageRank fixed-point scale 2^32 cannot represent 1/N for N=$n nodes; raise PrScale")
-      val init = PrScale / n
-      val teleport = (100L - DampNum) * init / 100L
-      var pr = scala.collection.mutable.LongMap.empty[Long]
-      nodeIds.foreach(v => pr(v) = init)
-      var i = 0
-      while (i < iters) {
-        val next = scala.collection.mutable.LongMap.empty[Long]
-        nodeIds.foreach(v => next(v) = teleport)
-        arcs.foreach { case (src, dst, support, wout) =>
-          // identical arithmetic to the selectExpr below: all operands
-          // non-negative, so Java's truncating / IS the floor division
-          next(dst) = next(dst) + DampNum * pr(src) * support / (100L * wout)
-        }
-        pr = next
-        i += 1
-      }
-      return nodeIds.map(v => (v, pr(v), pr(v).toDouble / PrScale.toDouble))
-        .toSeq.toDF("node", "prq", "pr")
+      try return pageRankDriver(arcsPlan, iters)
+      finally arcsPlan.unpersist()
     }
     // Cut the LOGICAL lineage at the iteration entry: every chained
     // iteration plan embeds `arcs`, and `arcs` embeds the caller's
@@ -368,4 +340,56 @@ object Graph {
     * rounds) never builds an unbounded tree.
     */
   val CheckpointEvery: Int = 8
+
+  /** The small-graph branch of [[pageRank]]: collect the wout-joined
+    * arc list and run the identical fixed-point recurrence in memory.
+    * The loop MIRRORS the distributed plan step for step so the two
+    * branches agree on ANY input, not just contract-conforming ones:
+    * an arc whose src has no current rank contributes nothing (the
+    * iteration's inner join), a zero-wout arc contributes nothing
+    * (Spark's `div` nulls and `sum` skips), and each iteration's rank
+    * set is the receiving `dst` group set (symmetric arc lists make it
+    * equal to the src node set — the documented contract — but a
+    * non-symmetric input now degrades identically to the loop instead
+    * of diverging or throwing bare LongMap errors).
+    */
+  private def pageRankDriver(arcsPlan: org.apache.spark.sql.DataFrame,
+      iters: Int): org.apache.spark.sql.DataFrame = {
+    val spark = arcsPlan.sparkSession
+    import spark.implicits._
+    val arcs = arcsPlan
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        col("support").cast("long"), col("wout").cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    val nodeIds = arcs.map(_._1).distinct
+    val n = nodeIds.length.toLong
+    require(n > 0, "pageRank on an empty graph")
+    // beyond PrScale nodes, init = PrScale/n floors to 0 and every rank
+    // degenerates to 0 — fail loudly like the CC convergence guard
+    require(n <= PrScale,
+      s"pageRank fixed-point scale 2^32 cannot represent 1/N for N=$n nodes; raise PrScale")
+    val init = PrScale / n
+    val teleport = (100L - DampNum) * init / 100L
+    var pr = scala.collection.mutable.LongMap.empty[Long]
+    nodeIds.foreach(v => pr(v) = init)
+    var i = 0
+    while (i < iters) {
+      val next = scala.collection.mutable.LongMap.empty[Long]
+      arcs.foreach { case (src, dst, support, wout) =>
+        pr.get(src) match {
+          case Some(p) if wout != 0L =>
+            // identical arithmetic to the distributed selectExpr: all
+            // operands non-negative, so Java's truncating / IS the
+            // floor division
+            val flow = DampNum * p * support / (100L * wout)
+            next(dst) = next.getOrElse(dst, teleport) + flow
+          case _ => () // mirrors the join miss / null div of the plan
+        }
+      }
+      pr = next
+      i += 1
+    }
+    pr.toSeq.map { case (v, q) => (v, q, q.toDouble / PrScale.toDouble) }
+      .toDF("node", "prq", "pr")
+  }
 }
