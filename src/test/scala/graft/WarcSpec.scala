@@ -224,6 +224,40 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("writer determinism: same rows twice -> byte-identical shards and identical CDX") {
+    // the attempt-commit safety argument (cdxRows scaladoc) rests on
+    // this: a speculative re-attempt of the same partition must produce
+    // the same bytes, so either attempt's renamed file satisfies the
+    // committed index rows
+    import spark.implicits._
+    val dirA = Files.createTempDirectory("graft-warc-detA").toString
+    val dirB = Files.createTempDirectory("graft-warc-detB").toString
+    val pages = PageGen.pages(spark, 50, partitions = 2).toDF()
+    val cdxA = {
+      Warc.writeWithCdx(pages, s"$dirA/warc", s"$dirA/cdx")
+      spark.read.parquet(s"$dirA/cdx")
+        .select("url", "offset", "length")
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    val cdxB = {
+      Warc.writeWithCdx(pages, s"$dirB/warc", s"$dirB/cdx")
+      spark.read.parquet(s"$dirB/cdx")
+        .select("url", "offset", "length")
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    assert(cdxA === cdxB)
+    val shardsA = new java.io.File(s"$dirA/warc").listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).sortBy(_.getName)
+    val shardsB = new java.io.File(s"$dirB/warc").listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).sortBy(_.getName)
+    assert(shardsA.map(_.getName).toSeq === shardsB.map(_.getName).toSeq)
+    shardsA.zip(shardsB).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(a.toPath), Files.readAllBytes(b.toPath)),
+        s"shard bytes differ: ${a.getName}")
+    }
+  }
+
   test("read emits no shuffle and no wide stage (scan -> rows is one narrow plan)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-warc-plan").toString
