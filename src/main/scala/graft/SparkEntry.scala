@@ -1021,6 +1021,26 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // WET (CC's extracted-text distribution format): compose text rows
+    // off the documents table, write conversion-record shards, parse
+    // them back — the oracle recomputes every column, so the whole
+    // writer→gzip→parser chain is byte-checked like warc_roundtrip
+    "wet_roundtrip" -> ((s, dir) => {
+      val docsDf = docs(s, dir).select(
+        concat(lit("https://wet.example/doc/"),
+          lpad(col("doc_id").cast("string"), 8, "0")).as("url"),
+        (lit(1700000000L) + col("doc_id")).cast("timestamp").as("warc_ts"),
+        col("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-wet-verify").toString
+      graft.sources.Warc.writeWet(docsDf.repartition(4), tmp)
+      graft.sources.Warc.readWet(s, s"$tmp/*.warc.wet.gz")
+        .select(col("url"),
+          col("warc_ts").cast("long").as("ts_s"),
+          col("text"))
+        .orderBy("url")
+    }),
+
     // ---------- similarity search ----------
     "ann_brute_topk" -> ((s, dir) => {
       // ids+rank only: the cosine double differs in the last bit across
@@ -2007,6 +2027,13 @@ object SparkEntry {
         |  CAST(octet_length(encode('<html><body>' || text || '</body></html>'))
         |    AS BIGINT) AS n_bytes
         |FROM documents WHERE doc_id % 7 = 0 ORDER BY url""".stripMargin,
+    // WET conversion-record round trip: full text char-exact
+    "wet_roundtrip" ->
+      """SELECT 'https://wet.example/doc/' ||
+        |    lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+        |  1700000000 + doc_id AS ts_s,
+        |  text
+        |FROM documents ORDER BY url""".stripMargin,
     // ---------- SemDeDup ----------
     // assignment + centroid cosine replayed INDEPENDENTLY: planted
     // corpus from the embeddings table, trained centroids from the

@@ -523,6 +523,113 @@ object Warc {
       }
     }
 
+  // ------------------------------ WET ------------------------------
+
+  /** WARC/1.0 `conversion` record — the record type WET files (CC's
+    * extracted-text distribution) are made of: text/plain payload, no
+    * HTTP envelope.
+    */
+  private[graft] def conversionRecord(url: String, ts: Timestamp,
+      text: String): Array[Byte] = {
+    val payload = text.getBytes(UTF_8)
+    val date = WarcDate.format(Instant.ofEpochSecond(ts.getTime / 1000L))
+    val recId = {
+      val md = java.security.MessageDigest.getInstance("SHA-1")
+      md.update(url.getBytes(UTF_8)); md.update(date.getBytes(ISO_8859_1))
+      "urn:sha1:" + md.digest().map("%02x".format(_)).mkString
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(("WARC/1.0\r\n" +
+      "WARC-Type: conversion\r\n" +
+      s"WARC-Record-ID: <$recId>\r\n" +
+      s"WARC-Date: $date\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      "Content-Type: text/plain; charset=UTF-8\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes(ISO_8859_1))
+    out.write(payload)
+    out.write("\r\n\r\n".getBytes(ISO_8859_1))
+    out.toByteArray
+  }
+
+  /** Write `(url, warc_ts, text)` rows as WET shards (`*.warc.wet.gz`,
+    * gzip member per conversion record, warcinfo lead) — the format a
+    * released TEXT corpus ships in (Common Crawl's WET). Same shard-
+    * per-partition, attempt-safe temp+rename discipline as [[write]].
+    * Returns shard count.
+    */
+  def writeWet(docs: DataFrame, dir: String,
+      urlCol: String = "url", tsCol: String = "warc_ts",
+      textCol: String = "text"): Long = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hc = sessionConf(spark)
+    docs.select(col(urlCol), col(tsCol), col(textCol))
+      .as[(String, Timestamp, String)]
+      .rdd.mapPartitionsWithIndex { (idx, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val name = f"part-$idx%05d.warc.wet.gz"
+          val path = new Path(dir, name)
+          val tc = org.apache.spark.TaskContext.get()
+          val attempt = if (tc != null) tc.taskAttemptId() else 0L
+          val tmpPath = new Path(dir, s".$name.attempt-$attempt.tmp")
+          val fs = path.getFileSystem(hc.conf)
+          val out = fs.create(tmpPath, true)
+          var open = true
+          def abort(): Unit = if (open) {
+            open = false; out.close(); fs.delete(tmpPath, false); ()
+          }
+          if (tc != null) tc.addTaskCompletionListener[Unit](_ => abort())
+          def member(bytes: Array[Byte]): Unit = {
+            val gz = new GZIPOutputStream(new CloseShield(out))
+            gz.write(bytes); gz.close()
+          }
+          member(warcinfoRecord(name))
+          var n = 0L
+          it.foreach { case (url, ts, text) =>
+            member(conversionRecord(url, ts, text)); n += 1
+          }
+          open = false; out.close()
+          fs.delete(path, false)
+          if (!fs.rename(tmpPath, path))
+            throw new IOException(s"cannot commit WET shard $path")
+          Iterator.single(1L)
+        }
+      }.fold(0L)(_ + _)
+  }
+
+  /** Read WET shards: conversion records → (url, warc_ts, text). */
+  def readWet(spark: SparkSession, glob: String,
+      maxPayload: Int = 8 << 20, lenientTail: Boolean = false): DataFrame = {
+    val p = new Path(glob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .filter(_.isFile).map(_.getPath.toString).sorted
+    val hc = sessionConf(spark)
+    val rdd = spark.sparkContext
+      .parallelize(files.toIndexedSeq, math.max(files.length, 1))
+      .flatMap { file =>
+        val path = new Path(file)
+        val in = path.getFileSystem(hc.conf).open(path)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
+        records(in, file, maxPayload, lenientTail).flatMap { r =>
+          if (r.warcType != "conversion") None
+          else r.payload.map { body =>
+            val ts = Timestamp.from(Instant.from(WarcDate.parse(
+              r.headers.getOrElse("warc-date",
+                throw new IOException(s"conversion record without WARC-Date in $file")))))
+            Row(r.headers.getOrElse("warc-target-uri", ""), ts,
+              new String(body, UTF_8))
+          }
+        }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("url", StringType, nullable = false),
+      StructField("warc_ts", TimestampType, nullable = false),
+      StructField("text", StringType, nullable = false))))
+  }
+
   /** The full ingest: WARC shards → the north-rule page table. `text`
     * and `lang` are DERIVED columns (Common Crawl ships neither): text
     * via the engine's own extraction (byte-identical per url to the

@@ -258,6 +258,33 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("WET: released-corpus export round-trips; conversion records only; char-exact text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-wet").toString
+    // the real pipeline: released (redacted) corpus -> WET shards
+    val fx = SparkEntry.releaseFixture(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val (released, rel) = graft.operators.Release.releasedWithHandle(fx)
+    val docs = released.select(
+      concat(lit("https://wet.example/doc/"),
+        lpad(col("doc_id").cast("string"), 8, "0")).as("url"),
+      (lit(1700000000L) + col("doc_id")).cast("timestamp").as("warc_ts"),
+      col("clean_text").as("text")).persist()
+    val exp = try {
+      val n = Warc.writeWet(docs.repartition(3), dir)
+      assert(n === 3)
+      docs.as[(String, java.sql.Timestamp, String)].collect().sortBy(_._1).toSeq
+    } finally rel()
+    val got = Warc.readWet(spark, s"$dir/*.warc.wet.gz")
+      .as[(String, java.sql.Timestamp, String)].collect().sortBy(_._1).toSeq
+    assert(got === exp)
+    docs.unpersist()
+    // a WET shard holds warcinfo + conversion records only: the
+    // response reader finds nothing in it
+    assert(Warc.read(spark, s"$dir/*.warc.wet.gz").count() === 0)
+  }
+
   test("read emits no shuffle and no wide stage (scan -> rows is one narrow plan)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-warc-plan").toString
