@@ -69,6 +69,20 @@ object Bench {
       "kg_pipeline" -> (() => {
         nTriples = Pipeline.run(PageGen.pages(spark, nPages)).count()
       }),
+      "wet_write" -> (() => {
+        // corpus-export throughput: the released-text sink (WET
+        // conversion-record shards, gzip member per record) — pairs
+        // with warc_read to bracket the ingest/export story
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-bench-wet").toString
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(
+            concat(lit("https://wet.example/doc/"), col("doc_id")).as("url"),
+            (lit(1700000000L) + col("doc_id")).cast("timestamp").as("warc_ts"),
+            col("text"))
+        graft.sources.Warc.writeWet(
+          docs.repartition(spark.sparkContext.defaultParallelism), out); ()
+      }),
       "warc_read" -> (() => {
         // S1 ingest throughput: stream-parse every gzip-per-record WARC
         // shard (one task per shard, the format's parallelism unit) and
