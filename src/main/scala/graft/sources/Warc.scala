@@ -241,7 +241,11 @@ object Warc {
   /** Write shards AND their CDX index parquet in ONE job (the index
     * rows are the job's output; shards are its side effect). Returns
     * record count — from an accumulator filled by the same action, not
-    * a second scan of the (at 10^12 records, large) index.
+    * a second scan of the (at 10^12 records, large) index. Caveat:
+    * transformation-side accumulators are at-least-once under task
+    * retries/speculation, so the returned count can overcount in those
+    * (rare) runs — the CDX parquet itself is exactly-once (committed
+    * writer); count it when the number must be exact.
     */
   def writeWithCdx(pages: DataFrame, dir: String, cdxDir: String): Long = {
     val spark = pages.sparkSession
