@@ -154,10 +154,12 @@ object UrlOps {
     * NULL) all share ONE hash bucket, so letting them ride the
     * threshold lookup would dump the entire malformed-URL class into
     * whichever single split that constant bucket lands in — possibly
-    * eval. They are assigned to the FIRST split of the recipe instead
-    * (by convention the training split): their near-dup structure
-    * cannot be grouped by domain, so eval purity demands they never
-    * reach a held-out split.
+    * eval. They are assigned to the split NAMED "train" when the
+    * recipe has one (falling back to the first split only for recipes
+    * without a training split): their near-dup structure cannot be
+    * grouped by domain, so eval purity demands they never reach a
+    * held-out split — and that must hold regardless of the recipe's
+    * ordering, not just for recipes that happen to list train first.
     */
   def domainSplit(parts: DataFrame,
       splits: Seq[(String, Int)] = DefaultSplits): DataFrame = {
@@ -172,7 +174,8 @@ object UrlOps {
       }
     val domainless = col("registered_domain").isNull ||
       col("registered_domain") === ""
+    val fallback = splits.map(_._1).find(_ == "train").getOrElse(splits.head._1)
     parts.withColumn("split_bucket", b)
-      .withColumn("split", when(domainless, lit(splits.head._1)).otherwise(assign))
+      .withColumn("split", when(domainless, lit(fallback)).otherwise(assign))
   }
 }

@@ -12,7 +12,7 @@ import graft.model.Page
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, floor, lit}
 import org.apache.spark.sql.types._
 
 /** WARC (ISO 28500 / WARC/1.0) source + sink — the container format the
@@ -175,12 +175,21 @@ object Warc {
     * [[fetchRecords]] seeks to.
     *
     * Attempt safety: each task attempt writes its own temp file and
-    * RENAMES it over the final shard path at exhaustion, so concurrent
+    * RENAMES it to the final shard path at exhaustion, so concurrent
     * attempts (speculation, zombie first attempts) never interleave
-    * members into one stream. Either attempt's file satisfies the
+    * members into one stream. The commit is FIRST-WRITER-WINS with no
+    * delete of the final path anywhere in the protocol: if the rename
+    * loses to a peer attempt (or the shard already exists), this
+    * attempt's temp file is discarded and the existing shard stands —
+    * a zombie attempt killed mid-commit therefore can never erase an
+    * already-committed shard (the delete-then-rename window the r4
+    * review flagged is gone). Either attempt's file satisfies the
     * committed index rows because the bytes are deterministic: same
     * partition → same rows in the same order → identical gzip output
-    * (java.util.zip Deflater, fixed level, same JVM).
+    * (java.util.zip Deflater, fixed level, same JVM). Corollary: the
+    * sink expects a FRESH output directory per dataset (the standard
+    * Hadoop no-overwrite discipline) — shards already present are
+    * treated as this dataset's own committed output, never replaced.
     */
   private def cdxRows(pages: DataFrame, dir: String,
       acc: Option[org.apache.spark.util.LongAccumulator]): DataFrame = {
@@ -206,9 +215,12 @@ object Warc {
         }
         def commit(): Unit = if (open) {
           open = false; out.close()
-          fs.delete(path, false) // local FS rename won't overwrite
-          if (!fs.rename(tmpPath, path))
-            throw new IOException(s"cannot commit WARC shard $path")
+          // first-writer-wins: never delete the final path (see scaladoc)
+          if (fs.exists(path) || !fs.rename(tmpPath, path)) {
+            if (!fs.exists(path))
+              throw new IOException(s"cannot commit WARC shard $path")
+            fs.delete(tmpPath, false); ()
+          }
         }
         // a failed/short-circuited attempt must release and clean up
         if (tc != null) tc.addTaskCompletionListener[Unit](_ => abort())
@@ -254,20 +266,56 @@ object Warc {
     acc.value
   }
 
+  /** Length-bounded, close-shielded view of the seeked FS stream: at
+    * most `remaining` bytes are served, then EOF — so a gzip member
+    * parse ends exactly at the CDX-recorded member boundary without
+    * materializing the member (a corrupt or hostile CDX length can
+    * therefore never buffer gigabytes in one task; the `maxPayload`
+    * skip inside [[records]] applies while STREAMING). close() is a
+    * no-op: the per-partition reader owns the underlying FS stream.
+    */
+  private final class BoundedIn(in: InputStream, private var remaining: Long)
+      extends InputStream {
+    override def read(): Int =
+      if (remaining <= 0) -1
+      else { val c = in.read(); if (c >= 0) remaining -= 1; c }
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      if (len == 0) 0
+      else if (remaining <= 0) -1
+      else {
+        val r = in.read(b, off, math.min(len.toLong, remaining).toInt)
+        if (r > 0) remaining -= r
+        r
+      }
+    override def close(): Unit = ()
+  }
+
   /** Random-access fetch: read EXACTLY the records a CDX subset
     * addresses — the O(|candidates|) payload fetch of a CC pipeline
     * (inspect flagged dup pairs, re-extract a sample, serve a page)
     * where a glob read would scan the corpus. Only index rows ride the
     * one exchange (file-keyed repartition + in-partition offset sort =
     * sequential-ish IO per shard); payload bytes appear first inside
-    * the per-partition seek loop. Returns the [[readSchema]] frame
-    * (rec_seq = -1: member addressing carries no file ordinal).
+    * the per-partition seek loop, STREAMED through a length-bounded
+    * view of the seeked stream (never materialized per member — see
+    * [[BoundedIn]]). Returns the [[readSchema]] frame (rec_seq = -1:
+    * member addressing carries no file ordinal).
+    *
+    * `splitBytes` makes the read SPLITTABLE below file granularity:
+    * the exchange key is (file, offset/splitBytes), so a 1-GB shard's
+    * members spread over ~1 GB/splitBytes tasks — the CDX index is
+    * exactly the external index that record-per-member gzip needs to
+    * split (Common Crawl ships CDX for this reason), and contiguous
+    * offsets within a range bucket keep the per-task IO sequential.
+    * The default (Long.MaxValue) keeps the one-bucket-per-file shape.
     */
-  def fetchRecords(cdx: DataFrame, maxPayload: Int = 8 << 20): DataFrame = {
+  def fetchRecords(cdx: DataFrame, maxPayload: Int = 8 << 20,
+      splitBytes: Long = Long.MaxValue): DataFrame = {
+    require(splitBytes > 0, s"splitBytes must be positive: $splitBytes")
     val spark = cdx.sparkSession
     val hc = sessionConf(spark)
     val rdd = cdx.select("warc_file", "offset", "length")
-      .repartition(col("warc_file"))
+      .repartition(col("warc_file"), floor(col("offset") / lit(splitBytes)))
       .sortWithinPartitions("warc_file", "offset")
       .rdd.mapPartitions { it =>
         var curFile: String = null
@@ -284,12 +332,9 @@ object Warc {
         val rows = it.flatMap { r =>
           val (file, off, len) =
             (r.getString(0), r.getLong(1), r.getLong(2))
-          if (len > Int.MaxValue)
-            throw new IOException(s"CDX member length $len at $file:$off exceeds 2 GiB")
           if (file != curFile) switchTo(file)
           in.seek(off)
-          val member = readFully(in, len.toInt, s"$file:$off+$len")
-          val ri = records(new java.io.ByteArrayInputStream(member), file,
+          val ri = records(new BoundedIn(in, len), file,
             maxPayload, lenientTail = false)
           if (!ri.hasNext)
             throw new IOException(s"CDX slice $file:$off+$len holds no WARC record")
@@ -462,11 +507,12 @@ object Warc {
 
   /** Read WARC shards matching `glob` into the raw record frame
     * (`readSchema`): response records only, one row per record.
-    * `rec_seq` is the per-file ordinal over HTTP-RESPONSE records only
-    * (warcinfo/request/metadata records — which real CC crawl shards
-    * interleave per capture — do not advance it), so a gap in the
-    * emitted sequence means exactly one thing: an oversized response
-    * was dropped at `maxPayload`.
+    * `rec_seq` is the per-file ordinal over EMITTED rows plus oversized
+    * drops: warcinfo/request/metadata records (which real CC crawl
+    * shards interleave per capture) do not advance it, and neither does
+    * a response whose HTTP head fails to parse (no row, no gap) — so a
+    * gap in the emitted sequence means exactly one thing: an oversized
+    * response was dropped at `maxPayload`.
     */
   def read(spark: SparkSession, glob: String,
       maxPayload: Int = 8 << 20, lenientTail: Boolean = false): DataFrame = {
@@ -489,14 +535,17 @@ object Warc {
           val isHttpResponse = r.warcType == "response" &&
             r.headers.getOrElse("content-type", "").startsWith("application/http")
           if (!isHttpResponse) None
-          else {
-            seq += 1
-            r.payload.flatMap(parseHttp).map { case (st, ct, body) =>
-              val ts = Timestamp.from(Instant.from(WarcDate.parse(
-                r.headers.getOrElse("warc-date",
-                  throw new IOException(s"response record without WARC-Date in $file")))))
-              Row(r.headers.getOrElse("warc-target-uri", ""), ts, body, st, ct,
-                file, seq)
+          else r.payload match {
+            case None => seq += 1; None // oversized drop: the ONE gap cause
+            case Some(p) => parseHttp(p) match {
+              case None => None // malformed HTTP head: no row, no gap
+              case Some((st, ct, body)) =>
+                seq += 1
+                val ts = Timestamp.from(Instant.from(WarcDate.parse(
+                  r.headers.getOrElse("warc-date",
+                    throw new IOException(s"response record without WARC-Date in $file")))))
+                Some(Row(r.headers.getOrElse("warc-target-uri", ""), ts, body,
+                  st, ct, file, seq))
             }
           }
         }
@@ -594,9 +643,12 @@ object Warc {
             member(conversionRecord(url, ts, text)); n += 1
           }
           open = false; out.close()
-          fs.delete(path, false)
-          if (!fs.rename(tmpPath, path))
-            throw new IOException(s"cannot commit WET shard $path")
+          // first-writer-wins, no delete of the final path (see cdxRows)
+          if (fs.exists(path) || !fs.rename(tmpPath, path)) {
+            if (!fs.exists(path))
+              throw new IOException(s"cannot commit WET shard $path")
+            fs.delete(tmpPath, false); ()
+          }
           Iterator.single(1L)
         }
       }.fold(0L)(_ + _)

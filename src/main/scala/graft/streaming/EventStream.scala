@@ -252,16 +252,18 @@ object EventStream {
     * replay, stale no-ops, O(micro-batch) write amplification, atomic
     * visibility at the versions marker) carries over unchanged.
     *
-    * `lenientTail = true` is the operational setting for a directory
-    * fed by real crawlers: a damaged or non-atomically-copied shard
-    * parses to its good prefix instead of failing the micro-batch —
-    * and since the file is already in the source's input log, a strict
-    * failure would REPLAY the same bytes forever (a poison shard).
+    * `lenientTail = true` is the DEFAULT here — the operational setting
+    * for a directory fed by real crawlers: a damaged or non-atomically-
+    * copied shard parses to its good prefix instead of failing the
+    * micro-batch — and since the file is already in the source's input
+    * log, a strict failure would REPLAY the same bytes forever (a
+    * poison shard). Pass `lenientTail = false` only for ingest from a
+    * trusted writer where a damaged shard should halt the stream.
     */
   def maintainTriplesFromWarc(
       spark: SparkSession, warcDir: String, tableDir: String,
       checkpointDir: String, buckets: Int, maxPayload: Int = 8 << 20,
-      lenientTail: Boolean = false
+      lenientTail: Boolean = true
   ): StreamingQuery = {
     import spark.implicits._
     // binaryFile's fixed schema, spelled out: the streaming source

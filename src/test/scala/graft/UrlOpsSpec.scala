@@ -147,12 +147,19 @@ class UrlOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
     assert(s(1L)._1 == "" && s(1L)._2 == "train")
     assert(s(2L)._1 == "" && s(2L)._2 == "train")
-    // and under a recipe whose constant bucket WOULD be eval, still head
+    // under a recipe whose FIRST split is held-out, the malformed class
+    // must still land in the split NAMED train, not positionally in eval
     val evalHeavy = UrlOps.domainSplit(UrlOps.withUrlParts(d),
       Seq("heldout" -> 999, "train" -> 1))
       .filter(col("registered_domain") === "")
       .select("split").distinct().as[String].collect()
-    assert(evalHeavy.sameElements(Array("heldout"))) // head split by rule
+    assert(evalHeavy.sameElements(Array("train")))
+    // a recipe with no "train" split falls back to the head split
+    val noTrain = UrlOps.domainSplit(UrlOps.withUrlParts(d),
+      Seq("a" -> 500, "b" -> 500))
+      .filter(col("registered_domain") === "")
+      .select("split").distinct().as[String].collect()
+    assert(noTrain.sameElements(Array("a")))
   }
 
   test("domainSplit: custom recipe validated; single-split recipe degenerates cleanly") {

@@ -224,6 +224,69 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("CDX-split read: sub-file splits yield the same record set as the file-unit reader") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-warc-split").toString
+    // 2 multi-record shards (60 records each): the file-unit reader
+    // gets 2 tasks; the CDX-driven ranged reader must split further
+    val pages = PageGen.pages(spark, 120, partitions = 2)
+    Warc.writeWithCdx(pages.toDF(), s"$dir/warc", s"$dir/cdx")
+    val cdx = spark.read.parquet(s"$dir/cdx")
+    // shard sizes are a few hundred KB; 4 KiB ranges force many buckets
+    val split = Warc.fetchRecords(cdx, splitBytes = 4096)
+    val whole = Warc.read(spark, s"$dir/warc/*.warc.gz")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("url", "warc_ts", "html")
+        .as[(String, java.sql.Timestamp, Array[Byte])]
+        .collect().map { case (u, t, h) => (u, t, h.toSeq) }.sortBy(_._1).toSeq
+    assert(key(split) === key(whole))
+    // the ranged reader's offsets actually spread over >2 range buckets
+    // (the splittability claim): distinct (file, offset/4096) keys
+    val buckets = cdx.select(col("warc_file"),
+      floor(col("offset") / lit(4096L))).distinct().count()
+    assert(buckets > 2, s"fixture too small to exercise splitting: $buckets")
+  }
+
+  test("rec_seq: a malformed HTTP head drops the row without forging an oversized gap") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-warc-badhttp").toString
+    val recs = gzMembers(
+      handRecord("response", "http://ok1.example/", "2023-05-01T10:00:00Z",
+        httpPayload("<html>ok1</html>")),
+      // a response record whose payload is NOT an HTTP message at all
+      handRecord("response", "http://weird.example/", "2023-05-01T10:00:01Z",
+        "this is not http".getBytes(ISO_8859_1)),
+      handRecord("response", "http://ok2.example/", "2023-05-01T10:00:02Z",
+        httpPayload("<html>ok2</html>")))
+    Files.write(java.nio.file.Paths.get(dir, "m.warc.gz"), recs)
+    val rows = Warc.read(spark, s"$dir/*.warc.gz")
+      .select("url", "rec_seq").as[(String, Int)].collect().sortBy(_._2)
+    assert(rows.map(_._1).toSeq ===
+      Seq("http://ok1.example/", "http://ok2.example/"))
+    // contiguous: no gap, so a reader auditing gaps counts ONLY
+    // oversized drops (the scaladoc's one-gap-cause contract)
+    assert(rows.map(_._2).toSeq === Seq(0, 1))
+  }
+
+  test("shard commit is first-writer-wins: a committed shard is never deleted or replaced") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-warc-fww").toString
+    val pages = PageGen.pages(spark, 30, partitions = 1).toDF()
+    Warc.write(pages, dir)
+    val shard = java.nio.file.Paths.get(dir, "part-00000.warc.gz")
+    val committed = Files.readAllBytes(shard)
+    // a second writer racing into the same directory (the zombie-attempt
+    // shape): the already-committed shard must stand untouched — there
+    // is no delete-then-rename window anywhere in the commit
+    Warc.write(PageGen.pages(spark, 10, partitions = 1).toDF(), dir)
+    assert(java.util.Arrays.equals(Files.readAllBytes(shard), committed),
+      "committed shard bytes were replaced by a later writer")
+    // and no temp litter remains
+    val tmps = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.contains(".tmp"))
+    assert(tmps.isEmpty, s"uncleaned temp attempts: ${tmps.mkString(",")}")
+  }
+
   test("writer determinism: same rows twice -> byte-identical shards and identical CDX") {
     // the attempt-commit safety argument (cdxRows scaladoc) rests on
     // this: a speculative re-attempt of the same partition must produce
