@@ -716,6 +716,14 @@ object SparkEntry {
     "line_clean" -> ((s, dir) =>
       Lines.removeBoilerplate(lineFixture(docs(s, dir)), maxDocFreq = 50)
         .select("doc_id", "clean_text").orderBy("doc_id")),
+    // the DISTRIBUTED branch of the size-adaptive strike (broadcast
+    // ceiling forced to 0): same oracle as line_clean — the two
+    // branches implement one function, and this row proves it at the
+    // driver gate, not just in the spec
+    "line_clean_dist" -> ((s, dir) =>
+      Lines.removeBoilerplate(lineFixture(docs(s, dir)), maxDocFreq = 50,
+        maxBroadcastBlocklist = 0L)
+        .select("doc_id", "clean_text").orderBy("doc_id")),
 
     // ---------- bigram LM quality scoring (KenLM/CCNet-style) -------
     // reference slice = doc_id % 10 == 3; counts are integer (fully
@@ -840,8 +848,13 @@ object SparkEntry {
     // bpe_rebuild closes completeness (every word present, rebuilt
     // char-exact, fully replayed from documents); fertility chains off
     // the encode dump.
+    // the PRUNED training table — the only form train() collects:
+    // frequency floor n >= 2 plus the deterministic top-K cap (the
+    // oracle replays both; on this fixture the floor prunes nothing
+    // and the cap is slack, so merges are unchanged — BpeSpec asserts
+    // the prune itself on a planted fixture)
     "bpe_word_counts" -> ((s, dir) =>
-      Bpe.wordCounts(docs(s, dir).filter(col("doc_id") % 7 === 3))
+      Bpe.prunedWordCounts(docs(s, dir).filter(col("doc_id") % 7 === 3))
         .orderBy("word")),
     "bpe_merges" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -3376,6 +3389,12 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(cl.clean_text, '') AS clean_text
         |FROM d LEFT JOIN cl ON cl.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // line_clean_dist: the distributed anti-join branch must produce
+    // the SAME rows — replay via the already-verified line_clean dump
+    "line_clean_dist" ->
+      """SELECT doc_id, clean_text
+        |FROM read_parquet('{OUT}/line_clean/*.parquet')
+        |ORDER BY doc_id""".stripMargin,
     // lm_counts: the reference bigram counts replayed exactly
     "lm_counts" ->
       """WITH ref AS (SELECT doc_id,
@@ -3390,14 +3409,23 @@ object SparkEntry {
         |h AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1)
         |SELECT bg.w1, bg.w2, bg.c12, h.c1 FROM bg JOIN h ON h.w1 = bg.w1
         |ORDER BY bg.w1, bg.w2""".stripMargin,
-    // lm_table: consistency oracle — every smoothed log-prob is a
-    // probability < 1, so lp < 0 for every row (the log itself is the
-    // one transcendental; lm_score below consumes the dumped values)
+    // lm_table: key-set completeness vs the (itself fully replayed)
+    // lm_counts dump — exactly the c12 >= 2 floored seen rows + one
+    // backoff row per head + one OOV row, no more, no less (a missing
+    // key surfaces as an unmatched NULL row; an unpruned extra row
+    // inflates the engine side) — plus lp < 0 range consistency and
+    // the fixed-point lpq recomputed from the dumped lp
     "lm_table" ->
-      """SELECT w1, w2, lp,
-        |  CAST(floor(lp * 4294967296.0 + 0.5) AS BIGINT) AS lpq
-        |FROM read_parquet('{OUT}/lm_table/*.parquet')
-        |WHERE lp < 0 ORDER BY w1, w2""".stripMargin,
+      """WITH lm AS (SELECT * FROM read_parquet('{OUT}/lm_table/*.parquet')),
+        |c AS (SELECT * FROM read_parquet('{OUT}/lm_counts/*.parquet')),
+        |keys AS (SELECT w1, w2 FROM c WHERE c12 >= 2
+        |  UNION SELECT DISTINCT w1, '' AS w2 FROM c
+        |  UNION SELECT '' AS w1, '' AS w2)
+        |SELECT k.w1, k.w2, d.lp,
+        |  CAST(floor(d.lp * 4294967296.0 + 0.5) AS BIGINT) AS lpq
+        |FROM keys k LEFT JOIN lm d ON d.w1 = k.w1 AND d.w2 = k.w2
+        |WHERE d.lp IS NULL OR d.lp < 0
+        |ORDER BY k.w1, k.w2""".stripMargin,
     // lm_score: the whole scoring pass replayed — bigram explode, the
     // three-tier seen/backoff/OOV resolution against the dumped LUT's
     // fixed-point column, an ORDER-FREE integer sum (associative),
@@ -3441,13 +3469,20 @@ object SparkEntry {
         |h AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1)
         |SELECT bg.w1, bg.w2, bg.c12, h.c1 FROM bg JOIN h ON h.w1 = bg.w1
         |ORDER BY bg.w1, bg.w2""".stripMargin,
-    // dsir_raw_table: consistency (every smoothed log-prob < 0); the
-    // dumped values are consumed by the dsir_weights replay
+    // dsir_raw_table: same key-set-vs-counts + range discipline as
+    // lm_table (c12 >= 2 floor); the dumped values are consumed by the
+    // dsir_weights replay
     "dsir_raw_table" ->
-      """SELECT w1, w2, lp,
-        |  CAST(floor(lp * 4294967296.0 + 0.5) AS BIGINT) AS lpq
-        |FROM read_parquet('{OUT}/dsir_raw_table/*.parquet')
-        |WHERE lp < 0 ORDER BY w1, w2""".stripMargin,
+      """WITH lm AS (SELECT * FROM read_parquet('{OUT}/dsir_raw_table/*.parquet')),
+        |c AS (SELECT * FROM read_parquet('{OUT}/dsir_raw_counts/*.parquet')),
+        |keys AS (SELECT w1, w2 FROM c WHERE c12 >= 2
+        |  UNION SELECT DISTINCT w1, '' AS w2 FROM c
+        |  UNION SELECT '' AS w1, '' AS w2)
+        |SELECT k.w1, k.w2, d.lp,
+        |  CAST(floor(d.lp * 4294967296.0 + 0.5) AS BIGINT) AS lpq
+        |FROM keys k LEFT JOIN lm d ON d.w1 = k.w1 AND d.w2 = k.w2
+        |WHERE d.lp IS NULL OR d.lp < 0
+        |ORDER BY k.w1, k.w2""".stripMargin,
     // dsir_weights: ONE bigram pass resolving both dumped LUTs' fixed-
     // point columns, order-free integer sums, exact 2^-32 scaling,
     // lw = sum_t/n - sum_r/n in that spelled IEEE order — bit-exact;
@@ -3495,13 +3530,20 @@ object SparkEntry {
         |WHERE (('0x' || substr(md5(doc_id || ':dsir'), 1, 8))::BIGINT)::DOUBLE
         |      < accept_p * 4294967296.0
         |ORDER BY doc_id""".stripMargin,
-    // bpe_word_counts: the training word-frequency table replayed
+    // bpe_word_counts: the PRUNED training word table replayed — the
+    // same n >= 2 floor and (n desc, word asc) top-1048576 cap the
+    // engine's train() collects
     "bpe_word_counts" ->
-      """SELECT word, CAST(count(*) AS BIGINT) AS n
-        |FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
-        |    x -> len(x) > 0)) AS word
-        |  FROM documents WHERE doc_id % 7 = 3)
-        |GROUP BY word ORDER BY word""".stripMargin,
+      """WITH wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> len(x) > 0)) AS word
+        |    FROM documents WHERE doc_id % 7 = 3)
+        |  GROUP BY word),
+        |pruned AS (SELECT word, n,
+        |    row_number() OVER (ORDER BY n DESC, word ASC) AS rk
+        |  FROM wc WHERE n >= 2)
+        |SELECT word, n FROM pruned WHERE rk <= 1048576
+        |ORDER BY word""".stripMargin,
     // bpe_merges: structural consistency (filter-style: a violating
     // row drops out and the compare fails) — merged = lhs || rhs, each
     // side a single char or the product of an EARLIER merge, ranks
@@ -3576,18 +3618,20 @@ object SparkEntry {
         |SELECT k.label, k.n_docs, d.lp_prior
         |FROM k LEFT JOIN read_parquet('{OUT}/nb_priors/*.parquet') d USING (label)
         |ORDER BY label""".stripMargin,
-    // nb_table: key-set completeness — every (label, trained token)
-    // plus one backoff row per label; the log passes through as data
-    // and the fixed-point lwq is RECOMPUTED from it (exact IEEE
-    // multiply + floor, so a wrong quantization mismatches)
+    // nb_table: key-set completeness — exactly the (label, token)
+    // pairs with train count >= 2 (the structural LUT floor) plus one
+    // backoff row per label; the log passes through as data and the
+    // fixed-point lwq is RECOMPUTED from it (exact IEEE multiply +
+    // floor, so a wrong quantization mismatches)
     "nb_table" ->
       """WITH tr AS (SELECT source AS label, text FROM documents
         |  WHERE doc_id % 7 = 3),
         |ex0 AS (SELECT label, unnest(list_filter(string_split(lower(text), ' '),
         |    x -> len(x) > 0)) AS token FROM tr),
-        |ex AS (SELECT DISTINCT label, token FROM ex0),
-        |keys AS (SELECT label, token FROM ex
-        |  UNION SELECT DISTINCT label, '' AS token FROM ex)
+        |cnt AS (SELECT label, token, count(*) AS c FROM ex0
+        |  GROUP BY label, token),
+        |keys AS (SELECT label, token FROM cnt WHERE c >= 2
+        |  UNION SELECT DISTINCT label, '' AS token FROM cnt)
         |SELECT k.label, k.token, d.lw,
         |  CAST(floor(d.lw * 4294967296.0 + 0.5) AS BIGINT) AS lwq
         |FROM keys k LEFT JOIN read_parquet('{OUT}/nb_table/*.parquet') d

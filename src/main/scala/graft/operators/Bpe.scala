@@ -18,9 +18,16 @@ import scala.collection.mutable
   * (a) ONE hash aggregation producing the (word, freq) table and
   * (b) the encode pass, a zero-exchange flatMap under broadcast merge
   * ranks. The merge LOOP itself runs driver-side over the collected
-  * word-frequency table — a bounded collect BY CONTRACT (the distinct-
-  * word vocabulary is the classic bounded model table, like the LM/NB
-  * LUTs; industrial BPE trainers train from exactly this table).
+  * word-frequency table — and that collect is bounded STRUCTURALLY,
+  * not by contract: on real web text the raw distinct-token table
+  * (URLs, hex ids, typos) is billions of entries, so [[train]]
+  * collects only the PRUNED table — `n >= minWordFreq` (industrial
+  * BPE trainers prune by frequency; a singleton web token cannot move
+  * a merge decision anyway at corpus scale) capped to the
+  * `maxWords` highest-frequency words, deterministic under the total
+  * order (n desc, word asc) — a distributed TakeOrdered, never a
+  * single-task global sort. The cap is a true top-K: whatever the
+  * corpus, the driver sees at most maxWords rows.
   *
   * Merge application (training rewrite and encode share it, so encoding
   * the training corpus reproduces the training segmentation exactly):
@@ -40,12 +47,37 @@ import scala.collection.mutable
   */
 object Bpe {
 
+  /** Default training-table frequency floor: singletons never survive
+    * (KenLM's default discipline, same floor the LM/NB LUTs use).
+    */
+  val DefaultMinWordFreq: Long = 2L
+
+  /** Default training-table cap: 1M distinct words — an order of
+    * magnitude above any natural-language vocabulary, far below the
+    * web's unbounded token space.
+    */
+  val DefaultMaxWords: Int = 1 << 20
+
   /** (word, n) frequency table — lowercased whitespace tokens (the
     * search/LM tokenization), one aggregation.
     */
   def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(explode(Search.searchTokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** The TRAINING word table: frequency-floored and top-K-capped under
+    * the deterministic total order (n desc, word asc) — the only form
+    * [[train]] ever collects (see class doc). The limit plans as a
+    * distributed TakeOrdered, not a global sort.
+    */
+  def prunedWordCounts(docs: DataFrame,
+      minWordFreq: Long = DefaultMinWordFreq,
+      maxWords: Int = DefaultMaxWords,
+      textCol: String = "text"): DataFrame =
+    wordCounts(docs, textCol)
+      .where(col("n") >= minWordFreq)
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(maxWords)
 
   /** Merge all non-overlapping (left, right) occurrences in `syms`,
     * left-to-right.
@@ -117,13 +149,18 @@ object Bpe {
     merges.toSeq
   }
 
-  /** Distributed word count + driver-side merge loop (bounded collect
-    * by contract — see class doc).
+  /** Distributed word count + driver-side merge loop over the PRUNED
+    * training table (structurally bounded collect — see class doc).
     */
-  def train(docs: DataFrame, numMerges: Int, textCol: String = "text"): Seq[(String, String)] = {
+  def train(docs: DataFrame, numMerges: Int, textCol: String = "text",
+      minWordFreq: Long = DefaultMinWordFreq,
+      maxWords: Int = DefaultMaxWords): Seq[(String, String)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    trainFromCounts(wordCounts(docs, textCol).as[(String, Long)].collect().toSeq, numMerges)
+    trainFromCounts(
+      prunedWordCounts(docs, minWordFreq, maxWords, textCol)
+        .select("word", "n").as[(String, Long)].collect().toSeq,
+      numMerges)
   }
 
   /** The merge table as a DataFrame: (rank, lhs, rhs, merged) —

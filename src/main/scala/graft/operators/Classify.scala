@@ -96,14 +96,28 @@ object Classify {
   /** Fixed-point scale for token log-probs: 2^32. */
   val Shift = 4294967296.0
 
-  /** The model LUT: seen (label, token, lw, lwq) rows + one backoff
-    * row per label (token = ""). The logs are the dumped data the
-    * scoring oracle joins; lwq is the fixed-point form scoring sums.
+  /** Default seen-(label, token) floor: singletons never enter the
+    * LUT — the same structural bound as [[NgramLm.DefaultMinBigramCount]]
+    * (a web-scale train slice's raw token vocabulary is unbounded; the
+    * floor is what makes "broadcast-sized" a property of the code, not
+    * of the caller's discipline).
     */
-  def nbTable(counts: DataFrame, vocabSize: Long): DataFrame = {
+  val DefaultMinTokenCount: Long = 2L
+
+  /** The model LUT: seen (label, token, lw, lwq) rows with
+    * `c >= minTokenCount` + one backoff row per label (token = "").
+    * Floored-out tokens resolve through their label's backoff row
+    * (c_label still counts them — smoothing denominators are
+    * prune-invariant). The logs are the dumped data the scoring oracle
+    * joins; lwq is the fixed-point form scoring sums.
+    */
+  def nbTable(counts: DataFrame, vocabSize: Long,
+      minTokenCount: Long = DefaultMinTokenCount): DataFrame = {
     val v = lit(vocabSize.toDouble)
-    val seen = counts.select(col("label"), col("token"),
-      log((col("c") + lit(1.0)) / (col("c_label") + v)).as("lw"))
+    val seen = counts
+      .where(col("c") >= minTokenCount)
+      .select(col("label"), col("token"),
+        log((col("c") + lit(1.0)) / (col("c_label") + v)).as("lw"))
     val backoff = counts.groupBy("label").agg(max("c_label").as("c_label"))
       .select(col("label"), lit(Backoff).as("token"),
         log(lit(1.0) / (col("c_label") + v)).as("lw"))

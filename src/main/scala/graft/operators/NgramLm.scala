@@ -12,9 +12,17 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: counting is one hash aggregation over the exploded
   * bigram stream (map-side combine; compact (w1, w2, count) rows); the
-  * model table is vocabulary²-bounded and BROADCAST to the scoring
-  * pass, which is one projection + two broadcast left joins + one
-  * aggregation — the corpus text never rides an exchange.
+  * model table is BROADCAST to the scoring pass, which is one
+  * projection + two broadcast left joins + one aggregation — the
+  * corpus text never rides an exchange. The broadcast-sized claim is
+  * STRUCTURAL, not by contract: [[lmTable]] floors seen bigrams at
+  * `minBigramCount` (KenLM prunes singletons by default — a 10-TB
+  * reference slice's raw bigram vocabulary is ~1e9-1e10 entries, over
+  * any broadcast budget, and the floor is the dial that brings it
+  * under; the pruned mass resolves through the backoff/OOV tiers that
+  * already exist, exactly KenLM's discipline). Head totals c1 keep
+  * counting ALL bigrams, so surviving rows' probabilities are
+  * unchanged by the prune.
   *
   * Determinism: counts are integers (fully SQL-replayable); the only
   * transcendental is the smoothed log-probability, so — like the BM25
@@ -73,15 +81,25 @@ object NgramLm {
     bg.join(heads, Seq("w1")).select("w1", "w2", "c12", "c1")
   }
 
-  /** The model table: seen-bigram rows + one backoff row per seen head
-    * (w2 = "") + one global OOV row (w1 = w2 = ""). lp is the one
-    * transcendental — this table is the dumped LUT the scoring oracle
-    * joins.
+  /** Default seen-bigram floor: singletons never enter the LUT (the
+    * KenLM default; see the scale-shape note in the class doc).
     */
-  def lmTable(counts: DataFrame, vocabSize: Long): DataFrame = {
+  val DefaultMinBigramCount: Long = 2L
+
+  /** The model table: seen-bigram rows with `c12 >= minBigramCount`
+    * + one backoff row per seen head (w2 = "") + one global OOV row
+    * (w1 = w2 = ""). Floored-out bigrams resolve through their head's
+    * backoff row (whose c1 total still counts them — the smoothing
+    * denominator is prune-invariant). lp is the one transcendental —
+    * this table is the dumped LUT the scoring oracle joins.
+    */
+  def lmTable(counts: DataFrame, vocabSize: Long,
+      minBigramCount: Long = DefaultMinBigramCount): DataFrame = {
     val v = lit(vocabSize.toDouble)
-    val seen = counts.select(col("w1"), col("w2"),
-      log((col("c12") + lit(1.0)) / (col("c1") + v)).as("lp"))
+    val seen = counts
+      .where(col("c12") >= minBigramCount)
+      .select(col("w1"), col("w2"),
+        log((col("c12") + lit(1.0)) / (col("c1") + v)).as("lp"))
     val backoff = counts.groupBy("w1").agg(max("c1").as("c1"))
       .select(col("w1"), lit(Backoff).as("w2"),
         log(lit(1.0) / (col("c1") + v)).as("lp"))

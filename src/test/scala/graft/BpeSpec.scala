@@ -119,6 +119,37 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.train(d.repartition(11), numMerges = 10) == merges)
   }
 
+  test("training-table prune: floor + deterministic top-K cap; merges unchanged when slack") {
+    import spark.implicits._
+    // floor: singleton web junk (hex ids) must not reach the driver
+    val d = df(Seq(
+      (1L, "low low low lower lower a1b2c3d4"),
+      (2L, "low lowest deadbeef01"),
+      (3L, "lower lowest cafe99ff")))
+    val pruned = Bpe.prunedWordCounts(d)
+      .as[(String, Long)].collect().toMap
+    assert(pruned == Map("low" -> 4L, "lower" -> 3L, "lowest" -> 2L),
+      s"singletons must be floored out: $pruned")
+    // cap: top-K under (n desc, word asc) — deterministic, exact
+    val capped = Bpe.prunedWordCounts(d, maxWords = 2)
+      .as[(String, Long)].collect().toMap
+    assert(capped == Map("low" -> 4L, "lower" -> 3L))
+    // prune determinism across partitionings (TakeOrdered, total order)
+    for (p <- Seq(2, 13)) {
+      val again = Bpe.prunedWordCounts(d.repartition(p), maxWords = 2)
+        .as[(String, Long)].collect().toMap
+      assert(again == capped, s"prune not deterministic at $p partitions")
+    }
+    // when every word clears the floor and the cap is slack, training
+    // is EXACTLY the unpruned training (the sf-fixture situation)
+    val clear = df((0 until 40).map(i => (i.toLong, s"w${i % 5} shared w${i % 3}")))
+    val unpruned = Bpe.trainFromCounts(
+      Bpe.wordCounts(clear).as[(String, Long)].collect().toSeq, 10)
+    assert(Bpe.train(clear, 10) == unpruned)
+    // and a pruning corpus trains exactly on its pruned table
+    assert(Bpe.train(d, 5) == Bpe.trainFromCounts(pruned.toSeq, 5))
+  }
+
   test("plan: encode is a zero-exchange projection") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

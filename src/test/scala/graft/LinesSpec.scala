@@ -116,4 +116,48 @@ class LinesSpec extends AnyFunSuite {
     assert(exchanges(q.queryExecution.executedPlan).isEmpty,
       s"rewrite must not shuffle:\n${q.queryExecution.executedPlan}")
   }
+
+  test("size-adaptive: broadcast and distributed branches are rows-identical (2 partitionings)") {
+    import spark.implicits._
+    // mixed corpus: high-df boilerplate, threshold-boundary lines, an
+    // all-struck doc, a NULL-text doc, and normalization-only dupes
+    val rows = (0 until 150).map { i =>
+      (i.toLong, s"Body line $i\nFOOTER  ${i % 2}\nfooter ${i % 2}\nmid ${i % 30}")
+    } ++ Seq((900L, "FOOTER  0"), (901L, null.asInstanceOf[String]))
+    val d = df(rows)
+    def collectClean(x: DataFrame) = x.select("doc_id", "clean_text")
+      .as[(Long, String)].collect().sortBy(_._1).toList
+    for (parts <- Seq(3, 23)) {
+      val in = d.repartition(parts)
+      // maxBroadcastBlocklist = 0 forces the distributed branch on the
+      // SAME input the broadcast branch handles
+      val bcast = collectClean(Lines.removeBoilerplate(in, 10))
+      val dist = collectClean(
+        Lines.removeBoilerplate(in, 10, maxBroadcastBlocklist = 0L))
+      assert(bcast == dist, s"branch divergence at $parts partitions")
+      // and the explicit at-rest-blocklist entry point agrees too
+      val block = Lines.lineDocFreq(in).where(col("doc_freq") > 10).select("h")
+      assert(collectClean(
+        Lines.removeBoilerplateDistributed(in, block)) == bcast)
+    }
+  }
+
+  test("plan: distributed branch is a left-anti join, no driver-sized structure") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def joins(p: SparkPlan): Seq[BaseJoinExec] = p match {
+      case a: AdaptiveSparkPlanExec => joins(a.executedPlan)
+      case q: QueryStageExec => joins(q.plan)
+      case j: BaseJoinExec => j +: p.children.flatMap(joins)
+      case _ => p.children.flatMap(joins)
+    }
+    import spark.implicits._
+    val d = df((0 until 60).map(i => (i.toLong, s"body $i\nfooter ${i % 2}")))
+    val q = Lines.removeBoilerplate(d, 10, maxBroadcastBlocklist = 0L)
+    q.count()
+    val js = joins(q.queryExecution.executedPlan)
+    assert(js.exists(_.joinType.sql == "LEFT ANTI"),
+      s"distributed branch must anti-join the blocklist:\n${q.queryExecution.executedPlan}")
+  }
 }

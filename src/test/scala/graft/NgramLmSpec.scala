@@ -84,7 +84,10 @@ class NgramLmSpec extends AnyFunSuite {
   test("quality ordering: reference-like text outscores OOV gibberish") {
     import spark.implicits._
     val ref = df(Seq((1L, "the cat sat on the mat"), (2L, "the dog sat on the rug")))
-    val lm = NgramLm.lmTable(NgramLm.counts(ref), NgramLm.vocabSize(ref))
+    // floor 1: this two-sentence fixture is all singleton bigrams — the
+    // production floor (2) is exercised by its own test below
+    val lm = NgramLm.lmTable(NgramLm.counts(ref), NgramLm.vocabSize(ref),
+      minBigramCount = 1L)
     val docs = df(Seq(
       (10L, "the cat sat on the rug"), // in-domain
       (11L, "the cat xyzzy plugh mat"), // partial junk
@@ -96,6 +99,26 @@ class NgramLmSpec extends AnyFunSuite {
     val kept = NgramLm.keep(NgramLm.score(docs, lm), s(11L))
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(10L, 11L))
+  }
+
+  test("LUT floor: singleton bigrams never enter the table; backoff absorbs them") {
+    import spark.implicits._
+    val ref = df(Seq((1L, "a b a b c"), (2L, "a b")))
+    // counts: (a,b)=3, (b,a)=1, (b,c)=1 — the singletons must be gone
+    val lm = NgramLm.lmTable(NgramLm.counts(ref), NgramLm.vocabSize(ref))
+      .select("w1", "w2", "lp").as[(String, String, Double)].collect().toMap2
+    assert(lm.contains(("a", "b")))
+    assert(!lm.contains(("b", "a")) && !lm.contains(("b", "c")),
+      s"floored bigrams leaked into the LUT: ${lm.keySet}")
+    // backoff rows still cover BOTH heads, with c1 counting the pruned
+    // mass (the smoothing denominator is prune-invariant): c1(b) = 2
+    assert(lm(("b", "")) == math.log(1.0 / (2.0 + 4.0)))
+    // scoring a floored bigram resolves through backoff, not OOV
+    val s = NgramLm.score(df(Seq((9L, "b a"))), NgramLm.lmTable(
+      NgramLm.counts(ref), NgramLm.vocabSize(ref)))
+      .select("sum_lp").as[Double].collect()(0)
+    def q(x: Double) = math.floor(x * NgramLm.Shift + 0.5).toLong
+    assert(s == q(math.log(1.0 / 6.0)).toDouble / NgramLm.Shift)
   }
 
   test("partition invariance") {
