@@ -22,9 +22,20 @@ import org.apache.spark.sql.functions._
   *  - the quadratic term is bounded per cluster: vectors ride exactly
   *    ONE exchange (the cell aggregation), and pair generation is
   *    in-row over the sorted member list — nlist is the dial that
-  *    bounds expected cluster size (paper uses ~sqrt(N) clusters; a
-  *    pathological hub cluster concentrates cost the same way a hub
-  *    LSH bucket does, which is inherent to the method);
+  *    bounds EXPECTED cluster size (paper uses ~sqrt(N) clusters),
+  *    and a HUB cell (every embedding of a template page family
+  *    landing in one Voronoi cell) is capped by `maxCellSize`: an
+  *    oversize cell is RE-QUANTIZED one level down with a
+  *    second-level Lloyd (the same deterministic
+  *    `Similarity.ivfCentroidsTrained`, k2 = ceil(|cell|/cap)
+  *    sub-centroids trained on that cell's members) and pairing runs
+  *    within (cell, subcell) — so no single task ever collects the
+  *    hub into one row. Cell sizes are an nlist-bounded collect; the
+  *    driver loop trains one small Lloyd per oversize cell (at most
+  *    N/maxCellSize of them). Like the coarse level itself, subcell
+  *    scoping is the method's disclosed approximation: a near-dup
+  *    pair split across subcells is missed, exactly as one split
+  *    across coarse cells already is;
   *  - the component/survivor stage runs over the PAIR table (near-dup
   *    density-bounded, far smaller than the corpus) via the same
   *    join-based convergence-guarded connected components the entity
@@ -44,6 +55,13 @@ object SemDedup {
     */
   val DefaultThreshold: Double = 0.95
 
+  /** Default hub-cell cap: cells above this member count re-quantize
+    * one level down before pairing (4096² in-row cosines ≈ the upper
+    * end of a healthy task; far above any cell a well-sized nlist
+    * produces, so the common case never pays the subdivision pass).
+    */
+  val DefaultMaxCellSize: Int = 4096
+
   /** The engine-wide exact cosine (see `Similarity.cosExact` — the one
     * implementation both oracle families replay).
     */
@@ -62,16 +80,19 @@ object SemDedup {
       .select(col("id"), col("cell"), col("cent_cos"))
 
   /** Within-cluster near-dup pairs (cell, a, b) with a < b and exact
-    * cosine >= threshold. One wide exchange: the per-cell member
-    * aggregation; pairing is in-row over the id-sorted member list, so
-    * the output is partition-invariant.
+    * cosine >= threshold. One wide exchange: the per-(cell, subcell)
+    * member aggregation; pairing is in-row over the id-sorted member
+    * list, so the output is partition-invariant. Hub cells above
+    * `maxCellSize` re-quantize one level down first (class doc) — the
+    * size probe is one count action over the assignment projection.
     */
   def pairs(
       corpus: DataFrame, cents: Array[(Int, Array[Float])],
       threshold: Double = DefaultThreshold,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCellSize: Int = DefaultMaxCellSize): DataFrame =
     pairsFromAssigned(
-      assignedVectors(corpus, cents, idCol, vecCol), threshold)
+      assignedVectors(corpus, cents, idCol, vecCol), threshold, maxCellSize)
 
   /** (id, cell, cent_cos, v): the one corpus projection every SemDeDup
     * stage reads — assignment, keep-rule key, and the vector payload in
@@ -93,13 +114,49 @@ object SemDedup {
         col("ac._2").as("cent_cos"), col("v"))
   }
 
-  private def pairsFromAssigned(
-      assigned: DataFrame, threshold: Double): DataFrame = {
+  /** The assignment projection extended with `scell`: 0 everywhere
+    * when no cell exceeds the cap (the fast path adds a literal
+    * column, no pass); otherwise oversize cells get a second-level
+    * Lloyd subcell id — deterministic (the trainer is, and the
+    * assignment replays `Similarity.nearestCells`'s (-cos, cell)
+    * tie-break on the sub-centroids).
+    */
+  private[graft] def withSubcells(
+      assigned: DataFrame, maxCellSize: Int): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
-    assigned
-      .select(col("id"), col("cell"), col("v"))
-      .groupBy(col("cell"))
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect() // nlist-bounded by construction
+    val oversize = sizes.filter(_._2 > maxCellSize).sortBy(_._1)
+    if (oversize.isEmpty) assigned.withColumn("scell", lit(0))
+    else {
+      val subCents: Map[Int, Array[(Int, Array[Float])]] =
+        oversize.map { case (c, n) =>
+          val k2 = math.max(2, math.ceil(n.toDouble / maxCellSize).toInt)
+          c -> Similarity.ivfCentroidsTrained(
+            assigned.filter(col("cell") === c), k2,
+            idCol = "id", vecCol = "v")
+        }.toMap
+      val bc = spark.sparkContext.broadcast(subCents)
+      val f = udf { (cell: Int, v: Seq[Float]) =>
+        bc.value.get(cell) match {
+          case Some(cs) => Similarity.cellCosines(v, cs)
+            .minBy { case (sc, cos) => (-cos, sc) }._1
+          case None => 0
+        }
+      }
+      assigned.withColumn("scell", f(col("cell"), col("v")))
+    }
+  }
+
+  private def pairsFromAssigned(
+      assigned: DataFrame, threshold: Double,
+      maxCellSize: Int = DefaultMaxCellSize): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    withSubcells(assigned, maxCellSize)
+      .select(col("id"), col("cell"), col("scell"), col("v"))
+      .groupBy(col("cell"), col("scell"))
       .agg(collect_list(struct(col("id").as("_1"), col("v").as("_2"))).as("ms"))
       .select(col("cell").as("_1"), col("ms").as("_2"))
       .as[(Int, Seq[(Long, Seq[Float])])]
@@ -117,8 +174,9 @@ object SemDedup {
   def survivors(
       corpus: DataFrame, cents: Array[(Int, Array[Float])],
       threshold: Double = DefaultThreshold,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    survivorsWithHandle(corpus, cents, threshold, idCol, vecCol)._1
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCellSize: Int = DefaultMaxCellSize): DataFrame =
+    survivorsWithHandle(corpus, cents, threshold, idCol, vecCol, maxCellSize)._1
 
   /** Survivor ids after semantic dedup: every near-dup component
     * (connected components over `pairs`) keeps ONLY the member with the
@@ -131,9 +189,10 @@ object SemDedup {
   def survivorsWithHandle(
       corpus: DataFrame, cents: Array[(Int, Array[Float])],
       threshold: Double = DefaultThreshold,
-      idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, () => Unit) = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCellSize: Int = DefaultMaxCellSize): (DataFrame, () => Unit) = {
     val assigned = assignedVectors(corpus, cents, idCol, vecCol).persist()
-    val p0 = pairsFromAssigned(assigned, threshold).persist()
+    val p0 = pairsFromAssigned(assigned, threshold, maxCellSize).persist()
     p0.count() // materialize: CC + keeper + anti-join all read it
     // lineage cut (Canonicalize.planLeaf): the pair chain's plan is
     // deep, and each derived action below re-analyzes it on the driver

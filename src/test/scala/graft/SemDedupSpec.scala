@@ -117,6 +117,51 @@ class SemDedupSpec extends AnyFunSuite {
     assert(exact.subsetOf(p), s"missing: ${exact -- p}")
   }
 
+  test("hub cell: 1000 identical-ish vectors re-quantize; no task collects the hub in one row") {
+    // one template-page family: 1000 small perturbations of one base
+    // vector, plus a handful of far-away singletons. With nlist=2 the
+    // whole family lands in ONE coarse cell — the pathological hub.
+    val dim = 16
+    def vec(i: Long): Seq[Float] =
+      (0 until dim).map(j => (if (j == 0) 10.0 else 0.0).toFloat +
+        (math.sin(i * dim + j + 1) / 50.0).toFloat)
+    val hub = (0L until 1000L).map(i => (i, vec(i)))
+    // mutually orthogonal: real singletons (no pair among themselves)
+    val far = (5000L until 5005L).map(i =>
+      (i, (0 until dim).map(j =>
+        if (j == dim - 1 - (i - 5000L).toInt * 2) 5.0f else 0.0f).toSeq))
+    val emb = (hub ++ far).toDF("vec_id", "embedding")
+    val cs = Similarity.ivfCentroids(emb, 2)
+    val cap = 100
+    // the subdivision itself: every (cell, scell) group is far below
+    // the hub size — the giant collect_list row cannot exist
+    val assigned = SemDedup.assignCos(emb, cs)
+      .join(emb.select(col("vec_id").cast("long").as("id"),
+        col("embedding").as("v")), Seq("id"))
+    val groups = SemDedup.withSubcells(assigned, cap)
+      .groupBy("cell", "scell").count()
+      .select("count").as[Long].collect()
+    assert(groups.max < 500, s"hub not subdivided: max group ${groups.max}")
+    assert(groups.length > 2, s"expected multiple subcells: ${groups.length}")
+    // pairs are SOUND (every emitted pair really >= threshold) and the
+    // run completes with the cap in force
+    val p = SemDedup.pairs(emb, cs, threshold = 0.999, maxCellSize = cap)
+      .select("a", "b").as[(Long, Long)].collect()
+    val vecs = (hub ++ far).toMap
+    p.foreach { case (a, b) =>
+      assert(a < b && SemDedup.cosF(vecs(a), vecs(b)) >= 0.999) }
+    assert(p.nonEmpty) // identical-ish neighbors do land in shared subcells
+    // deterministic across partitionings
+    val p2 = SemDedup.pairs(emb.repartition(7), cs, 0.999, maxCellSize = cap)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(p.sorted.toSeq == p2.sorted.toSeq)
+    // and the survivor rule still runs end-to-end under the cap
+    val s = SemDedup.survivors(emb, cs, 0.999, maxCellSize = cap)
+      .as[Long].collect().toSet
+    assert(far.map(_._1).toSet.subsetOf(s)) // singletons untouched
+    assert(s.size < 1005) // the hub family did deduplicate
+  }
+
   test("plan: vectors ride exactly one shuffle exchange (the cell aggregation)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
