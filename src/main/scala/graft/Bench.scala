@@ -65,6 +65,29 @@ object Bench {
     // discarded warmup round (ingest reads at-rest crawl output)
     var warcDir: String = null
 
+    // warc_read_few / warc_read_cdx state: the SAME corpus as 4 big
+    // shards + CDX — the splittability pair (big shards, fewer files
+    // than cores: the file-unit reader is parallelism-starved, the
+    // CDX range reader is not)
+    var warcFewDir: String = null
+    def ensureWarcFew(): String = {
+      if (warcFewDir == null) {
+        warcFewDir = java.nio.file.Files
+          .createTempDirectory("graft-bench-warcfew").toString
+        graft.sources.Warc.writeWithCdx(
+          PageGen.pages(spark, nPages).toDF().repartition(4),
+          s"$warcFewDir/warc", s"$warcFewDir/cdx")
+      }
+      warcFewDir
+    }
+
+    // kg_compact state: its own MoR table, bootstrapped on the
+    // discarded warmup round; each measured round = 3 re-crawl deltas
+    // + the compaction fold (the maintenance cycle a deployment pays)
+    val compactDir = java.nio.file.Files
+      .createTempDirectory("graft-bench-compact").toString
+    var compactRound = 0
+
     val thunks: Seq[(String, () => Unit)] = Seq(
       "kg_pipeline" -> (() => {
         nTriples = Pipeline.run(PageGen.pages(spark, nPages)).count()
@@ -95,6 +118,22 @@ object Bench {
               .repartition(spark.sparkContext.defaultParallelism), warcDir)
         }
         graft.sources.Warc.read(spark, s"$warcDir/*.warc.gz")
+          .agg(count(lit(1)), sum(length(col("html")))).collect(); ()
+      }),
+      "warc_read_few" -> (() => {
+        // splittability baseline: 4 big shards at file granularity —
+        // 4 tasks regardless of cores (the gzip format's own limit)
+        val d = ensureWarcFew()
+        graft.sources.Warc.read(spark, s"$d/warc/*.warc.gz")
+          .agg(count(lit(1)), sum(length(col("html")))).collect(); ()
+      }),
+      "warc_read_cdx" -> (() => {
+        // the same 4 shards via the CDX range reader: (file,
+        // offset/1MiB) buckets spread members across all cores —
+        // sub-file splits the format alone cannot offer (r4 task #7)
+        val d = ensureWarcFew()
+        graft.sources.Warc.fetchRecords(
+          spark.read.parquet(s"$d/cdx"), splitBytes = 1L << 20)
           .agg(count(lit(1)), sum(length(col("html")))).collect(); ()
       }),
       "kg_linked" -> (() => {
@@ -223,6 +262,31 @@ object Bench {
         // same batch measured 10.8s — the whole table)
         Materialize.incrementalUpdate(spark, batch, incrDir, 32,
           mergeOnRead = true); ()
+      }),
+      "kg_compact" -> (() => {
+        // the MoR maintenance cycle, measured end to end: 3 re-crawl
+        // deltas land merge-on-read, then compact() folds them (and
+        // any tombstones) back into the base buckets — the cost that
+        // keeps the read path O(base) between crawls (r4 task #8).
+        // ts strictly increases across rounds so latest-wins applies.
+        import spark.implicits._
+        if (compactRound == 0)
+          Materialize.runResumable(spark, PageGen.pages(spark, nPages), compactDir, 32)
+        compactRound += 1
+        val r = compactRound
+        val deltaN = math.max(nPages / 100L, 1L)
+        for (k <- 0 until 3) {
+          val step = 3L * r + k
+          val batch = spark.range(0L, deltaN).map { i =>
+            val orig = PageGen.genPage(i).page
+            val alt = PageGen.genPage(i + 500000L + 1000L * step).page
+            alt.copy(url = orig.url, warc_ts = new java.sql.Timestamp(
+              orig.warc_ts.getTime + (step + 1) * 3600000L))
+          }
+          Materialize.incrementalUpdate(spark, batch, compactDir, 32,
+            mergeOnRead = true)
+        }
+        Materialize.compact(spark, compactDir); ()
       }),
       "release_incr" -> (() => {
         // the INCREMENTAL release: one crawl delta (doc_id%10==9)
