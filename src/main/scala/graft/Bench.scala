@@ -65,17 +65,18 @@ object Bench {
     // discarded warmup round (ingest reads at-rest crawl output)
     var warcDir: String = null
 
-    // warc_read_few / warc_read_cdx state: the SAME corpus as 4 big
+    // warc_read_few / warc_read_cdx state: the SAME corpus as 2 big
     // shards + CDX — the splittability pair (big shards, fewer files
-    // than cores: the file-unit reader is parallelism-starved, the
-    // CDX range reader is not)
+    // than cores — the CC situation where 1-GB shards outnumber by
+    // cores: the file-unit reader is parallelism-starved at 2 tasks,
+    // the CDX range reader fans the same bytes over all cores)
     var warcFewDir: String = null
     def ensureWarcFew(): String = {
       if (warcFewDir == null) {
         warcFewDir = java.nio.file.Files
           .createTempDirectory("graft-bench-warcfew").toString
         graft.sources.Warc.writeWithCdx(
-          PageGen.pages(spark, nPages).toDF().repartition(4),
+          PageGen.pages(spark, nPages).toDF().repartition(2),
           s"$warcFewDir/warc", s"$warcFewDir/cdx")
       }
       warcFewDir
@@ -121,14 +122,14 @@ object Bench {
           .agg(count(lit(1)), sum(length(col("html")))).collect(); ()
       }),
       "warc_read_few" -> (() => {
-        // splittability baseline: 4 big shards at file granularity —
-        // 4 tasks regardless of cores (the gzip format's own limit)
+        // splittability baseline: 2 big shards at file granularity —
+        // 2 tasks regardless of cores (the gzip format's own limit)
         val d = ensureWarcFew()
         graft.sources.Warc.read(spark, s"$d/warc/*.warc.gz")
           .agg(count(lit(1)), sum(length(col("html")))).collect(); ()
       }),
       "warc_read_cdx" -> (() => {
-        // the same 4 shards via the CDX range reader: (file,
+        // the same 2 shards via the CDX range reader: (file,
         // offset/1MiB) buckets spread members across all cores —
         // sub-file splits the format alone cannot offer (r4 task #7)
         val d = ensureWarcFew()
