@@ -150,13 +150,21 @@ object ScalingBench {
       var n = 0L
       if (workload == "release") {
         val docs = materializedDocs(spark, nPages)
+        // the at-scale configuration: shuffled-hash candidate fetch and
+        // decontam probe (useBroadcast=false — rows identical to the
+        // broadcast path, spec-verified). The broadcast path's driver
+        // collect+replicate is the SMALL-corpus optimization; a scaling
+        // certification must run the shape a 100-TB cluster would.
+        val cfg = graft.operators.Release.Config(useBroadcast = false)
         // JIT/codegen warmup on a small slice of the same shape
         val (wf, wrel) = graft.operators.Release.ledgerWithHandle(
-          docs.where(org.apache.spark.sql.functions.col("doc_id") < 500))
+          docs.where(org.apache.spark.sql.functions.col("doc_id") < 500),
+          cfg = cfg)
         try wf.count() finally wrel()
         for (_ <- 1 to 2) { // the ledger run is long; 2 rounds bound the cost
           val t0 = System.nanoTime()
-          val (fates, rel) = graft.operators.Release.ledgerWithHandle(docs)
+          val (fates, rel) =
+            graft.operators.Release.ledgerWithHandle(docs, cfg = cfg)
           try n = fates.count() finally rel()
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
         }
