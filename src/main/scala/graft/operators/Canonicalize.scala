@@ -180,12 +180,26 @@ object Canonicalize {
     *    call: the size probe plus the chosen branch evaluate it 2-3
     *    times, and every in-tree caller already passes a persisted
     *    leaf-cut frame.
+    *  - `knownEdgeCount`: callers that already counted `pairs` (every
+    *    in-tree caller counts to materialize its cache) pass the count
+    *    and skip the internal size-probe job — one driver round trip
+    *    less per call (guide §1.2: remove work, then tune).
+    *  - `nodesArePairEndpoints = true` asserts nodes == the exact pair
+    *    endpoint set (what all in-tree callers construct). The driver
+    *    branch then RETURNS THE LOCAL LABEL MAP directly as a
+    *    driver-built DataFrame — the coverage-guard job, the node
+    *    resolution join and the localCheckpoint job all collapse away
+    *    (4 jobs → 1 collect). Output rows are identical by
+    *    construction: every endpoint appears in the union-find label
+    *    map, and there are no non-endpoint nodes to backfill.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 40,
-      driverEdgeThreshold: Long = DriverEdgeThreshold): DataFrame = {
+      driverEdgeThreshold: Long = DriverEdgeThreshold,
+      knownEdgeCount: Option[Long] = None,
+      nodesArePairEndpoints: Boolean = false): DataFrame = {
     val spark = nodes.sparkSession
-    if (pairs.count() <= driverEdgeThreshold)
-      return connectedComponentsDriver(nodes, pairs)
+    if (knownEdgeCount.getOrElse(pairs.count()) <= driverEdgeThreshold)
+      return connectedComponentsDriver(nodes, pairs, nodesArePairEndpoints)
     // persist + LogicalRDD wrap (pageRank's arcs pattern): a cached
     // frame keeps its full ANALYZED lineage, and every iteration's
     // action re-runs analysis/optimization over that subtree on the
@@ -263,7 +277,8 @@ object Canonicalize {
     * localCheckpoint'd like the loop's (materialized, edge-free
     * lineage), so callers release their pair caches right after.
     */
-  private def connectedComponentsDriver(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+  private def connectedComponentsDriver(nodes: DataFrame, pairs: DataFrame,
+      nodesArePairEndpoints: Boolean = false): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     val edges = pairs
@@ -292,6 +307,12 @@ object Canonicalize {
     }
     val ids = edges.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSet
     val labelMap = ids.iterator.map(id => (id, find(id))).toSeq
+    // endpoint-node callers: the label map IS the answer — nodes ==
+    // endpoints means no backfill rows exist and nothing distributed
+    // remains to resolve, so skip the guard job, the node join and the
+    // localCheckpoint job entirely (lineage is already action-free)
+    if (nodesArePairEndpoints)
+      return labelMap.toDF("cid", "cluster_id")
     val labels = labelMap.toDF("k", "v")
     // precondition guard (see connectedComponents doc): an endpoint the
     // node set does not cover would make this branch bridge components
@@ -324,13 +345,14 @@ object Canonicalize {
     // label iteration for a merge set that is O(|synonym pairs|).
     // Untouched entries get cluster_id = cid back in the final join.
     val pairs = candidatePairs(dict).persist()
-    pairs.count()
+    val nPairs = pairs.count()
     // lineage cut before the CC derivations (see planLeaf)
     val pl = planLeaf(pairs)
     val touched = pl.select(col("cid_a").as("cid"))
       .union(pl.select(col("cid_b").as("cid"))).distinct()
     val labels =
-      try connectedComponents(touched, pl)
+      try connectedComponents(touched, pl,
+        knownEdgeCount = Some(nPairs), nodesArePairEndpoints = true)
       finally { pairs.unpersist(); () }
     dict.toDF()
       .join(labels, Seq("cid"), "left")

@@ -129,6 +129,23 @@ object Classify {
     * log-prob sum (associative — plain partial-aggregated long sum),
     * and score = lp_prior + sum_lwq / 2^32. The model and priors are
     * broadcast-sized by contract — materialized once.
+    *
+    * Execution shape (r6): each token occurrence resolves ONCE against
+    * a broadcast token → per-label lwq ARRAY (seen value where the
+    * (label, token) row exists, the label's backoff otherwise, baked
+    * in driver-side from the same collected LUT); posexplode of that
+    * array replaces the old crossJoin-with-priors plus two broadcast
+    * string joins, so per token the resolution work drops from
+    * |labels| row copies through two (label, token) string-hash joins
+    * to one string join + |labels| long array entries, and the
+    * aggregation exchange carries (doc_id, li) ints instead of label
+    * strings. Outputs are bit-identical (same lwq longs summed per
+    * (doc, label), same counts); the scale discipline is unchanged —
+    * no exchange carries text or tokens (plan-asserted). The
+    * degenerate case of a prior label with NO backoff row (a label
+    * whose every training doc had zero tokens — its resolved lwq is
+    * null under both formulations) falls back to the reference join
+    * formulation rather than encoding null array slots.
     */
   def score(
       docs: DataFrame, nb: DataFrame, pr: DataFrame,
@@ -137,11 +154,50 @@ object Classify {
     import spark.implicits._
     val rows = nb.select(col("label"), col("token"), col("lwq"))
       .as[(String, String, Long)].collect()
+    val priorRows = pr.select(col("label"), col("lp_prior"))
+      .as[(String, Double)].collect().sortBy(_._1)
+    val labels = priorRows.map(_._1)
+    val labelIdx = labels.zipWithIndex.toMap
+    val backoffByLabel = rows.filter(_._2 == Backoff)
+      .map(r => r._1 -> r._3).toMap
+    if (!labels.forall(backoffByLabel.contains))
+      return scoreViaJoins(docs, rows, priorRows, textCol, keyCol)
+    val backoffArr = labels.map(backoffByLabel).toSeq
+    val lut = rows.iterator
+      .filter(r => r._2 != Backoff && labelIdx.contains(r._1))
+      .toSeq.groupBy(_._2).iterator.map { case (w, rs) =>
+        val m = rs.map(r => r._1 -> r._3).toMap
+        (w, labels.map(l => m.getOrElse(l, backoffByLabel(l))).toSeq)
+      }.toSeq.toDF("w", "lwqs")
+    val prior = priorRows.zipWithIndex
+      .map { case ((l, p), i) => (i, l, p) }.toSeq
+      .toDF("li", "label", "lp_prior")
+    tokens(docs, textCol, keyCol)
+      .join(broadcast(lut), Seq("w"), "left")
+      .withColumn("lwqs", coalesce(col("lwqs"), typedLit(backoffArr)))
+      .select(col("doc_id"), posexplode(col("lwqs")).as(Seq("li", "lwq_r")))
+      .groupBy("doc_id", "li")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lwq_r")).as("sum_lwq"))
+      .join(broadcast(prior), Seq("li"))
+      .withColumn("score",
+        col("lp_prior") + col("sum_lwq").cast("double") / lit(Shift))
+      .select("doc_id", "label", "n_tokens", "sum_lwq", "score")
+  }
+
+  /** Reference formulation of [[score]] — the degenerate-label fallback
+    * (and the spec's equality baseline): per-occurrence crossJoin with
+    * the priors plus two broadcast joins resolving each (label, token).
+    */
+  private[graft] def scoreViaJoins(
+      docs: DataFrame, rows: Array[(String, String, Long)],
+      priorRows: Array[(String, Double)],
+      textCol: String, keyCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val seen = rows.filter(_._2 != Backoff).toSeq.toDF("label", "w", "lwq_seen")
     val backoff = rows.filter(_._2 == Backoff)
       .map(r => (r._1, r._3)).toSeq.toDF("label", "lwq_backoff")
-    val prior = pr.select(col("label"), col("lp_prior"))
-      .as[(String, Double)].collect().toSeq.toDF("label", "lp_prior")
+    val prior = priorRows.toSeq.toDF("label", "lp_prior")
     tokens(docs, textCol, keyCol)
       .crossJoin(broadcast(prior))
       .join(broadcast(seen), Seq("label", "w"), "left")

@@ -325,7 +325,7 @@ object Dedup {
       threshold = threshold, useBroadcast = useBroadcast)
     val pairs = rawPairs.select(col("id_a").as("cid_a"), col("id_b").as("cid_b"))
       .persist()
-    pairs.count()
+    val nPairs = pairs.count()
     // lineage cut before the CC derivations (see Canonicalize.planLeaf):
     // the pair chain's plan is deep and each derived action re-analyzes
     // it on the driver even when execution hits the cache
@@ -333,9 +333,12 @@ object Dedup {
     val touched = pl.select(col("cid_a").as("cid"))
       .union(pl.select(col("cid_b").as("cid"))).distinct()
     // CC materializes the edge list eagerly (persist + checkpointed
-    // label iterations), so the candidate cache can release right after
+    // label iterations), so the candidate cache can release right after;
+    // the count + endpoint-node hints collapse the driver branch to one
+    // collect (Canonicalize.connectedComponents doc)
     val labels =
-      try Canonicalize.connectedComponents(touched, pl)
+      try Canonicalize.connectedComponents(touched, pl,
+        knownEdgeCount = Some(nPairs), nodesArePairEndpoints = true)
       finally { release(); pairs.unpersist(); () }
     docs.select(col(idCol).cast("long").as(idCol))
       .join(labels.select(col("cid").as(idCol), col("cluster_id")),

@@ -293,8 +293,22 @@ object Graph {
       .join(edges.groupBy(col("src")).agg(sum("support").as("wout")), Seq("src"))
       .select(col("src"), col("dst"), col("support"), col("wout"))
       .persist()
-    if (arcsPlan.count() <= driverArcThreshold) {
-      try return pageRankDriver(arcsPlan, iters)
+    // fused size probe + collect: limit(threshold + 1) returns EVERY
+    // arc when the graph is at or under the threshold (so the collected
+    // array feeds the driver loop directly — the separate count() job
+    // the old flow paid is gone), and exactly threshold + 1 rows when
+    // it is over (fall through to the distributed loop; which rows came
+    // back is irrelevant, they are discarded). executeTake's incremental
+    // partition scan bounds the probe's cost on the over-threshold side.
+    val limit = math.min(driverArcThreshold + 1, Int.MaxValue.toLong).toInt
+    val probe = arcsPlan
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        col("support").cast("long"), col("wout").cast("long"))
+      .limit(limit).collect()
+    if (probe.length <= driverArcThreshold) {
+      try return pageRankDriver(
+        probe.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))),
+        edges.sparkSession, iters)
       finally arcsPlan.unpersist()
     }
     // Cut the LOGICAL lineage at the iteration entry: every chained
@@ -353,14 +367,10 @@ object Graph {
     * non-symmetric input now degrades identically to the loop instead
     * of diverging or throwing bare LongMap errors).
     */
-  private def pageRankDriver(arcsPlan: org.apache.spark.sql.DataFrame,
+  private def pageRankDriver(arcs: Array[(Long, Long, Long, Long)],
+      spark: org.apache.spark.sql.SparkSession,
       iters: Int): org.apache.spark.sql.DataFrame = {
-    val spark = arcsPlan.sparkSession
     import spark.implicits._
-    val arcs = arcsPlan
-      .select(col("src").cast("long"), col("dst").cast("long"),
-        col("support").cast("long"), col("wout").cast("long"))
-      .as[(Long, Long, Long, Long)].collect()
     val nodeIds = arcs.map(_._1).distinct
     val n = nodeIds.length.toLong
     require(n > 0, "pageRank on an empty graph")

@@ -346,7 +346,7 @@ object IncrDedup {
     // filled — measured 3x), and release before returning (the returned
     // frame references only the checkpointed CC labels, never `pairs`)
     val p = pairs.persist()
-    p.count()
+    val nPairs = p.count()
     // lineage cut: the pair chain's logical plan is deep (LSH + index
     // joins + verify), and every derived action below would re-run
     // driver-side analysis over it even though execution hits the
@@ -356,13 +356,15 @@ object IncrDedup {
       // CC runs over the DUP GRAPH only (ids appearing in some pair) —
       // delta docs untouched by any pair are trivially their own
       // components, and excluding them keeps the iterated node set
-      // O(|dups|), not O(|delta|)
+      // O(|dups|), not O(|delta|). The count + endpoint-node hints
+      // collapse the CC driver branch to one collect.
       val pairIds = pl
         .select(explode(array(col("id_a"), col("id_b"))).as("id"))
         .distinct()
       val nodes = pairIds.select(col("id").as("cid"))
       val edges = pl.select(col("id_a").as("cid_a"), col("id_b").as("cid_b"))
-      Canonicalize.connectedComponents(nodes, edges)
+      Canonicalize.connectedComponents(nodes, edges,
+        knownEdgeCount = Some(nPairs), nodesArePairEndpoints = true)
     } finally p.unpersist()
     // deltas with no pair at all are kept unconditionally; the CC node
     // set IS the pair-id set, so the checkpointed labels (materialized,

@@ -81,14 +81,25 @@ object Pq {
     */
   def codebooks(
       corpus: DataFrame, m: Int, ksub: Int, iters: Int = TrainIters,
-      idCol: String = "vec_id", vecCol: String = "embedding")
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      driverTrainThreshold: Long = Similarity.DriverTrainThreshold)
     : Array[(Int, Int, Array[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val base = corpus
+    val raw = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
-      .map { case (id, v) => (id, normalize(v)) }
+    // driver branch (Similarity.DriverTrainThreshold discipline): one
+    // bounded limit-probe collect replaces the head() dim probe, the
+    // sample job and `iters` full assign-shuffle-collect rounds; the
+    // in-memory loop replays the distributed accumulation bit-exactly
+    // (PqSpec branch parity)
+    if (driverTrainThreshold > 0) {
+      val probe = raw.limit(driverTrainThreshold.toInt + 1).collect()
+      if (probe.length <= driverTrainThreshold)
+        return codebooksDriver(probe, m, ksub, iters)
+    }
+    val base = raw.map { case (id, v) => (id, normalize(v)) }
     val dim = base.head()._2.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
@@ -143,6 +154,59 @@ object Pq {
         }
       }
       bc.destroy()
+      it += 1
+    }
+    cbs
+  }
+
+  /** The in-memory branch of [[codebooks]] — bit-identical by
+    * construction: same murmur (h, id) sample order over the normalized
+    * vectors, per-(sub, code) double sums accumulated in ascending-id
+    * order (what the distributed repartition + (sub, code, id) sort
+    * produces), empty cells keep their centroid, same s/n mean.
+    */
+  private def codebooksDriver(rows: Array[(Long, Array[Float])], m: Int,
+      ksub: Int, iters: Int): Array[(Int, Int, Array[Double])] = {
+    val nv = rows.map { case (id, v) => (id, normalize(v)) }.sortBy(_._1)
+    require(nv.nonEmpty, "codebooks on an empty corpus")
+    val dim = nv.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val sample = nv
+      .map { case (id, x) => (MurmurHash3.stringHash(s"pq:$id", 4242), id, x) }
+      .sortBy { case (h, id, _) => (h, id) }
+      .take(ksub).map(_._3)
+    var cbs: Array[(Int, Int, Array[Double])] =
+      (0 until m).flatMap { sub =>
+        sample.zipWithIndex.map { case (x, code) =>
+          (sub, code, x.slice(sub * dsub, (sub + 1) * dsub))
+        }
+      }.toArray
+    var it = 0
+    while (it < iters) {
+      val bySub = cbs.groupBy(_._1).map { case (sub, rs) =>
+        sub -> rs.sortBy(_._2).map(_._3)
+      }
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[(Int, Int), (Array[Double], Long)]
+      nv.foreach { case (_, x) =>
+        var sub = 0
+        while (sub < m) {
+          val code = argminCode(x, sub * dsub, bySub(sub))
+          val (s, n) = acc.getOrElseUpdate((sub, code),
+            (new Array[Double](dsub), 0L))
+          var j = 0
+          while (j < dsub) { s(j) += x(sub * dsub + j); j += 1 }
+          acc((sub, code)) = (s, n + 1)
+          sub += 1
+        }
+      }
+      cbs = cbs.map { case (sub, code, old) =>
+        acc.get((sub, code)) match {
+          case Some((s, n)) if n > 0 => (sub, code, s.map(_ / n))
+          case _ => (sub, code, old)
+        }
+      }
       it += 1
     }
     cbs

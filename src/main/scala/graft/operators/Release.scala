@@ -178,7 +178,7 @@ object Release {
       useBroadcast = cfg.useBroadcast)
     val pairs = rawPairs
       .select(col("id_a").as("cid_a"), col("id_b").as("cid_b")).persist()
-    pairs.count()
+    val nPairs = pairs.count()
     // lineage cut before the CC derivations (Canonicalize.planLeaf):
     // each derived action would otherwise re-analyze the deep pair
     // chain on the driver even though execution hits the cache
@@ -186,9 +186,11 @@ object Release {
     val touched = pl.select(col("cid_a").as("cid"))
       .union(pl.select(col("cid_b").as("cid"))).distinct()
     // CC materializes its edge list eagerly, so the candidate cache can
-    // release right after
+    // release right after; the count above rides in (no re-probe) and
+    // the endpoint-node form collapses the driver branch to one collect
     val labels =
-      try Canonicalize.connectedComponents(touched, pl)
+      try Canonicalize.connectedComponents(touched, pl,
+        knownEdgeCount = Some(nPairs), nodesArePairEndpoints = true)
       finally { releasePairs(); pairs.unpersist(); () }
     val nearKill = labels.filter(col("cluster_id") =!= col("cid"))
       .select(col("cid").as("doc_id"))

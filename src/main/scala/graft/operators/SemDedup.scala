@@ -193,7 +193,7 @@ object SemDedup {
       maxCellSize: Int = DefaultMaxCellSize): (DataFrame, () => Unit) = {
     val assigned = assignedVectors(corpus, cents, idCol, vecCol).persist()
     val p0 = pairsFromAssigned(assigned, threshold, maxCellSize).persist()
-    p0.count() // materialize: CC + keeper + anti-join all read it
+    val nPairs = p0.count() // materialize: CC + keeper + anti-join all read it
     // lineage cut (Canonicalize.planLeaf): the pair chain's plan is
     // deep, and each derived action below re-analyzes it on the driver
     // even when execution hits the cache
@@ -201,7 +201,8 @@ object SemDedup {
     val members = p.select(col("a").as("cid"))
       .union(p.select(col("b").as("cid"))).distinct()
     val cc = Canonicalize.connectedComponents(
-      members, p.select(col("a").as("cid_a"), col("b").as("cid_b")))
+      members, p.select(col("a").as("cid_a"), col("b").as("cid_b")),
+      knownEdgeCount = Some(nPairs), nodesArePairEndpoints = true)
     val withKey = cc.join(
       assigned.select(col("id"), col("cent_cos")),
       cc("cid") === col("id"))

@@ -110,15 +110,39 @@ object Similarity {
     * one int-keyed shuffle of the vectors; the collect is nlist-bounded.
     * Empty cells keep their previous centroid.
     */
+  /** Corpus-row count at or below which Lloyd training runs on the
+    * driver from ONE bounded collect (same fixpoint discipline as
+    * `Canonicalize.DriverEdgeThreshold` / `Graph.DriverArcThreshold`):
+    * the distributed trainer pays 1 sample job + `iters` full
+    * assign-shuffle-collect rounds — ~4-5 driver round trips whose
+    * per-job latency dwarfs the arithmetic on any training set that
+    * fits the driver, which is ALWAYS true of the second-level hub-cell
+    * trainers and of every sandbox-scale corpus. The branch is probed
+    * with limit(threshold + 1) — one incremental-scan job, no count —
+    * and the in-memory loop replays the distributed accumulation
+    * BIT-EXACTLY (same murmur sample order, per-cell double sums in
+    * ascending-id order, same (x / n).toFloat mean), asserted by
+    * SimilaritySpec branch-parity tests. Collected bytes ≈ rows × dim ×
+    * 4; at 64-dim the cap is ~17 MB — callers with very fat vectors can
+    * pass driverTrainThreshold = 0 to force the distributed path.
+    */
+  val DriverTrainThreshold: Long = 65536L
+
   def ivfCentroidsTrained(
       corpus: DataFrame, nlist: Int, iters: Int = IvfTrainIters,
-      idCol: String = "vec_id", vecCol: String = "embedding"
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      driverTrainThreshold: Long = DriverTrainThreshold
   ): Array[(Int, Array[Float])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    var cents = ivfCentroidsSampled(corpus, nlist, idCol, vecCol)
     val base = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
+    if (driverTrainThreshold > 0) {
+      val probe = base.limit(driverTrainThreshold.toInt + 1).collect()
+      if (probe.length <= driverTrainThreshold)
+        return lloydDriver(probe, nlist, iters)
+    }
+    var cents = ivfCentroidsSampled(corpus, nlist, idCol, vecCol)
     var it = 0
     while (it < iters) {
       val bc = spark.sparkContext.broadcast(cents)
@@ -149,6 +173,45 @@ object Similarity {
         }
       }
       bc.destroy()
+      it += 1
+    }
+    cents
+  }
+
+  /** The in-memory branch of [[ivfCentroidsTrained]] — bit-identical by
+    * construction: the seeded-sample init replays
+    * [[ivfCentroidsSampled]]'s (murmur, id) total order; each iteration
+    * assigns with the same `nearestCells` and accumulates per-cell
+    * double sums in ascending-id order (exactly what the distributed
+    * trainer's repartition-by-cell + in-partition (cell, id) sort
+    * produces); empty cells keep their centroid; the mean is the same
+    * `(x / n).toFloat`.
+    */
+  private def lloydDriver(rows: Array[(Long, Array[Float])], nlist: Int,
+      iters: Int): Array[(Int, Array[Float])] = {
+    val sorted = rows.sortBy(_._1)
+    var cents: Array[(Int, Array[Float])] = rows
+      .map { case (id, v) => (MurmurHash3.stringHash(s"ivf:$id", 4242), id, v) }
+      .sortBy { case (h, id, _) => (h, id) }
+      .take(nlist)
+      .zipWithIndex.map { case ((_, _, v), i) => (i, v) }
+    var it = 0
+    while (it < iters) {
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[Int, (Array[Double], Long)]
+      sorted.foreach { case (_, v) =>
+        val cell = nearestCells(v, cents, 1)(0)
+        val (s, n) = acc.getOrElseUpdate(cell, (new Array[Double](v.length), 0L))
+        var j = 0
+        while (j < v.length) { s(j) += v(j); j += 1 }
+        acc(cell) = (s, n + 1)
+      }
+      cents = cents.map { case (cell, old) =>
+        acc.get(cell) match {
+          case Some((s, n)) if n > 0 => (cell, s.map(x => (x / n).toFloat))
+          case _ => (cell, old)
+        }
+      }
       it += 1
     }
     cents

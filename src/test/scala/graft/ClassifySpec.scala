@@ -70,6 +70,28 @@ class ClassifySpec extends AnyFunSuite {
     assert(Classify.score(df(Seq((10L, "", "?"))), nb, pr).count() == 0)
   }
 
+  test("score formulations agree: array-LUT fast path == join reference, bit-exact") {
+    import spark.implicits._
+    // dup-heavy random corpus: repeated tokens, OOV tokens, tokens seen
+    // for only one label — every resolution branch exercised
+    val tr = df((0 until 60).map(i =>
+      (i.toLong, s"w${i % 7} w${i % 5} w${i % 3} only${i % 2}", s"s${i % 4}")))
+    val d = df((0 until 50).map(i =>
+      (100L + i, s"w${i % 7} w${i % 7} w${i % 11} only${i % 2} oov$i", "?")))
+    val nb = Classify.nbTable(Classify.counts(tr), Classify.vocabSize(tr))
+    val pr = Classify.priors(tr)
+    val rows = nb.select(col("label"), col("token"), col("lwq"))
+      .as[(String, String, Long)].collect()
+    val priorRows = pr.select(col("label"), col("lp_prior"))
+      .as[(String, Double)].collect().sortBy(_._1)
+    def flat(x: DataFrame) = x
+      .as[(Long, String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      .map(r => (r._1, r._2, r._3, r._4, java.lang.Double.doubleToLongBits(r._5)))
+      .toList
+    assert(flat(Classify.score(d, nb, pr)) ==
+      flat(Classify.scoreViaJoins(d, rows, priorRows, "text", "doc_id")))
+  }
+
   test("prediction: separable fixture classifies held-out docs; ties break by label") {
     import spark.implicits._
     val tr = df((0 until 40).map { i =>

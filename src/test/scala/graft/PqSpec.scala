@@ -130,4 +130,15 @@ class PqSpec extends AnyFunSuite {
     assert(wide.isEmpty,
       s"raw vectors must not shuffle:\n${q.queryExecution.executedPlan}")
   }
+
+  test("trainer branch parity: driver codebooks == distributed, bit-exact") {
+    def flat(cbs: Array[(Int, Int, Array[Double])]) =
+      cbs.map { case (s, c, v) =>
+        (s, c, v.map(java.lang.Double.doubleToLongBits).toList)
+      }.sortBy(r => (r._1, r._2)).toList
+    val viaDriver = Pq.codebooks(emb, M, Ksub)
+    val viaDistributed = Pq.codebooks(emb, M, Ksub,
+      driverTrainThreshold = 0L)
+    assert(flat(viaDriver) == flat(viaDistributed))
+  }
 }

@@ -159,6 +159,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("trainer branch parity: driver Lloyd == distributed Lloyd, bit-exact") {
+    // the driver branch (default threshold) must reproduce the
+    // distributed trainer's centroids BIT-IDENTICALLY — same sample
+    // order, same ascending-id per-cell double accumulation, same
+    // (x / n).toFloat mean
+    val viaDriver = Similarity.ivfCentroidsTrained(clustered, nlist = 8)
+    val viaDistributed = Similarity.ivfCentroidsTrained(clustered, nlist = 8,
+      driverTrainThreshold = 0L)
+    assert(viaDriver.length == viaDistributed.length)
+    viaDriver.zip(viaDistributed).foreach { case ((c1, v1), (c2, v2)) =>
+      assert(c1 == c2 && v1.sameElements(v2),
+        s"centroid $c1 differs between driver and distributed Lloyd")
+    }
+  }
+
   test("label coherence on clustered data: 1-NN shares the label") {
     import spark.implicits._
     val labels = clustered.select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
