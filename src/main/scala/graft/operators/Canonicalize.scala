@@ -155,6 +155,21 @@ object Canonicalize {
   private[operators] def planLeaf(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
+  /** Materialize a PERSISTED frame and hand back its lineage-cut leaf
+    * plus the row count with ONE driver-side analysis/planning pass:
+    * `df.rdd` plans the (cached) frame once, the RDD count executes it
+    * (filling the cache), and the leaf wraps the SAME RDD so no later
+    * action re-plans the producer subtree. The former
+    * `df.count(); planLeaf(df)` sequence analyzed the deep producer
+    * plan TWICE — measured ~1.6s per analysis for the incremental-dedup
+    * pair chain at sf0.1 (ProfileRelease bisect), pure driver time.
+    */
+  private[operators] def materializedLeaf(df: DataFrame): (DataFrame, Long) = {
+    val rdd = df.rdd
+    val n = rdd.count()
+    (df.sparkSession.createDataFrame(rdd, df.schema), n)
+  }
+
   /** Edge count at or below which CC runs as a driver-side union-find
     * instead of the distributed label loop. The dup/synonym graph is
     * the OUTPUT of pair verification — usually minuscule next to the
@@ -345,9 +360,8 @@ object Canonicalize {
     // label iteration for a merge set that is O(|synonym pairs|).
     // Untouched entries get cluster_id = cid back in the final join.
     val pairs = candidatePairs(dict).persist()
-    val nPairs = pairs.count()
-    // lineage cut before the CC derivations (see planLeaf)
-    val pl = planLeaf(pairs)
+    // materialize + lineage-cut in one analysis pass (materializedLeaf)
+    val (pl, nPairs) = materializedLeaf(pairs)
     val touched = pl.select(col("cid_a").as("cid"))
       .union(pl.select(col("cid_b").as("cid"))).distinct()
     val labels =

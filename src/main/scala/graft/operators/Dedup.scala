@@ -189,10 +189,37 @@ object Dedup {
 
     // verification: fetch candidate texts by id (see fetchCandidatePayload
     // for the broadcast vs dup-heavy-corpus exchange discipline)
-    val (candDocs, side, release) =
-      fetchCandidatePayload(cand, compactDocs, useBroadcast, persistCand)
-    (verifyCandidatePairs(cand, candDocs, side, threshold, 3), release)
+    val (candU, releaseCand) = candMaterializedLeaf(cand, persistCand)
+    val (candDocs, side, releaseFetch) =
+      fetchCandidatePayload(candU, compactDocs, useBroadcast)
+    (verifyCandidatePairs(candU, candDocs, side, threshold, 3),
+      () => { releaseFetch(); releaseCand() })
   }
+
+  /** Handle-path treatment of the candidate subplan — the most
+    * expensive subtree of every pair job, and one that reappears ~4
+    * times in the final plan (spine + candIds broadcast + both fetch
+    * sides). persistCand callers get it persisted, MATERIALIZED (one
+    * eager job — the racing-copies lesson from IncrDedup.survivors:
+    * a lazy cache is raced by the parallel subtrees of the first
+    * action) and LINEAGE-CUT, so (a) the heavy banding executes once
+    * by construction instead of relying on exchange reuse, and (b)
+    * the downstream pair plan embeds a flat leaf 4 times instead of
+    * the whole candidate tree — driver-side analysis of the pair plan
+    * measured ~1.6s per action at sf0.1 with the embedded tree
+    * (ProfileRelease bisect), pure re-analysis cost the leaf removes.
+    * One-shot callers (persistCand = false) keep the plain lazy plan:
+    * a leaf without a persisted cache would LOSE exchange reuse and
+    * recompute the banding per reference.
+    */
+  private[operators] def candMaterializedLeaf(
+      cand: DataFrame, persistCand: Boolean): (DataFrame, () => Unit) =
+    if (!persistCand) (cand, () => ())
+    else {
+      cand.persist()
+      val (leaf, _) = Canonicalize.materializedLeaf(cand)
+      (leaf, () => { cand.unpersist(); () })
+    }
 
   /** Exact-Jaccard verification tail shared by the minhash / jaccard /
     * incremental candidate generators: join the fetched candidate texts
@@ -265,19 +292,16 @@ object Dedup {
     * are identical to the broadcast path (asserted in DedupSpec; plan
     * asserted in PlanSpec under autoBroadcastJoinThreshold=-1).
     *
-    * On that path `cand` itself is PERSISTED (not just candIds): the
-    * candidate subplan — full-corpus banding + bucket self-join, the
-    * most expensive stage — feeds the Bloom build (an eager driver
-    * action) and then reappears inside the returned lazy pair joins;
-    * without the cache it would compute twice-to-three times. The third
-    * tuple element releases it; callers invoke it after their action
-    * (mirrors Linking.linkTriplesFusedWithHandle).
+    * Handle-path callers pass a MATERIALIZED LEAF as `cand` (see
+    * `candMaterializedLeaf`), so the Bloom-build driver actions and the
+    * returned lazy pair joins all read one persisted candidate cache
+    * through a flat plan; one-shot callers pass the lazy plan and rely
+    * on exchange reuse.
     */
   private[operators] def fetchCandidatePayload(
       cand: DataFrame,
       payload: DataFrame,
-      useBroadcast: Boolean,
-      persistCand: Boolean
+      useBroadcast: Boolean
   ): (DataFrame, DataFrame => DataFrame, () => Unit) = {
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     if (useBroadcast)
@@ -285,15 +309,9 @@ object Dedup {
         df => broadcast(df), () => ())
     else {
       val spark = payload.sparkSession
-      // cand feeds the count/bloom driver actions here AND the caller's
-      // final plan. The *WithHandle callers persist it across both and
-      // release via the returned handle; the convenience wrappers (no
-      // handle to hand back) trade one candidate-subplan recompute in
-      // the final plan for never leaking a cached DataFrame.
-      if (persistCand) cand.persist()
-      // candIds itself feeds TWO eager driver actions (count + bloom
-      // build) — persist across exactly those and release in-call,
-      // so the distinct-aggregation runs once, not twice
+      // candIds feeds TWO eager driver actions (count + bloom build) —
+      // persist across exactly those and release in-call, so the
+      // distinct-aggregation runs once, not twice
       candIds.persist()
       val bf =
         try {
@@ -303,7 +321,7 @@ object Dedup {
       val bfB = spark.sparkContext.broadcast(bf)
       val mightContain = udf((id: Long) => bfB.value.mightContain(id))
       (payload.filter(mightContain(col("id"))), df => df.hint("shuffle_hash"),
-        () => { if (persistCand) cand.unpersist(); () })
+        () => ())
     }
   }
 
@@ -325,11 +343,10 @@ object Dedup {
       threshold = threshold, useBroadcast = useBroadcast)
     val pairs = rawPairs.select(col("id_a").as("cid_a"), col("id_b").as("cid_b"))
       .persist()
-    val nPairs = pairs.count()
-    // lineage cut before the CC derivations (see Canonicalize.planLeaf):
-    // the pair chain's plan is deep and each derived action re-analyzes
-    // it on the driver even when execution hits the cache
-    val pl = Canonicalize.planLeaf(pairs)
+    // materialize + lineage-cut in ONE analysis pass (see
+    // Canonicalize.materializedLeaf — the old count-then-planLeaf
+    // sequence analyzed the deep pair chain twice)
+    val (pl, nPairs) = Canonicalize.materializedLeaf(pairs)
     val touched = pl.select(col("cid_a").as("cid"))
       .union(pl.select(col("cid_b").as("cid"))).distinct()
     // CC materializes the edge list eagerly (persist + checkpointed
@@ -514,9 +531,11 @@ object Dedup {
       .filter(least(col("sz_a") - col("rk_a"), col("sz_b") - col("rk_b")) + 1 >=
         ceil(lit(threshold / (1.0 + threshold)) * (col("sz_a") + col("sz_b")) - Eps))
       .select("id_a", "id_b").distinct()
-    val (candDocs, side, release) =
-      fetchCandidatePayload(cand, compactDocs, useBroadcast, persistCand)
-    (verifyCandidatePairs(cand, candDocs, side, threshold, n), release)
+    val (candU, releaseCand) = candMaterializedLeaf(cand, persistCand)
+    val (candDocs, side, releaseFetch) =
+      fetchCandidatePayload(candU, compactDocs, useBroadcast)
+    (verifyCandidatePairs(candU, candDocs, side, threshold, n),
+      () => { releaseFetch(); releaseCand() })
   }
 
   // ---------- simhash ----------
@@ -726,13 +745,14 @@ object Dedup {
       .join(banded.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val (candVecs, side, release) =
-      fetchCandidatePayload(cand, withSig.select("id", "v"), useBroadcast, persistCand)
-    val out = cand
+    val (candU, releaseCand) = candMaterializedLeaf(cand, persistCand)
+    val (candVecs, side, releaseFetch) =
+      fetchCandidatePayload(candU, withSig.select("id", "v"), useBroadcast)
+    val out = candU
       .join(side(candVecs.select(col("id").as("id_a"), col("v").as("v_a"))), Seq("id_a"))
       .join(side(candVecs.select(col("id").as("id_b"), col("v").as("v_b"))), Seq("id_b"))
       .filter(cosineCol(col("v_a"), col("v_b")) >= threshold)
       .select("id_a", "id_b")
-    (out, release)
+    (out, () => { releaseFetch(); releaseCand() })
   }
 }

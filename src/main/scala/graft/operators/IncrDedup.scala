@@ -154,10 +154,10 @@ object IncrDedup {
     // the candidate subplan reappears in the spine AND inside every
     // broadcast branch of the fetch (candIds + both candDoc sides —
     // measured ~4 evaluations, 269-exchange executed plan at sf0.1
-    // without the cache), so the *WithHandle callers persist it on BOTH
-    // fetch paths here; fetchCandidatePayload is told persistCand=false
-    // so it never double-manages the same frame
-    if (persistCand) cand.persist()
+    // without the cache), so *WithHandle callers get it persisted,
+    // materialized and lineage-cut (Dedup.candMaterializedLeaf — the
+    // leaf is what keeps downstream per-action plan ANALYSIS flat)
+    val (candU, releaseCand) = Dedup.candMaterializedLeaf(cand, persistCand)
     // verification payload: seen-corpus store ∪ delta, fetched BY ID —
     // O(|candidates|) rows survive the fetch, but the filter pass SCANS
     // the corpus store's (id, text) columns (see the object doc; use
@@ -168,9 +168,9 @@ object IncrDedup {
       .unionByName(delta
         .select(col(idCol).cast("long").as("id"), col(textCol).as("txt")))
     val (candDocs, side, releaseFetch) =
-      Dedup.fetchCandidatePayload(cand, payload, useBroadcast, persistCand = false)
-    val out = Dedup.verifyCandidatePairs(cand, candDocs, side, threshold, 3)
-    (out, () => { releaseFetch(); if (persistCand) { cand.unpersist(); () } })
+      Dedup.fetchCandidatePayload(candU, payload, useBroadcast)
+    val out = Dedup.verifyCandidatePairs(candU, candDocs, side, threshold, 3)
+    (out, () => { releaseFetch(); releaseCand() })
   }
 
   /** Candidate pairs touching the delta: delta-vs-delta and
@@ -307,7 +307,9 @@ object IncrDedup {
   ): (DataFrame, () => Unit) = {
     val deltaBands = Dedup.minhashBands(delta, idCol, textCol, k, bands)
     val cand = deltaCandidates(indexBands, indexCounts, deltaBands, maxBucket)
-    if (persistCand) cand.persist()
+    // persist + materialize + lineage-cut on the handle path
+    // (Dedup.candMaterializedLeaf — see incrementalPairsImpl)
+    val (candU, releaseCand) = Dedup.candMaterializedLeaf(cand, persistCand)
     // verification payload: the int-only sidecar ∪ the delta's freshly
     // shingled rows — corpus TEXT appears nowhere in this plan. The
     // verification n is pinned to 3 to mirror the text path's
@@ -315,18 +317,18 @@ object IncrDedup {
     val payload = indexShingles
       .unionByName(shingleSidecar(delta, idCol, textCol, n = 3))
     val (candDocs, side, releaseFetch) =
-      Dedup.fetchCandidatePayload(cand, payload, useBroadcast, persistCand = false)
+      Dedup.fetchCandidatePayload(candU, payload, useBroadcast)
     // same join shape as Dedup.verifyCandidatePairs, over the hash-set
     // payload column with the sorted-merge Jaccard
     val jac = udf((x: Seq[Long], y: Seq[Long]) => Dedup.hashSetJaccard(x, y))
-    val out = cand
+    val out = candU
       .join(side(candDocs.select(col("id").as("id_a"), col("shs").as("shs_a"))),
         Seq("id_a"))
       .join(side(candDocs.select(col("id").as("id_b"), col("shs").as("shs_b"))),
         Seq("id_b"))
       .filter(jac(col("shs_a"), col("shs_b")) >= threshold)
       .select("id_a", "id_b")
-    (out, () => { releaseFetch(); if (persistCand) { cand.unpersist(); () } })
+    (out, () => { releaseFetch(); releaseCand() })
   }
 
   /** Kept delta ids under seen-corpus semantics: connected components
@@ -346,12 +348,11 @@ object IncrDedup {
     // filled — measured 3x), and release before returning (the returned
     // frame references only the checkpointed CC labels, never `pairs`)
     val p = pairs.persist()
-    val nPairs = p.count()
-    // lineage cut: the pair chain's logical plan is deep (LSH + index
-    // joins + verify), and every derived action below would re-run
-    // driver-side analysis over it even though execution hits the
-    // cache — measured ~1.5s per action, ~10s across CC setup
-    val pl = Canonicalize.planLeaf(p)
+    // materialize + lineage-cut in ONE analysis pass: the pair chain's
+    // logical plan is deep (LSH + index joins + verify) and each
+    // analysis alone measured ~1.6s of driver time at sf0.1; the old
+    // count-then-planLeaf sequence paid it twice
+    val (pl, nPairs) = Canonicalize.materializedLeaf(p)
     val labels = try {
       // CC runs over the DUP GRAPH only (ids appearing in some pair) —
       // delta docs untouched by any pair are trivially their own

@@ -178,11 +178,10 @@ object Release {
       useBroadcast = cfg.useBroadcast)
     val pairs = rawPairs
       .select(col("id_a").as("cid_a"), col("id_b").as("cid_b")).persist()
-    val nPairs = pairs.count()
-    // lineage cut before the CC derivations (Canonicalize.planLeaf):
-    // each derived action would otherwise re-analyze the deep pair
-    // chain on the driver even though execution hits the cache
-    val pl = Canonicalize.planLeaf(pairs)
+    // materialize + lineage-cut in ONE analysis pass (the deep pair
+    // chain costs ~1.6s of pure driver analysis per pass — see
+    // Canonicalize.materializedLeaf)
+    val (pl, nPairs) = Canonicalize.materializedLeaf(pairs)
     val touched = pl.select(col("cid_a").as("cid"))
       .union(pl.select(col("cid_b").as("cid"))).distinct()
     // CC materializes its edge list eagerly, so the candidate cache can

@@ -109,7 +109,17 @@ object Search {
       .select(count(lit(1)).cast("long"),
         sum(TextStats.wsTokenCount(col(textCol)).cast("long")).cast("long"))
       .as[(Long, Long)].collect()(0)
+    // the idf frame is vocab-sized (one row per distinct corpus term —
+    // 10^9+ on web text), so it must be BOUNDED before the broadcast
+    // hint below: the scorer only ever reads idf rows for the
+    // driver-known query term set, so restricting to it first makes the
+    // broadcast O(|query terms|) instead of O(|vocab|) with identical
+    // output (the qdf join already drops every other term). Without
+    // this the explicit broadcast forced an OOM-scale build at corpus
+    // scale (r5 review finding #1).
+    val queryTerms = queries.flatMap(_._2).distinct
     val idf = idfTable(docFreq(post), n)
+      .where(col("term").isin(queryTerms: _*))
     val qdf = queries.flatMap { case (qid, terms) => terms.map((qid, _)) }
       .toDF("qid", "term")
     // spelled IEEE ops; the oracle mirrors this exact parenthesization

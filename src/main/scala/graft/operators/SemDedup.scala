@@ -193,11 +193,9 @@ object SemDedup {
       maxCellSize: Int = DefaultMaxCellSize): (DataFrame, () => Unit) = {
     val assigned = assignedVectors(corpus, cents, idCol, vecCol).persist()
     val p0 = pairsFromAssigned(assigned, threshold, maxCellSize).persist()
-    val nPairs = p0.count() // materialize: CC + keeper + anti-join all read it
-    // lineage cut (Canonicalize.planLeaf): the pair chain's plan is
-    // deep, and each derived action below re-analyzes it on the driver
-    // even when execution hits the cache
-    val p = Canonicalize.planLeaf(p0)
+    // materialize (CC + keeper + anti-join all read the cache) and
+    // lineage-cut in ONE analysis pass (Canonicalize.materializedLeaf)
+    val (p, nPairs) = Canonicalize.materializedLeaf(p0)
     val members = p.select(col("a").as("cid"))
       .union(p.select(col("b").as("cid"))).distinct()
     val cc = Canonicalize.connectedComponents(

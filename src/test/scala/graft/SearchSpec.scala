@@ -138,6 +138,25 @@ class SearchSpec extends AnyFunSuite {
     assert(exs.size <= 4, s"too many exchanges:\n$plan")
     assert(!exs.exists(_.child.output.exists(_.name == "text")),
       s"raw text must never ride an exchange:\n$plan")
+    // every broadcast in the scoring plan is query-term-bounded: the
+    // idf frame is vocab-sized on web text and must be restricted to
+    // the driver-known query terms BEFORE its broadcast hint (2 query
+    // terms here; rowCount counts build-side rows actually shipped)
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    def broadcasts(p: SparkPlan): Seq[BroadcastExchangeLike] = p match {
+      case a: AdaptiveSparkPlanExec => broadcasts(a.executedPlan)
+      case qs: QueryStageExec => broadcasts(qs.plan)
+      case e: BroadcastExchangeLike => e +: p.children.flatMap(broadcasts)
+      case _ => p.children.flatMap(broadcasts)
+    }
+    val bes = broadcasts(plan)
+    assert(bes.nonEmpty, s"expected broadcast exchanges:\n$plan")
+    bes.foreach { be =>
+      val rows = be.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+      assert(rows <= 2L,
+        s"broadcast carries $rows rows — idf must be bounded by the " +
+          s"query term set:\n$plan")
+    }
     done()
   }
 }
