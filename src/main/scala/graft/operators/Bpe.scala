@@ -121,8 +121,97 @@ object Bpe {
     * Stops early when no pair occurs at least `minPairFreq` times.
     * Deterministic: pair counts are exact longs; ties break by
     * (left, right) ascending.
+    *
+    * INCREMENTAL pair-count maintenance (the standard fast-BPE
+    * trainer): pair counts and a pair → containing-words index are
+    * built once; each merge touches only the words that actually
+    * contain the merged pair (decrement their old adjacent pairs,
+    * rewrite, increment the new ones) and the best pair comes from an
+    * ordered set updated in O(log P) per count change. The naive
+    * recount form — re-walk EVERY word's symbol stream per merge,
+    * O(numMerges × total symbols) — is kept as
+    * [[trainFromCountsRecount]], the spec's equality reference; at the
+    * 1M-word cap with thousands of merges the recount loop is the
+    * difference between minutes and tractable (BpeSpec measures the
+    * fixture-scale ratio).
     */
   def trainFromCounts(
+      wc: Seq[(String, Long)],
+      numMerges: Int,
+      minPairFreq: Long = 2L): Seq[(String, String)] = {
+    val sorted = wc.sortBy(_._1)
+    val words: Array[Vector[String]] =
+      sorted.map { case (w, _) => w.map(_.toString).toVector }.toArray
+    val freq: Array[Long] = sorted.map(_._2).toArray
+    def pairsOf(syms: Vector[String]): Iterator[(String, String)] =
+      (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
+
+    val counts = mutable.Map.empty[(String, String), Long]
+    val index = mutable.Map.empty[(String, String), mutable.Set[Int]]
+    for (wi <- words.indices; p <- pairsOf(words(wi))) {
+      counts.updateWith(p)(c => Some(c.getOrElse(0L) + freq(wi)))
+      index.getOrElseUpdate(p, mutable.Set.empty) += wi
+    }
+    // ordered view: head = (highest count, then (left, right) asc) —
+    // exactly the recount trainer's minBy((-c, l, r)) selection
+    val byBest = mutable.TreeSet.empty[(Long, String, String)](
+      new Ordering[(Long, String, String)] {
+        def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1)
+          if (c != 0) c
+          else {
+            val l = a._2.compareTo(b._2)
+            if (l != 0) l else a._3.compareTo(b._3)
+          }
+        }
+      })
+    counts.foreach { case ((l, r), c) => byBest += ((c, l, r)) }
+    def bump(p: (String, String), delta: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old > 0) byBest -= ((old, p._1, p._2))
+      val now = old + delta
+      if (now > 0) { counts(p) = now; byBest += ((now, p._1, p._2)) }
+      else counts -= p // zero entries leave, matching a fresh recount
+    }
+
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var step = 0
+    var stop = false
+    while (step < numMerges && !stop) {
+      if (byBest.isEmpty) stop = true
+      else {
+        val (cnt, l, r) = byBest.head
+        if (cnt < minPairFreq) stop = true
+        else {
+          merges += ((l, r))
+          val affected = index.getOrElse((l, r), mutable.Set.empty).toArray
+          affected.foreach { wi =>
+            val old = words(wi)
+            val nw = mergePair(old, l, r)
+            if (nw != old) {
+              val n = freq(wi)
+              pairsOf(old).foreach(bump(_, -n))
+              pairsOf(nw).foreach(bump(_, n))
+              val oldSet = pairsOf(old).toSet
+              val newSet = pairsOf(nw).toSet
+              (oldSet -- newSet).foreach(p => index.get(p).foreach(_ -= wi))
+              (newSet -- oldSet).foreach(p =>
+                index.getOrElseUpdate(p, mutable.Set.empty) += wi)
+              words(wi) = nw
+            }
+          }
+          step += 1
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The reference recount trainer (pre-r6 implementation): rebuilds
+    * the full pair-count table from every word per merge. Kept as the
+    * brute-force equality baseline for the incremental trainer.
+    */
+  private[graft] def trainFromCountsRecount(
       wc: Seq[(String, Long)],
       numMerges: Int,
       minPairFreq: Long = 2L): Seq[(String, String)] = {

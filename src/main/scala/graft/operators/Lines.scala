@@ -125,10 +125,40 @@ object Lines {
       removeBoilerplateBroadcast(docs, hashes, textCol)
     } else {
       // leave nothing cached behind: the anti-join recomputes the
-      // hash-only aggregation once at action time (disclosed above)
+      // hash-only aggregation once at action time (disclosed above).
+      // Callers that will run SEVERAL actions on the result should use
+      // removeBoilerplateWithHandle, which keeps the blocklist cached
+      // until they release it.
       block.unpersist()
       removeBoilerplateDistributed(docs, block, textCol, keyCol)
     }
+  }
+
+  /** [[removeBoilerplate]] + release handle: in the distributed branch
+    * the blocklist aggregation stays PERSISTED until the caller's last
+    * action (each action would otherwise recompute the corpus-wide
+    * lineDocFreq aggregation — the multi-action cost the one-shot form
+    * discloses); handle is a no-op in the broadcast branch. Same
+    * contract as the other *WithHandle wrappers.
+    */
+  def removeBoilerplateWithHandle(
+      docs: DataFrame, maxDocFreq: Long,
+      textCol: String = "text",
+      keyCol: String = "doc_id",
+      maxBroadcastBlocklist: Long = DefaultMaxBroadcastBlocklist)
+      : (DataFrame, () => Unit) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val block = lineDocFreq(docs, textCol, keyCol)
+      .where(col("doc_freq") > maxDocFreq).select("h").persist()
+    val n = block.count()
+    if (n <= maxBroadcastBlocklist) {
+      val hashes = block.as[Long].collect().toSet
+      block.unpersist()
+      (removeBoilerplateBroadcast(docs, hashes, textCol), () => ())
+    } else
+      (removeBoilerplateDistributed(docs, block, textCol, keyCol),
+        () => { block.unpersist(); () })
   }
 
   /** The broadcast-set rewrite: one zero-exchange projection. */

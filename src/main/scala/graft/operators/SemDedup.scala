@@ -24,18 +24,22 @@ import org.apache.spark.sql.functions._
   *    in-row over the sorted member list — nlist is the dial that
   *    bounds EXPECTED cluster size (paper uses ~sqrt(N) clusters),
   *    and a HUB cell (every embedding of a template page family
-  *    landing in one Voronoi cell) is capped by `maxCellSize`: an
-  *    oversize cell is RE-QUANTIZED one level down with a
-  *    second-level Lloyd (the same deterministic
-  *    `Similarity.ivfCentroidsTrained`, k2 = ceil(|cell|/cap)
-  *    sub-centroids trained on that cell's members) and pairing runs
-  *    within (cell, subcell) — so no single task ever collects the
-  *    hub into one row. Cell sizes are an nlist-bounded collect; the
-  *    driver loop trains one small Lloyd per oversize cell (at most
-  *    N/maxCellSize of them). Like the coarse level itself, subcell
-  *    scoping is the method's disclosed approximation: a near-dup
-  *    pair split across subcells is missed, exactly as one split
-  *    across coarse cells already is;
+  *    landing in one Voronoi cell) is capped by `maxCellSize` in
+  *    three deterministic steps (see `pairsFromAssignedWithHandle`):
+  *    exact-vector groups collapse to one representative first (the
+  *    bit-identical hub no quantizer can separate — within-group
+  *    pairs are emitted by construction through a distributed
+  *    self-join), the representatives RE-QUANTIZE one level down with
+  *    a second-level Lloyd (the same deterministic
+  *    `Similarity.ivfCentroidsTrained`), and any rep group Lloyd
+  *    still cannot split re-scatters by hashed id — so no single
+  *    task ever collects a hub into one row, now including the
+  *    degenerate identical-vector case. Cell sizes are an
+  *    nlist-bounded collect; the driver loop trains one small Lloyd
+  *    per oversize cell (at most N/maxCellSize of them). Like the
+  *    coarse level itself, subcell scoping is the method's disclosed
+  *    approximation: a near-dup pair split across subcells is missed,
+  *    exactly as one split across coarse cells already is;
   *  - the component/survivor stage runs over the PAIR table (near-dup
   *    density-bounded, far smaller than the corpus) via the same
   *    join-based convergence-guarded connected components the entity
@@ -149,12 +153,14 @@ object SemDedup {
     }
   }
 
-  private def pairsFromAssigned(
-      assigned: DataFrame, threshold: Double,
-      maxCellSize: Int = DefaultMaxCellSize): DataFrame = {
-    val spark = assigned.sparkSession
+  /** In-row pairing over (id, cell, scell, v) rows: one wide exchange
+    * (the per-(cell, subcell) member aggregation), pair generation over
+    * the id-sorted member list — partition-invariant.
+    */
+  private def pairsWithin(rows: DataFrame, threshold: Double): DataFrame = {
+    val spark = rows.sparkSession
     import spark.implicits._
-    withSubcells(assigned, maxCellSize)
+    rows
       .select(col("id"), col("cell"), col("scell"), col("v"))
       .groupBy(col("cell"), col("scell"))
       .agg(collect_list(struct(col("id").as("_1"), col("v").as("_2"))).as("ms"))
@@ -169,6 +175,125 @@ object SemDedup {
         } yield (cell, ms(i)._1, ms(j)._1)
       }
       .toDF("cell", "a", "b")
+  }
+
+  /** Pair build. Fast path (no cell above `maxCellSize` — the common
+    * case under a well-sized nlist): exactly the historical shape, one
+    * vector exchange, in-row pairing. Hub cells take the degenerate-
+    * safe path:
+    *
+    *  1. EXACT-VECTOR PRE-COLLAPSE (r5 review watch #2): members of an
+    *     oversize cell group by vector VALUE; each exact group keeps
+    *     its min id as representative. The motivating hub — 10^6
+    *     template pages sharing ONE embedding — collapses to a single
+    *     rep before any quantized structure is built, so the
+    *     second-level Lloyd (which cannot separate identical points)
+    *     never sees it. Within-group pairs are emitted BY CONSTRUCTION
+    *     (identical vectors are pairwise duplicates at any threshold
+    *     their self-cosine clears — the same cosF predicate decides,
+    *     so zero/NaN vectors behave exactly as in-row checks would),
+    *     via a distributed self-join on the group id: no driver- or
+    *     task-sized structure anywhere, though the OUTPUT is
+    *     inherently quadratic in the group size (the operator's pair
+    *     contract).
+    *  2. Second-level Lloyd subdivision runs over the REPS
+    *     ([[withSubcells]] unchanged — rep counts drive its oversize
+    *     decision now).
+    *  3. SALT GUARANTEE: if a rep (cell, scell) group still exceeds
+    *     the cap (near-identical-but-distinct vectors defeat Lloyd the
+    *     same way identical ones do), its reps re-scatter by
+    *     pmod(xxhash64(id), ceil(n/cap)) — deterministic, partition-
+    *     invariant, and hard-bounds the expected group size where the
+    *     trained subdivision could not. Subcell scoping remains the
+    *     method's disclosed approximation either way.
+    *  4. Rep pairs expand back to member pairs through the (gid,
+    *     member) table — cosines are equal across an exact group, so
+    *     the expansion reproduces exactly the member-level pair set.
+    *
+    * The assignment projection is PERSISTED here (it feeds the size
+    * probe, the pair aggregation and — on the hub path — every
+    * trainer pass; the one-shot `pairs()` entry point leaks the cache
+    * until session stop, the accepted convenience-wrapper trade, while
+    * `survivorsWithHandle` passes the same frame and releases it).
+    */
+  private def pairsFromAssigned(
+      assigned: DataFrame, threshold: Double,
+      maxCellSize: Int = DefaultMaxCellSize): DataFrame =
+    pairsFromAssignedWithHandle(assigned, threshold, maxCellSize)._1
+    // one-shot form: the hub path's exact-group cache (and the
+    // assignment persist) live until session stop — the accepted
+    // convenience-wrapper trade; survivorsWithHandle uses the handle
+
+  private def pairsFromAssignedWithHandle(
+      assigned: DataFrame, threshold: Double,
+      maxCellSize: Int = DefaultMaxCellSize): (DataFrame, () => Unit) = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned.persist()
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect() // nlist-bounded by construction
+    val oversize = sizes.filter(_._2 > maxCellSize).map(_._1).toSet
+    if (oversize.isEmpty)
+      return (pairsWithin(assigned.withColumn("scell", lit(0)), threshold),
+        () => ())
+    val small = assigned
+      .filter(!col("cell").isin(oversize.toSeq: _*))
+      .withColumn("scell", lit(0))
+    val big = assigned.filter(col("cell").isin(oversize.toSeq: _*))
+    // exact-vector groups of the oversize cells (identical vectors
+    // share cell and cent_cos by determinism of the assignment)
+    val groups = big.groupBy(col("cell"), col("v"))
+      .agg(min(col("id")).as("gid"), collect_list(col("id")).as("members"))
+      .persist()
+    val reps = groups.select(col("gid").as("id"), col("cell"), col("v"))
+    val repsSub = withSubcells(reps, maxCellSize)
+    // salt guarantee over still-oversize rep groups (bounded probe:
+    // one row per (cell, scell) group)
+    val repSizes = repsSub.groupBy(col("cell"), col("scell"))
+      .agg(count(lit(1)).as("n")).as[(Int, Int, Long)].collect()
+    val stillOver = repSizes.filter(_._3 > maxCellSize)
+    val repsFinal =
+      if (stillOver.isEmpty) repsSub
+      else {
+        val maxScell = repSizes.map(_._2).max
+        var offset = maxScell + 1
+        val salted = stillOver.sortBy(g => (g._1, g._2)).foldLeft(col("scell")) {
+          case (acc, (c, sc, n)) =>
+            val k = math.max(2, math.ceil(n.toDouble / maxCellSize).toInt)
+            val e = when(col("cell") === c && col("scell") === sc,
+              lit(offset) + pmod(xxhash64(col("id")), lit(k.toLong)).cast("int"))
+              .otherwise(acc)
+            offset += k
+            e
+        }
+        repsSub.withColumn("scell", salted)
+      }
+    val repPairs = pairsWithin(repsFinal, threshold)
+    val memberOf = groups
+      .select(col("cell"), col("gid"), explode(col("members")).as("mid"))
+    // within-group pairs by construction, gated by the group's own
+    // self-cosine against the SAME predicate the in-row check applies
+    val selfOk = udf((v: Seq[Float]) => cosF(v, v) >= threshold)
+    val withinOk = groups.filter(selfOk(col("v")))
+      .select(col("cell"), col("gid"))
+    val within = memberOf.join(withinOk, Seq("cell", "gid"))
+      .select(col("cell"), col("gid"), col("mid").as("ma"))
+      .join(memberOf.select(col("cell"), col("gid"), col("mid").as("mb")),
+        Seq("cell", "gid"))
+      .filter(col("ma") < col("mb"))
+      .select(col("cell"), col("ma").as("a"), col("mb").as("b"))
+    // cross-group expansion of the rep pairs
+    val cross = repPairs
+      .join(memberOf.select(col("cell"), col("gid").as("a"), col("mid").as("ma")),
+        Seq("cell", "a"))
+      .join(memberOf.select(col("cell"), col("gid").as("b"), col("mid").as("mb")),
+        Seq("cell", "b"))
+      .select(col("cell"), least(col("ma"), col("mb")).as("a"),
+        greatest(col("ma"), col("mb")).as("b"))
+    (pairsWithin(small, threshold)
+      .unionByName(within)
+      .unionByName(cross),
+      () => { groups.unpersist(); () })
   }
 
   def survivors(
@@ -192,10 +317,15 @@ object SemDedup {
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxCellSize: Int = DefaultMaxCellSize): (DataFrame, () => Unit) = {
     val assigned = assignedVectors(corpus, cents, idCol, vecCol).persist()
-    val p0 = pairsFromAssigned(assigned, threshold, maxCellSize).persist()
+    val (p0raw, releasePairBuild) =
+      pairsFromAssignedWithHandle(assigned, threshold, maxCellSize)
+    val p0 = p0raw.persist()
     // materialize (CC + keeper + anti-join all read the cache) and
-    // lineage-cut in ONE analysis pass (Canonicalize.materializedLeaf)
+    // lineage-cut in ONE analysis pass (Canonicalize.materializedLeaf);
+    // the pair-build intermediates (hub path's exact-group cache)
+    // release as soon as the pairs are materialized
     val (p, nPairs) = Canonicalize.materializedLeaf(p0)
+    releasePairBuild()
     val members = p.select(col("a").as("cid"))
       .union(p.select(col("b").as("cid"))).distinct()
     val cc = Canonicalize.connectedComponents(

@@ -608,44 +608,55 @@ object Materialize {
     val staging = stagingPath(outDir)
     val fsData = new org.apache.hadoop.fs.Path(dataPath(outDir))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prevMode = spark.conf.get(
-      "spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      // an all-empty staged union (every affected row re-crawled into
-      // zero triples) leaves no readable parquet under staging — every
-      // affected partition is then a pure delete
-      val staged = readParquetOpt(spark, s"$staging/data").map(_.persist())
-      staged.foreach {
-        _.write.mode(SaveMode.Overwrite).partitionBy("bucket")
-          .parquet(dataPath(outDir))
+    // Partition-dir RENAMES, not a second Spark write: the staged files
+    // were produced by this fold's own write job — re-reading and
+    // dynamic-overwriting them into the final path (the pre-r6 flow)
+    // read and wrote the whole affected-bucket set a SECOND time, plus
+    // a distinct-collect job to find pure-delete buckets. The staged
+    // layout already matches the final one (partitionBy("bucket")), so
+    // the commit is delete-dst + rename-src per affected bucket —
+    // metadata ops. The crash window (dst deleted, src not yet renamed)
+    // is the same shape as dynamic partition overwrite's own
+    // commit-time delete+rename, only narrower because no job runs
+    // between them; a crash mid-commit is healed the same way as
+    // before (re-run compact: still-present deltas + healFold).
+    def stagedSubdirs(p: org.apache.hadoop.fs.Path, prefix: String) =
+      if (!fsData.exists(p)) Array.empty[org.apache.hadoop.fs.Path]
+      else fsData.listStatus(p).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith(prefix))
+    def replace(src: org.apache.hadoop.fs.Path, dstDir: String): Unit = {
+      val dst = new org.apache.hadoop.fs.Path(dstDir, src.getName)
+      if (fsData.exists(dst)) fsData.delete(dst, true)
+      fsData.mkdirs(dst.getParent)
+      require(fsData.rename(src, dst), s"commit rename $src -> $dst failed")
+    }
+    // an all-empty staged union (every affected row re-crawled into
+    // zero triples) leaves no staged bucket dirs — every affected
+    // partition is then a pure delete
+    val stagedData = stagedSubdirs(
+      new org.apache.hadoop.fs.Path(s"$staging/data"), "bucket=")
+    val written = stagedData
+      .map(_.getName.stripPrefix("bucket=").toInt).toSet
+    (affected -- written).foreach { bk =>
+      fsData.delete(new org.apache.hadoop.fs.Path(
+        s"${dataPath(outDir)}/bucket=$bk"), true)
+    }
+    stagedData.foreach(replace(_, dataPath(outDir)))
+    // the rewrite folded the affected buckets' outstanding deltas
+    // into the base — drop them (folded batches only)
+    dropBucketDirsUnderBatches(spark, deltaPath(outDir), affected, foldBatches)
+    // versions: consolidated rows land in batch=base (bucket dirs
+    // renamed in under their batch dir), then the affected buckets'
+    // un-compacted batch rows (now folded) drop. Staged versions may
+    // be legitimately absent. foldBatches never contains BaseBatch, so
+    // the consolidated batch is safe.
+    stagedSubdirs(new org.apache.hadoop.fs.Path(s"$staging/versions"), "batch=")
+      .foreach { bdir =>
+        stagedSubdirs(bdir, "bucket=").foreach(
+          replace(_, s"${versionsPath(outDir)}/${bdir.getName}"))
       }
-      // dynamic overwrite only replaces partitions PRESENT in the
-      // written data — an affected bucket whose rows all belonged to
-      // re-crawled urls that now extract zero triples would keep its
-      // stale directory; drop exactly those
-      val written = staged.map(_.select("bucket").distinct().collect()
-        .map(_.get(0).toString.toInt).toSet).getOrElse(Set.empty[Int])
-      staged.foreach(_.unpersist())
-      (affected -- written).foreach { bk =>
-        fsData.delete(new org.apache.hadoop.fs.Path(
-          s"${dataPath(outDir)}/bucket=$bk"), true)
-      }
-      // the rewrite folded the affected buckets' outstanding deltas
-      // into the base — drop them (folded batches only)
-      dropBucketDirsUnderBatches(spark, deltaPath(outDir), affected, foldBatches)
-      // versions: consolidated rows land in batch=base, then the
-      // affected buckets' un-compacted batch rows (now folded) drop.
-      // Staged versions may be legitimately absent. foldBatches never
-      // contains BaseBatch, so the consolidated batch is safe.
-      readParquetOpt(spark, s"$staging/versions").foreach {
-        _.write.mode(SaveMode.Overwrite).partitionBy("batch", "bucket")
-          .parquet(versionsPath(outDir))
-      }
-      dropBucketDirsUnderBatches(spark, versionsPath(outDir), affected, foldBatches)
-      fsData.delete(new org.apache.hadoop.fs.Path(staging), true)
-    } finally spark.conf.set(
-      "spark.sql.sources.partitionOverwriteMode", prevMode)
+    dropBucketDirsUnderBatches(spark, versionsPath(outDir), affected, foldBatches)
+    fsData.delete(new org.apache.hadoop.fs.Path(staging), true)
   }
 
   /** Per-bucket row-count accumulator: lineage counts collected DURING

@@ -219,7 +219,22 @@ object Warc {
           if (fs.exists(path) || !fs.rename(tmpPath, path)) {
             if (!fs.exists(path))
               throw new IOException(s"cannot commit WARC shard $path")
-            fs.delete(tmpPath, false); ()
+            // the standing shard must be THIS dataset's bytes (a peer
+            // attempt / replay — deterministic bytes make equal length
+            // a sufficient same-dataset check). A different length
+            // means the output dir already held ANOTHER dataset: fail
+            // fast instead of silently discarding the new shard while
+            // committing a CDX that describes it (r5 advice — the
+            // fresh-dir contract is now enforced, not just documented)
+            val have = fs.getFileStatus(path).getLen
+            val wrote = fs.getFileStatus(tmpPath).getLen
+            fs.delete(tmpPath, false)
+            if (have != wrote)
+              throw new IOException(
+                s"WARC sink: $path already exists with different bytes " +
+                  s"($have vs $wrote written) — the output directory " +
+                  "holds another dataset; write into a fresh directory")
+            ()
           }
         }
         // a failed/short-circuited attempt must release and clean up
@@ -447,6 +462,17 @@ object Warc {
       warcType: String, headers: Map[String, String],
       payload: Option[Array[Byte]])
 
+  /** Observability hook for lenient truncation: a lenient parse that
+    * actually DROPS a damaged tail logs a warning (executor stderr) so
+    * silently-shortened shards are discoverable in the logs — the
+    * stream proceeding on a good prefix is the intended behavior, the
+    * drop being invisible was not (r5 advice).
+    */
+  private def warnTruncated(file: String, e: Exception): Unit =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .warn(s"lenient WARC parse truncated at a damaged record in $file: " +
+        s"${e.getClass.getSimpleName}: ${e.getMessage}")
+
   /** Streaming record iterator over one (possibly gzipped) WARC stream.
     * Strict by default: a truncated or damaged record raises with file
     * context; a `lenientTail` reader instead ends the iterator at the
@@ -502,12 +528,12 @@ object Warc {
           // lenient mode must survive ALL of them or a single damaged
           // shard poisons the job
           case e: IOException =>
-            if (lenientTail) done = true
+            if (lenientTail) { warnTruncated(file, e); done = true }
             else if (e.getMessage != null && e.getMessage.contains(file)) throw e
             else throw new IOException(
               s"damaged WARC record in $file (use lenientTail to tolerate)", e)
           case e: NumberFormatException =>
-            if (lenientTail) done = true
+            if (lenientTail) { warnTruncated(file, e); done = true }
             else throw new IOException(
               s"malformed Content-Length in $file (use lenientTail to tolerate)", e)
         }

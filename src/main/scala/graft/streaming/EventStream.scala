@@ -260,6 +260,54 @@ object EventStream {
     * poison shard). Pass `lenientTail = false` only for ingest from a
     * trusted writer where a damaged shard should halt the stream.
     */
+  /** [[maintainTriplesFromWarc]] for producers that land shards WITH a
+    * CDX index ([[graft.sources.Warc.writeWithCdx]] — the index rows
+    * commit only after their shard's bytes, so a discovered index row
+    * always addresses readable bytes): the STREAM SOURCE is the CDX
+    * parquet itself, one row per member, and each micro-batch routes
+    * through `Warc.fetchRecords(batch, splitBytes)`. That makes the
+    * landed-shard parse SPLITTABLE below file granularity: a 1-GB
+    * shard fans across ~size/splitBytes tasks with O(run) per-task
+    * memory (the seek + bounded gzip-run reader), where the
+    * binaryFile path above holds the WHOLE shard in one task (its
+    * disclosed bound). Page derivation (extractText + detectLang over
+    * the raw bytes) and the merge-on-read commit are identical —
+    * StreamingSpec asserts table equality between the two paths.
+    */
+  def maintainTriplesFromCdx(
+      spark: SparkSession, cdxDir: String, tableDir: String,
+      checkpointDir: String, buckets: Int, maxPayload: Int = 8 << 20,
+      splitBytes: Long = 1L << 20
+  ): StreamingQuery = {
+    import spark.implicits._
+    spark.readStream.schema(graft.sources.Warc.cdxSchema).parquet(cdxDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        // persist the parsed pages (same rationale as the binaryFile
+        // path: the commit takes multiple actions over its input)
+        val pages = graft.sources.Warc
+          .fetchRecords(batch, maxPayload, splitBytes)
+          .select("url", "warc_ts", "html")
+          .as[(String, java.sql.Timestamp, Array[Byte])]
+          .map { case (url, ts, body) =>
+            val text = graft.functions.Html.extractText(body)
+            Page(url, ts, body, text,
+              graft.operators.TextStats.detectLang(text))
+          }.persist()
+        try {
+          if (!pages.isEmpty) {
+            graft.plans.Materialize.incrementalUpdate(
+              s, pages, tableDir, buckets, mergeOnRead = true)
+            ()
+          }
+        } finally { pages.unpersist(); () }
+      }
+      .start()
+  }
+
   def maintainTriplesFromWarc(
       spark: SparkSession, warcDir: String, tableDir: String,
       checkpointDir: String, buckets: Int, maxPayload: Int = 8 << 20,

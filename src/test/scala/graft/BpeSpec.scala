@@ -88,6 +88,36 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental trainer == recount trainer on fixture and random corpora, with a measured speedup") {
+    // equality on the classic fixture
+    val fixture = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    assert(Bpe.trainFromCounts(fixture, 10) ==
+      Bpe.trainFromCountsRecount(fixture, 10))
+    // equality on random corpora (several seeds, small alphabet so
+    // merges interact heavily; includes minPairFreq early stops)
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      val words = (0 until 300).map(_ =>
+        (0 until (1 + rnd.nextInt(12))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+      val wc = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }.toSeq
+      assert(Bpe.trainFromCounts(wc, 50) == Bpe.trainFromCountsRecount(wc, 50),
+        s"trainers diverged at seed $seed")
+    }
+    // speedup probe at a size where the recount term shows (not a hard
+    // assertion — shared-VM timing — but recorded in the test log)
+    val rnd = new Random(7)
+    val big = (0 until 20000).map(i =>
+      (0 until (3 + rnd.nextInt(12))).map(_ => ('a' + rnd.nextInt(8)).toChar).mkString)
+      .groupBy(identity).map { case (w, g) => w -> (g.size.toLong + 1) }.toSeq
+    def t(f: => Seq[(String, String)]): (Seq[(String, String)], Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (mi, ti) = t(Bpe.trainFromCounts(big, 200))
+    val (mr, tr) = t(Bpe.trainFromCountsRecount(big, 200))
+    assert(mi == mr)
+    info(f"incremental $ti%.2fs vs recount $tr%.2fs (x${tr / ti}%.1f) on ${big.size} words / 200 merges")
+  }
+
   test("distributed wordCounts + encodePieces + fertility") {
     import spark.implicits._
     val d = df(Seq((1L, "aa ab aa"), (2L, "ab ba")))

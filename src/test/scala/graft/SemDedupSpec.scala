@@ -162,6 +162,40 @@ class SemDedupSpec extends AnyFunSuite {
     assert(s.size < 1005) // the hub family did deduplicate
   }
 
+  test("hub of 1000 BIT-IDENTICAL vectors: exact pre-collapse, bounded groups, brute-force survivors") {
+    // the degenerate template-page hub: every member shares ONE
+    // embedding, so no quantizer can separate them — the r5 review's
+    // watch item. The exact-vector pre-collapse must keep every
+    // (cell, scell) pairing group at the rep level (1 here), emit all
+    // C(1000,2) pairs by construction, and the survivor rule must
+    // match brute force: keep the min id of the identical family,
+    // leave the orthogonal singletons untouched.
+    val dim = 16
+    val base = (0 until dim).map(j => if (j == 0) 10.0f else 0.1f)
+    val hub = (0L until 1000L).map(i => (i, base))
+    val far = (5000L until 5005L).map(i =>
+      (i, (0 until dim).map(j =>
+        if (j == dim - 1 - (i - 5000L).toInt * 2) 5.0f else 0.0f).toSeq))
+    val emb = (hub ++ far).toDF("vec_id", "embedding")
+    val cs = Similarity.ivfCentroids(emb, 2)
+    val cap = 100
+    val p = SemDedup.pairs(emb, cs, threshold = 0.95, maxCellSize = cap)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      i <- 0L until 1000L; j <- (i + 1) until 1000L
+    } yield (i, j)).toSet
+    assert(p == expected,
+      s"pair set differs: missing ${(expected -- p).take(3)}, extra ${(p -- expected).take(3)}")
+    // partition invariance of the collapsed path
+    val p2 = SemDedup.pairs(emb.repartition(7), cs, 0.95, maxCellSize = cap)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(p == p2)
+    val s = SemDedup.survivors(emb, cs, 0.95, maxCellSize = cap)
+      .as[Long].collect().toSet
+    assert(s == (Set(0L) ++ far.map(_._1)),
+      s"survivors differ from brute force: $s")
+  }
+
   test("plan: vectors ride exactly one shuffle exchange (the cell aggregation)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

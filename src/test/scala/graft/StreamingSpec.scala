@@ -132,6 +132,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(keys(Materialize.readTriples(spark, tableDir)) == expected)
   }
 
+  test("CDX-routed WARC maintenance == binaryFile path: multi-record shards, table equality") {
+    import graft.plans.Materialize
+    import TripleFixtures.{tripleKeys => keys, recrawl}
+    import spark.implicits._
+    val B = 8
+    val root = Files.createTempDirectory("graft-maint-cdx").toString
+    val base = (0L until 20L).map(PageGen.genPage(_).page)
+    // the crawl lands as TWO multi-record shards + their CDX index
+    // (writeWithCdx commits index rows only after the shard bytes)
+    val crawl = Seq(recrawl(3, 503, 1000), recrawl(4, 504, 1000),
+      recrawl(5, 505, 1000), PageGen.genPage(30).page, PageGen.genPage(31).page)
+    graft.sources.Warc.writeWithCdx(
+      spark.createDataset(crawl).toDF().repartition(2),
+      s"$root/warc", s"$root/cdx")
+
+    def runPath(sub: String)(start: (String, String) => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val tableDir = s"$root/table-$sub"
+      Materialize.runResumable(spark, spark.createDataset(base), tableDir, B)
+      val q = start(tableDir, s"$root/ck-$sub")
+      try q.processAllAvailable() finally q.stop()
+    }
+    runPath("bin")((t, ck) =>
+      EventStream.maintainTriplesFromWarc(spark, s"$root/warc", t, ck, B))
+    runPath("cdx")((t, ck) =>
+      // splitBytes far below the shard size: the fetch fans sub-file
+      EventStream.maintainTriplesFromCdx(spark, s"$root/cdx", t, ck, B,
+        splitBytes = 4096L))
+    val kBin = keys(Materialize.readTriples(spark, s"$root/table-bin"))
+    val kCdx = keys(Materialize.readTriples(spark, s"$root/table-cdx"))
+    assert(kBin == kCdx, "CDX-routed stream diverged from the binaryFile path")
+    // and both equal the batch world
+    val world = base.filterNot(p => crawl.exists(_.url == p.url)) ++ crawl
+    assert(kCdx == keys(Pipeline.run(spark.createDataset(world)).toDF()))
+  }
+
   test("streaming exact dedup: one survivor per distinct text, state bounded by watermark") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-dedup").toString

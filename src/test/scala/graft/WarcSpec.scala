@@ -275,13 +275,23 @@ class WarcSpec extends AnyFunSuite {
     Warc.write(pages, dir)
     val shard = java.nio.file.Paths.get(dir, "part-00000.warc.gz")
     val committed = Files.readAllBytes(shard)
-    // a second writer racing into the same directory (the zombie-attempt
-    // shape): the already-committed shard must stand untouched — there
-    // is no delete-then-rename window anywhere in the commit
-    Warc.write(PageGen.pages(spark, 10, partitions = 1).toDF(), dir)
+    // a REPLAY of the same dataset (the zombie-attempt / speculative
+    // re-run shape): deterministic bytes → the standing shard satisfies
+    // the attempt, no exception, bytes untouched
+    Warc.write(pages, dir)
     assert(java.util.Arrays.equals(Files.readAllBytes(shard), committed),
-      "committed shard bytes were replaced by a later writer")
-    // and no temp litter remains
+      "committed shard bytes were replaced by a replay")
+    // a DIFFERENT dataset racing into the same directory fails loudly
+    // (r5 advice: the old silent keep committed a fresh CDX describing
+    // discarded bytes) — and the committed shard still stands untouched
+    val ex = intercept[org.apache.spark.SparkException] {
+      Warc.write(PageGen.pages(spark, 10, partitions = 1).toDF(), dir)
+    }
+    assert(ex.getMessage.contains("different bytes") ||
+      Option(ex.getCause).exists(_.getMessage.contains("different bytes")))
+    assert(java.util.Arrays.equals(Files.readAllBytes(shard), committed),
+      "committed shard bytes were replaced by a conflicting writer")
+    // and no temp litter remains after either outcome
     val tmps = new java.io.File(dir).listFiles().map(_.getName)
       .filter(_.contains(".tmp"))
     assert(tmps.isEmpty, s"uncleaned temp attempts: ${tmps.mkString(",")}")
