@@ -22,18 +22,49 @@ import scala.util.hashing.MurmurHash3
   * BROADCASTS into the join — the corpus side never shuffles its gram
   * stream; the only wide exchange is the O(|matches|) count
   * aggregation. When the bench side outgrows broadcast budget
-  * (useBroadcast=false), NOTHING row-sized broadcasts: a Bloom sketch
+  * (useBroadcast=false), nothing UNBOUNDED broadcasts: a Bloom sketch
   * of the bench gram hashes (~12 bits/gram at 1% fpp) pre-filters the
-  * corpus gram stream BEFORE any exchange and the join runs as a
-  * shuffled hash join — exchange bytes are O(|matching grams|) longs
-  * (plus the fpp sliver), never O(corpus). Bloom false positives are
-  * dropped by the inner join on the exact hash, so rows are identical
-  * to the broadcast path. In both modes every exchange carries only
-  * longs/ints — no text (same discipline as Dedup.minhashPairs).
+  * corpus gram stream BEFORE any exchange, grams with large bench
+  * fan-out take a BUDGET-CAPPED broadcast lane (≤ [[MaxHotGramRows]]
+  * rows, hottest first — the skew lane, see `overlapWithHandle`), and
+  * the rest joins as a salted shuffled hash join — exchange bytes are
+  * O(|matching grams|) longs (plus the fpp sliver), never O(corpus).
+  * Bloom false positives are dropped by the inner join on the exact
+  * hash, so rows are identical to the broadcast path. In both modes
+  * every exchange carries only longs/ints — no text (same discipline
+  * as Dedup.minhashPairs).
   */
 object Decontaminate {
 
   val DefaultN = 8
+
+  /** Salt width of the shuffled-hash overlap join (the
+    * useBroadcast=false path): each hot gram's pair enumeration
+    * spreads over this many tasks; the bench gram stream replicates by
+    * the same factor (small by the class contract). 16 matches the
+    * local worst case observed (hot grams serializing an 8-core stage)
+    * with comfortable headroom; the factor trades bench-side
+    * replication for hot-key parallelism and is independent of
+    * cluster size.
+    */
+  val SaltFactor: Int = 16
+
+  /** Bench-side fan-out at or above which a gram counts as HOT and its
+    * bench rows take the broadcast lane of the hybrid join (guide
+    * §2.5's "broadcast-join just the hot keys"): a gram appearing in f
+    * bench items emits f pairs per matching corpus row, so rows with
+    * f ≥ 32 dominate skew while the hot ROW set stays ≤ |bench|/32nd
+    * of the gram vocabulary.
+    */
+  val HotGramFanout: Long = 32L
+
+  /** Cap on broadcast rows the hot lane may carry (≈24 MB of (gh,
+    * bench_id, n) rows) — the useBroadcast=false path exists because
+    * the FULL bench outgrows broadcast budget, so the hot slice is
+    * budget-bounded and hottest-first; grams beyond the cap stay in
+    * the salted shuffle lane.
+    */
+  val MaxHotGramRows: Long = 1L << 20
 
   /** Distinct word n-grams, same tokenization as the dedup family
     * (lowercase, split on \W+, drop empties). Documents shorter than n
@@ -134,22 +165,66 @@ object Decontaminate {
         // grams that (probably) match ever shuffle; false positives
         // die in the exact-hash inner join
         val spark = corpus.sparkSession
-        // bg feeds TWO eager driver actions (count + bloom build) —
-        // persist across exactly those and release in-call; the one
-        // bench-side flatMap recompute inside the lazy join is cheap
-        // (bench << corpus) and beats leaking a cached DataFrame
-        // (same trade as Dedup.fetchCandidatePayload's candIds)
+        import spark.implicits._
+        // bg feeds THREE eager driver actions (count + bloom build +
+        // hot-gram probe) — persist across exactly those and release
+        // in-call; the one bench-side flatMap recompute inside the
+        // lazy join is cheap (bench << corpus) and beats leaking a
+        // cached DataFrame (same trade as
+        // Dedup.fetchCandidatePayload's candIds)
         bg.persist()
-        val bf =
+        val (bf, hotGrams) =
           try {
             val nGrams = math.max(bg.count(), 1024L)
-            bg.stat.bloomFilter("gh", nGrams, 0.01)
+            val filt = bg.stat.bloomFilter("gh", nGrams, 0.01)
+            // hottest-first, budget-capped hot gram set (row budget ÷
+            // fanout floor bounds the gram count the limit can admit)
+            val hot = bg.groupBy(col("gh")).agg(count(lit(1)).as("nb"))
+              .filter(col("nb") >= HotGramFanout)
+              .orderBy(col("nb").desc, col("gh"))
+              .limit((MaxHotGramRows / HotGramFanout).toInt)
+              .select("gh", "nb").as[(Long, Long)].collect()
+            // enforce the ROW cap exactly: take hottest grams while
+            // their bench-row sum fits the broadcast budget
+            var budget = MaxHotGramRows
+            (filt, hot.takeWhile { case (_, nb) =>
+              val ok = nb <= budget; if (ok) budget -= nb; ok
+            }.map(_._1).toSet)
           } finally bg.unpersist()
         val bfB = spark.sparkContext.broadcast(bf)
         val mightContain = udf((gh: Long) => bfB.value.mightContain(gh))
-        (cg.filter(mightContain(col("gh")))
-          .join(bg.hint("shuffle_hash"), Seq("gh")),
-          () => bfB.destroy())
+        // HYBRID hot/cold join (guide §2.5: "broadcast-join just the
+        // hot keys and shuffle-join the rest"): a gram shared by many
+        // corpus docs AND many bench items emits |docs(g)| × |bench(g)|
+        // pairs, and a plain gh-keyed shuffle puts ALL of one gram's
+        // pairs in one task — measured 24s wall / 37 core-s
+        // (parallelism 1.5 of 8) on an overlap-heavy corpus where ONE
+        // gram carried 17.6M of 45.7M emissions. Grams with bench
+        // fan-out ≥ HotGramFanout take a broadcast lane (the hot bench
+        // rows are budget-capped — hottest first — so this path's
+        // no-unbounded-broadcast contract stands): their enumeration
+        // runs MAP-SIDE at corpus-scan parallelism, no shuffle, no
+        // skew. The remaining (cold) grams take the salted
+        // shuffled-hash lane: the corpus side salts by doc hash, the
+        // bench side explodes ×k, so even a sub-threshold hot key
+        // spreads over k tasks. Every (doc, bench, gram) match lands
+        // in EXACTLY one lane (the lanes partition the gram space) and
+        // joins exactly once, so the unioned rows are identical to the
+        // broadcast path — spec-asserted.
+        val hotB = spark.sparkContext.broadcast(hotGrams)
+        val isHot = udf((gh: Long) => hotB.value.contains(gh))
+        val cgF = cg.filter(mightContain(col("gh")))
+        val hotJoined = cgF.filter(isHot(col("gh")))
+          .join(broadcast(bg.filter(isHot(col("gh")))), Seq("gh"))
+        val k = SaltFactor
+        val coldJoined = cgF.filter(!isHot(col("gh")))
+          .withColumn("salt", pmod(hash(col("doc_id")), lit(k)).cast("int"))
+          .join(bg.filter(!isHot(col("gh"))).withColumn("salt",
+            explode(lit((0 until k).toArray))).hint("shuffle_hash"),
+            Seq("gh", "salt"))
+          .drop("salt")
+        (hotJoined.unionByName(coldJoined),
+          () => { bfB.destroy(); hotB.destroy() })
       }
     (finishOverlap(joined), release)
   }

@@ -76,7 +76,14 @@ object Dedup {
   private def jaccardOf(sa: Set[String], sb: Set[String]): Double =
     if (sa.isEmpty && sb.isEmpty) 1.0
     else {
-      val inter = sa.intersect(sb).size
+      // membership-count loop over the smaller set: same value as
+      // sa.intersect(sb).size (set membership is the definition) with
+      // no intersection-set allocation — the verify stage calls this
+      // once per candidate pair
+      val (small, big) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+      var inter = 0
+      val it = small.iterator
+      while (it.hasNext) if (big.contains(it.next())) inter += 1
       inter.toDouble / (sa.size + sb.size - inter)
     }
 
@@ -189,9 +196,9 @@ object Dedup {
 
     // verification: fetch candidate texts by id (see fetchCandidatePayload
     // for the broadcast vs dup-heavy-corpus exchange discipline)
-    val (candU, releaseCand) = candMaterializedLeaf(cand, persistCand)
+    val (candU, nCand, releaseCand) = candMaterializedLeaf(cand, persistCand)
     val (candDocs, side, releaseFetch) =
-      fetchCandidatePayload(candU, compactDocs, useBroadcast)
+      fetchCandidatePayload(candU, compactDocs, useBroadcast, nCand)
     (verifyCandidatePairs(candU, candDocs, side, threshold, 3),
       () => { releaseFetch(); releaseCand() })
   }
@@ -213,20 +220,45 @@ object Dedup {
     * recompute the banding per reference.
     */
   private[operators] def candMaterializedLeaf(
-      cand: DataFrame, persistCand: Boolean): (DataFrame, () => Unit) =
-    if (!persistCand) (cand, () => ())
+      cand: DataFrame, persistCand: Boolean)
+      : (DataFrame, Option[Long], () => Unit) =
+    if (!persistCand) (cand, None, () => ())
     else {
       cand.persist()
-      val (leaf, _) = Canonicalize.materializedLeaf(cand)
-      (leaf, () => { cand.unpersist(); () })
+      val (leaf, n) = Canonicalize.materializedLeaf(cand)
+      (leaf, Some(n), () => { cand.unpersist(); () })
     }
 
   /** Exact-Jaccard verification tail shared by the minhash / jaccard /
-    * incremental candidate generators: join the fetched candidate texts
-    * to both pair sides (through the caller's broadcast/shuffled-hash
-    * wrapper `side`) and keep pairs at or above the threshold. One
-    * definition so a fix to the verify stage can never drift between
-    * the three dedup paths.
+    * incremental candidate generators: join the fetched candidate
+    * payloads to both pair sides (through the caller's
+    * broadcast/shuffled-hash wrapper `side`) and keep pairs at or
+    * above the threshold. One definition so a fix to the verify stage
+    * can never drift between the three dedup paths.
+    *
+    * Two-stage shape (r6; the previous per-pair memoized re-shingling
+    * UDF measured 94 core-seconds for a 500k-candidate verify at 80k
+    * docs — the 512-entry memo is dwarfed by dup-heavy candidate doc
+    * sets and the second fetch join scatters the first side's
+    * locality):
+    *
+    *  1. PREFILTER over per-document sorted 64-bit shingle-hash arrays
+    *     (`shingleHashSet` — 8 bytes per shingle instead of a ~40-char
+    *     string, so the pair-join row materialization that dominates a
+    *     dense verify shrinks ~10x) with the linear-merge
+    *     `hashSetJaccard`.
+    *  2. STRING-EXACT CONFIRMATION of the surviving pairs (near-dup-
+    *     density-bounded — tiny next to the candidate set) over sorted
+    *     shingle-string arrays: the emitted pairs satisfy exactly the
+    *     string predicate the oracle replays; a hash collision can
+    *     never ADD a pair.
+    *
+    * Disclosed caveat (the int-sidecar path's exact caveat, same
+    * order): a 64-bit collision between two shingles of one document
+    * can DEFLATE the prefilter's jaccard and drop a pair the string
+    * predicate admits — probability ~|shingles|²·2⁻⁶⁵ per doc,
+    * vanishing; `incrementalPairsFromIndex` already runs on this
+    * arithmetic alone.
     */
   private[operators] def verifyCandidatePairs(
       cand: DataFrame,
@@ -235,14 +267,58 @@ object Dedup {
       threshold: Double,
       n: Int
   ): DataFrame = {
-    val jac = udf((x: String, y: String) => ngramJaccardMemo(x, y, n))
-    cand
-      .join(side(candDocs.select(col("id").as("id_a"), col("txt").as("txt_a"))),
+    val hashUdf = udf((t: String) => shingleHashSet(t, n))
+    // Array (not Seq) parameters: Spark decodes a primitive array via
+    // toLongArray — a Seq[Long] parameter would BOX every element, and
+    // this UDF runs per candidate pair over ~|shingles|-long arrays
+    val jacH = udf((x: Array[Long], y: Array[Long]) => hashSetJaccard(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(x),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(y)))
+    val preH = candDocs.select(col("id"), hashUdf(col("txt")).as("shs"))
+    val surv = cand
+      .join(side(preH.select(col("id").as("id_a"), col("shs").as("shs_a"))),
         Seq("id_a"))
-      .join(side(candDocs.select(col("id").as("id_b"), col("txt").as("txt_b"))),
+      .join(side(preH.select(col("id").as("id_b"), col("shs").as("shs_b"))),
         Seq("id_b"))
-      .filter(jac(col("txt_a"), col("txt_b")) >= threshold)
+      .filter(jacH(col("shs_a"), col("shs_b")) >= threshold)
       .select("id_a", "id_b")
+    val strUdf = udf { (t: String) =>
+      val a = wordShingles(t, n).toArray
+      java.util.Arrays.sort(a.asInstanceOf[Array[AnyRef]])
+      a
+    }
+    val preS = candDocs.select(col("id"), strUdf(col("txt")).as("sh"))
+    val jacS = udf((x: Array[String], y: Array[String]) => sortedStringJaccard(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(x),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(y)))
+    surv
+      .join(side(preS.select(col("id").as("id_a"), col("sh").as("sh_a"))),
+        Seq("id_a"))
+      .join(side(preS.select(col("id").as("id_b"), col("sh").as("sh_b"))),
+        Seq("id_b"))
+      .filter(jacS(col("sh_a"), col("sh_b")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Jaccard of two SORTED distinct shingle-string arrays via one
+    * linear merge — exactly `ngramJaccard` of the originating texts
+    * (set intersection counted under a shared total order; no hashing,
+    * no allocation). Empty vs empty is 1.0, matching `jaccardOf`.
+    */
+  private[operators] def sortedStringJaccard(a: Seq[String], b: Seq[String]): Double = {
+    val na = a.length
+    val nb = b.length
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val c = a(i).compareTo(b(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
   }
 
   /** (band, band_hash, id) banded minhash rows — the ONLY rows that
@@ -301,23 +377,40 @@ object Dedup {
   private[operators] def fetchCandidatePayload(
       cand: DataFrame,
       payload: DataFrame,
-      useBroadcast: Boolean
+      useBroadcast: Boolean,
+      knownCandCount: Option[Long] = None
   ): (DataFrame, DataFrame => DataFrame, () => Unit) = {
-    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    if (useBroadcast)
+    if (useBroadcast) {
+      val candIds = cand
+        .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
       (payload.join(broadcast(candIds), Seq("id"), "left_semi"),
         df => broadcast(df), () => ())
-    else {
+    } else {
       val spark = payload.sparkSession
-      // candIds feeds TWO eager driver actions (count + bloom build) —
-      // persist across exactly those and release in-call, so the
-      // distinct-aggregation runs once, not twice
-      candIds.persist()
-      val bf =
-        try {
-          val n = math.max(candIds.count(), 1024L)
-          candIds.stat.bloomFilter("id", n, 0.01)
-        } finally candIds.unpersist()
+      val bf = knownCandCount match {
+        case Some(nPairs) =>
+          // handle-path callers know the pair count from the candidate
+          // materialization: distinct ids ≤ 2·pairs, so sizing the
+          // Bloom at that bound skips BOTH the distinct aggregation
+          // and its count job (an O(cand) exchange + a driver round
+          // trip). Overestimating expectedNumItems only LOWERS the
+          // fpp (more bits, ≤2x — bloom inserts are idempotent, no
+          // distinct needed); false positives still die in the exact
+          // id joins, so rows are unchanged.
+          cand.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+            .stat.bloomFilter("id", math.max(2L * nPairs, 1024L), 0.01)
+        case None =>
+          // one-shot path: candIds feeds TWO eager driver actions
+          // (count + bloom build) — persist across exactly those and
+          // release in-call, so the distinct-aggregation runs once
+          val candIds = cand
+            .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+          candIds.persist()
+          try {
+            val n = math.max(candIds.count(), 1024L)
+            candIds.stat.bloomFilter("id", n, 0.01)
+          } finally candIds.unpersist()
+      }
       val bfB = spark.sparkContext.broadcast(bf)
       val mightContain = udf((id: Long) => bfB.value.mightContain(id))
       (payload.filter(mightContain(col("id"))), df => df.hint("shuffle_hash"),
@@ -531,9 +624,9 @@ object Dedup {
       .filter(least(col("sz_a") - col("rk_a"), col("sz_b") - col("rk_b")) + 1 >=
         ceil(lit(threshold / (1.0 + threshold)) * (col("sz_a") + col("sz_b")) - Eps))
       .select("id_a", "id_b").distinct()
-    val (candU, releaseCand) = candMaterializedLeaf(cand, persistCand)
+    val (candU, nCand, releaseCand) = candMaterializedLeaf(cand, persistCand)
     val (candDocs, side, releaseFetch) =
-      fetchCandidatePayload(candU, compactDocs, useBroadcast)
+      fetchCandidatePayload(candU, compactDocs, useBroadcast, nCand)
     (verifyCandidatePairs(candU, candDocs, side, threshold, n),
       () => { releaseFetch(); releaseCand() })
   }
@@ -745,9 +838,9 @@ object Dedup {
       .join(banded.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val (candU, releaseCand) = candMaterializedLeaf(cand, persistCand)
+    val (candU, nCand, releaseCand) = candMaterializedLeaf(cand, persistCand)
     val (candVecs, side, releaseFetch) =
-      fetchCandidatePayload(candU, withSig.select("id", "v"), useBroadcast)
+      fetchCandidatePayload(candU, withSig.select("id", "v"), useBroadcast, nCand)
     val out = candU
       .join(side(candVecs.select(col("id").as("id_a"), col("v").as("v_a"))), Seq("id_a"))
       .join(side(candVecs.select(col("id").as("id_b"), col("v").as("v_b"))), Seq("id_b"))

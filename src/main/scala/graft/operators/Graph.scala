@@ -117,16 +117,19 @@ object Graph {
     * never full linked rows.
     */
   def propertyEdgesWithHandle(linked: DataFrame): (DataFrame, () => Unit) = {
-    val compact = linked
+    val compactPlan = linked
       .filter((col("headLabel") === "CHEM" && col("cid").isNotNull) ||
         col("propType") =!= "")
       .select(tupleKey.as("tkey"), col("cid"), col("propType"), col("headLabel"))
       .persist()
-    // materialize EAGERLY: downstream consumers (and pageRank's arc
-    // self-join) scan `compact` from multiple subtrees of one job — a
+    // materialize EAGERLY (downstream consumers — and pageRank's arc
+    // self-join — scan `compact` from multiple subtrees of one job; a
     // lazy persist races those scans into concurrent full upstream
-    // recomputes before any block is cached
-    compact.count()
+    // recomputes before any block is cached) and LINEAGE-CUT in the
+    // same pass: `linked` embeds the whole annotate+linking chain, and
+    // each consumer's action would re-analyze it on the driver
+    // (Canonicalize.materializedLeaf)
+    val (compact, _) = Canonicalize.materializedLeaf(compactPlan)
     val pnodes = propNodes(compact.select(col("propType")))
     // ONE wide exchange: group the tuple's members by tkey and emit the
     // chem×prop pairs in-row (collect_set = the per-tuple DISTINCT; the
@@ -147,7 +150,7 @@ object Graph {
     val edges = pairs
       .select(col("cid").as("src"), col("node").as("dst"), col("support"))
       .union(pairs.select(col("node").as("src"), col("cid").as("dst"), col("support")))
-    (edges, () => { compact.unpersist(); () })
+    (edges, () => { compactPlan.unpersist(); () })
   }
 
   /** Per-node degree stats over the arc list: arc count and total

@@ -157,7 +157,7 @@ object IncrDedup {
     // without the cache), so *WithHandle callers get it persisted,
     // materialized and lineage-cut (Dedup.candMaterializedLeaf — the
     // leaf is what keeps downstream per-action plan ANALYSIS flat)
-    val (candU, releaseCand) = Dedup.candMaterializedLeaf(cand, persistCand)
+    val (candU, nCand, releaseCand) = Dedup.candMaterializedLeaf(cand, persistCand)
     // verification payload: seen-corpus store ∪ delta, fetched BY ID —
     // O(|candidates|) rows survive the fetch, but the filter pass SCANS
     // the corpus store's (id, text) columns (see the object doc; use
@@ -168,7 +168,7 @@ object IncrDedup {
       .unionByName(delta
         .select(col(idCol).cast("long").as("id"), col(textCol).as("txt")))
     val (candDocs, side, releaseFetch) =
-      Dedup.fetchCandidatePayload(candU, payload, useBroadcast)
+      Dedup.fetchCandidatePayload(candU, payload, useBroadcast, nCand)
     val out = Dedup.verifyCandidatePairs(candU, candDocs, side, threshold, 3)
     (out, () => { releaseFetch(); releaseCand() })
   }
@@ -309,7 +309,7 @@ object IncrDedup {
     val cand = deltaCandidates(indexBands, indexCounts, deltaBands, maxBucket)
     // persist + materialize + lineage-cut on the handle path
     // (Dedup.candMaterializedLeaf — see incrementalPairsImpl)
-    val (candU, releaseCand) = Dedup.candMaterializedLeaf(cand, persistCand)
+    val (candU, nCand, releaseCand) = Dedup.candMaterializedLeaf(cand, persistCand)
     // verification payload: the int-only sidecar ∪ the delta's freshly
     // shingled rows — corpus TEXT appears nowhere in this plan. The
     // verification n is pinned to 3 to mirror the text path's
@@ -317,10 +317,14 @@ object IncrDedup {
     val payload = indexShingles
       .unionByName(shingleSidecar(delta, idCol, textCol, n = 3))
     val (candDocs, side, releaseFetch) =
-      Dedup.fetchCandidatePayload(candU, payload, useBroadcast)
+      Dedup.fetchCandidatePayload(candU, payload, useBroadcast, nCand)
     // same join shape as Dedup.verifyCandidatePairs, over the hash-set
     // payload column with the sorted-merge Jaccard
-    val jac = udf((x: Seq[Long], y: Seq[Long]) => Dedup.hashSetJaccard(x, y))
+    // primitive-array UDF params: no per-element boxing (see
+    // Dedup.verifyCandidatePairs)
+    val jac = udf((x: Array[Long], y: Array[Long]) => Dedup.hashSetJaccard(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(x),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(y)))
     val out = candU
       .join(side(candDocs.select(col("id").as("id_a"), col("shs").as("shs_a"))),
         Seq("id_a"))

@@ -160,12 +160,34 @@ object Release {
   private def buildWithHandle(docs: DataFrame, idCol: String,
       textCol: String, cfg: Config)
       : (DataFrame, DataFrame, () => Unit) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val compact = labeled(docs, idCol, textCol, cfg).persist()
     val a0 = alive0(compact)
     // keep ids persist: the set feeds alive1 for BOTH the near-dup
     // machinery (several passes) and the final fate join
     val keep = exactKeepIds(a0).persist()
     val a1 = a0.join(keep, Seq("doc_id"), "left_semi")
+    // decontamination is computed over a1, NOT a2: a near-dup-killed
+    // doc that is also contaminated resolves to near_dup either way
+    // (the fates CASE checks x_nd before x_ct), so the ledger is
+    // row-identical — and dropping the CC → decontam dependency lets
+    // the useBroadcast=false path's eager bench-side jobs (gram count
+    // + Bloom build) OVERLAP the pair build on a driver thread
+    // (guide §2.6: actions are only sequential because the driver
+    // calls them sequentially)
+    val bench = docs.filter(
+      pmod(col(idCol).cast("long"), lit(cfg.benchMod.toLong)) ===
+        cfg.benchRem.toLong)
+      .select(col(idCol).cast("long").as("bench_id"), col(textCol).as("red"))
+    val contamF = Future {
+      Decontaminate.flagged(a1, bench, "doc_id", "bench_id",
+        "red", minFracBench = cfg.minFracBench,
+        useBroadcast = cfg.useBroadcast)
+        .select("doc_id")
+        .persist()
+    }
     // near-dup: minhash-LSH candidates + exact-Jaccard verify, then CC
     // over the PAIR-TOUCHED ids only (IncrDedup.survivors' discipline:
     // an untouched doc is trivially its own cluster and can never be
@@ -194,17 +216,7 @@ object Release {
     val nearKill = labels.filter(col("cluster_id") =!= col("cid"))
       .select(col("cid").as("doc_id"))
       .persist()
-    val a2 = a1.join(nearKill, Seq("doc_id"), "left_anti")
-    // decontamination: released bytes vs the RAW bench items
-    val bench = docs.filter(
-      pmod(col(idCol).cast("long"), lit(cfg.benchMod.toLong)) ===
-        cfg.benchRem.toLong)
-      .select(col(idCol).cast("long").as("bench_id"), col(textCol).as("red"))
-    val contamKill = Decontaminate.flagged(a2, bench, "doc_id", "bench_id",
-      "red", minFracBench = cfg.minFracBench,
-      useBroadcast = cfg.useBroadcast)
-      .select("doc_id")
-      .persist()
+    val contamKill = Await.result(contamF, Duration.Inf)
     val fates = compact
       .join(keep.withColumn("x_keep", lit(1)), Seq("doc_id"), "left")
       .join(nearKill.withColumn("x_nd", lit(1)), Seq("doc_id"), "left")
@@ -314,6 +326,9 @@ object Release {
   def incrementalLedgerWithHandle(delta: DataFrame, idx: Index,
       idCol: String = "doc_id", textCol: String = "text",
       cfg: Config = Config()): (DataFrame, () => Unit) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val compact = labeled(delta, idCol, textCol, cfg).persist()
     val a0 = alive0(compact)
     // exact vs seen ∪ within-delta: the within-delta min survives its
@@ -326,6 +341,17 @@ object Release {
       .select("doc_id")
       .persist()
     val a1 = a0.join(keep, Seq("doc_id"), "left_semi")
+    // decontam over a1 instead of a2 + thread overlap — same
+    // row-identical argument and same §2.6 rationale as the batch
+    // ledger (buildWithHandle)
+    val contamF = Future {
+      Decontaminate.flagged(a1,
+        idx.bench.select(col("bench_id"), col("text").as("red")),
+        "doc_id", "bench_id", "red", minFracBench = cfg.minFracBench,
+        useBroadcast = cfg.useBroadcast)
+        .select("doc_id")
+        .persist()
+    }
     // near-dup vs the band index, verified off the int-only sidecar —
     // NO seen-text input (IncrDedup.incrementalPairsFromIndex)
     val (pairs, releasePairs) = IncrDedup.incrementalPairsFromIndexWithHandle(
@@ -339,13 +365,7 @@ object Release {
     val nearKill = a1.select("doc_id")
       .join(kept, Seq("doc_id"), "left_anti")
       .persist()
-    val a2 = a1.join(nearKill, Seq("doc_id"), "left_anti")
-    val contamKill = Decontaminate.flagged(a2,
-      idx.bench.select(col("bench_id"), col("text").as("red")),
-      "doc_id", "bench_id", "red", minFracBench = cfg.minFracBench,
-      useBroadcast = cfg.useBroadcast)
-      .select("doc_id")
-      .persist()
+    val contamKill = Await.result(contamF, Duration.Inf)
     val fates = compact
       .join(keep.withColumn("x_keep", lit(1)), Seq("doc_id"), "left")
       .join(nearKill.withColumn("x_nd", lit(1)), Seq("doc_id"), "left")

@@ -107,10 +107,10 @@ class PlanSpec extends AnyFunSuite {
       for ((name, df, allowed) <- Seq(
         ("minhashPairs",
           graft.operators.Dedup.minhashPairs(docs, threshold = 0.5, useBroadcast = false),
-          Set("txt", "txt_a", "txt_b")),
+          Set("sh", "sh_a", "sh_b", "shs", "shs_a", "shs_b")),
         ("jaccardPairs",
           graft.operators.Dedup.jaccardPairs(docs, threshold = 0.5, useBroadcast = false),
-          Set("txt", "txt_a", "txt_b")),
+          Set("sh", "sh_a", "sh_b", "shs", "shs_a", "shs_b")),
         ("embeddingPairs",
           graft.operators.Dedup.embeddingPairs(emb, threshold = 0.95, useBroadcast = false),
           Set("v", "v_a", "v_b")))) {
