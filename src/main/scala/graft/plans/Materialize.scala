@@ -808,12 +808,15 @@ object Materialize {
 
     def probe[A](label: String)(f: => A): A = probed(label)(f)
 
-    // versions pruning needs the batch's bucket set — computable from
-    // raw urls BEFORE the (heavier) per-url window (bounded-size
-    // collect: at most B values)
-    val batchBuckets = probe("bucketPrune")(newPages.toDF()
-      .select(pmod(hash(col("url")), lit(b)).cast("int").as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSet)
+    // versions pruning needs the batch's bucket set (bounded-size
+    // collect: at most B values). Computed from `latest`, whose
+    // materialization the stats pass pays moments later anyway — the
+    // per-url dedup cannot change the bucket SET (same urls), and
+    // probing the cache here saves a second pass over the batch
+    // source (r6: the old raw-side probe re-read/re-generated the
+    // whole batch once more per update)
+    val batchBuckets = probe("bucketPrune")(latest
+      .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSet)
     // one committed-batch snapshot pins the whole operation (stale
     // rejection + COW fold + drop) to a single consistent view
     val committed = committedBatchIds(spark, outDir)
@@ -1143,6 +1146,19 @@ object Materialize {
     if (affected.isEmpty) return Set.empty
     val t0 = System.currentTimeMillis()
 
+    // the kill-horizon aggregate reads only (url, seq, bucket) columns
+    // of base+delta+versions — independent of the staged writes below,
+    // so it runs on a driver thread OVERLAPPING them (guide §2.6); its
+    // result is awaited before the raise, which still happens strictly
+    // BEFORE the fold commits (crash ⇒ over-reject, never silent wrong
+    // time travel); folds that remove no row — append-only batches —
+    // leave the floor untouched
+    val killF = {
+      import scala.concurrent.Future
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Future(foldKillHorizonMs(spark, outDir, affected, committed))
+    }
+
     // repartition by bucket: compaction's whole point is few large
     // files per bucket — one output partition per bucket (B is sized so
     // a bucket fits a task). healFold (not dropDuplicates) collapses
@@ -1162,11 +1178,11 @@ object Materialize {
       .write.mode(SaveMode.Overwrite).partitionBy("batch", "bucket")
       .parquet(s"$staging/versions")
 
-    // retention floor BEFORE the fold commits (crash ⇒ over-reject,
-    // never silent wrong time travel); folds that remove no row —
-    // append-only batches — leave it untouched
-    raiseHorizonMs(spark, outDir,
-      foldKillHorizonMs(spark, outDir, affected, committed))
+    raiseHorizonMs(spark, outDir, {
+      import scala.concurrent.Await
+      import scala.concurrent.duration.Duration
+      Await.result(killF, Duration.Inf)
+    })
 
     commitStaged(spark, outDir, affected, committed)
     appendLineage(spark, outDir, "compact", affected, t0,
